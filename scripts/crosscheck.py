@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Dev-loop cross-engine oracle diff (SURVEY.md §5 "cross-engine pre-commit").
+
+Usage: python3 scripts/crosscheck.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle SQL in DuckDB over views named after the fixture tables, and compares
+against the Spark result parquet in <verifyOutDir>/<name>/. Mimics the
+driver's compare: columns sorted by name, row-by-row value equality.
+"""
+import sys, json, glob, math, datetime, decimal
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def rows_of(cols, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = []
+    for r in range(len(cols[0]) if cols else 0):
+        out.append(tuple(norm(cols[i][r]) for i in order))
+    return out, [names[i] for i in order]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output parquet")
+            n_fail += 1
+            continue
+        tbl = pq.read_table(files[0])
+        s_rows, s_cols = rows_of([tbl.column(i).to_pylist()
+                                  for i in range(tbl.num_columns)],
+                                 list(tbl.schema.names))
+        try:
+            res = con.execute(oracle[name])
+            d_names = [d[0] for d in res.description]
+            d_data = res.fetchall()
+            d_cols = [[row[i] for row in d_data] for i in range(len(d_names))]
+            d_rows, d_cols_sorted = rows_of(d_cols, d_names)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if s_cols != d_cols_sorted:
+            print(f"FAIL {name}: columns spark={s_cols} duckdb={d_cols_sorted}")
+            n_fail += 1
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(s_rows)} rows differ; "
+                  f"first at {i} cols={s_cols}\n  spark ={a}\n  duckdb={b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
