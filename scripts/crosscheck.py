@@ -21,9 +21,17 @@ def norm(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     if isinstance(v, decimal.Decimal):
-        return ("dec", str(v))
+        # compare by value, not string: 1.5 vs 1.50 must be equal; floats and
+        # Decimals unify so a DuckDB DECIMAL result can match a Spark DOUBLE,
+        # but ints stay ints (an int/double type drift should FAIL here
+        # because the driver's schema check would fail on it too)
+        return ("num", float(v))
+    if isinstance(v, float):
+        return ("num", v)
     if isinstance(v, datetime.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("ts", v.isoformat() + "T00:00:00")
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
@@ -51,7 +59,11 @@ def main():
             print(f"FAIL {name}: no spark output parquet")
             n_fail += 1
             continue
-        tbl = pq.read_table(files[0])
+        # read ALL part files in sorted filename order (preserves global
+        # sort order for range-partitioned output); reading only part 0
+        # would silently drop rows of multi-part results
+        import pyarrow as pa
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
         s_rows, s_cols = rows_of([tbl.column(i).to_pylist()
                                   for i in range(tbl.num_columns)],
                                  list(tbl.schema.names))

@@ -10,7 +10,11 @@ object SparkEntry {
 
   /** Every graded query, in SURVEY §2 order. */
   def allQ: Seq[Q] =
-    operators.Aggregates.all
+    operators.Scans.all ++ operators.Filters.all ++ operators.Joins.all ++
+      operators.Aggregates.all ++ operators.Windows.all ++
+      operators.SortSet.all ++ functions.Scalars.all ++
+      operators.TextOps.all ++ operators.VectorOps.all ++
+      streaming.Streams.all
 
   /** Flagship query (Q13 pricing summary) on sf0.001; driver smoke-checks
     * rows > 0. */

@@ -22,17 +22,25 @@ object Det {
   def units(c: Column, scale: Long): Column =
     round(c * scale).cast("long")
 
-  /** sum(c) computed exactly, returned as DOUBLE: SUM(units)/scale. */
+  /** sum(c) computed exactly, returned as DOUBLE: SUM(units)/scale.
+    *
+    * The per-row units are BIGINT but the accumulator is DECIMAL(38,0):
+    * at 100 TB (~1e11 rows/group × ~1e11 units/row) a BIGINT accumulator
+    * would wrap silently past 9.2e18, while decimal sums either carry the
+    * full value or fail loudly. DuckDB's SUM(BIGINT) already widens to
+    * HUGEINT, so the oracle side matches. The final decimal→double division
+    * rounds-to-nearest identically on both engines.
+    */
   def exactSum(c: Column, scale: Long): Column =
-    sum(units(c, scale)) / lit(scale.toDouble)
+    sum(units(c, scale).cast("decimal(38,0)")) / lit(scale.toDouble)
 
   /** avg(c) from exact ingredients: SUM(units)/scale/COUNT. The oracle must
     * use the same left-to-right division order. */
   def exactAvg(c: Column, scale: Long): Column =
-    sum(units(c, scale)) / lit(scale.toDouble) / count(lit(1))
+    sum(units(c, scale).cast("decimal(38,0)")) / lit(scale.toDouble) / count(lit(1))
 
   /** Matching DuckDB SQL fragments (kept adjacent so the two sides never
-    * drift). */
+    * drift). DuckDB SUM(BIGINT) returns HUGEINT (128-bit) natively. */
   def sqlUnits(e: String, scale: Long): String =
     s"CAST(round(($e) * $scale) AS BIGINT)"
   def sqlExactSum(e: String, scale: Long): String =

@@ -51,5 +51,127 @@ object Aggregates {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  def all: Seq[Q] = Seq(q13)
+  /** Q14 — distinct aggregation: Catalyst plans count(DISTINCT) as an
+    * Expand + two-phase aggregate; the distinct keys are deduped map-side
+    * so the shuffle carries (status, custkey) pairs, not rows. */
+  val q14 = Q(
+    "q_agg_distinct",
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_custs
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), countDistinct("o_custkey").as("n_custs"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Q15 — rollup / grouping sets over the star join. Output has NO nulls:
+    * rollup-nulls are coalesced to a label and the grouping_id column
+    * disambiguates, so the cross-engine NULL-ordering trap (Spark NULLS
+    * FIRST vs DuckDB NULLS LAST) never arises. grouping_id bit order:
+    * first rollup column = MSB on both engines. */
+  val q15 = Q(
+    "q_agg_rollup",
+    s"""SELECT COALESCE(r_name, '(all)') AS r,
+       |  COALESCE(n_name, '(all)') AS n,
+       |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+       |  ${sqlExactSum("o_totalprice", 100)} AS revenue,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY gid, r, n""".stripMargin
+  ) { (spark, dir) =>
+    // The rollup runs through spark.sql: selecting the rollup's grouping
+    // attributes back out of a DataFrame-API rollup().agg() trips Spark 4's
+    // ambiguous-column check (the Expand keeps original + null-extended
+    // attribute copies); SQL analysis resolves GROUP BY ROLLUP natively.
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      .createOrReplaceTempView("q15_star")
+    spark.sql(
+      // same exact-units sum as Det.exactSum, spelled in Spark SQL with the
+      // DECIMAL(38,0) accumulator (Spark's SUM(BIGINT) would wrap at scale)
+      s"""SELECT COALESCE(r_name, '(all)') AS r,
+         |  COALESCE(n_name, '(all)') AS n,
+         |  grouping_id() AS gid,
+         |  SUM(CAST(${sqlUnits("o_totalprice", 100)} AS DECIMAL(38,0))) / 100.0 AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM q15_star
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY gid, r, n""".stripMargin)
+  }
+
+  /** Q16 — statistical aggregates: stddev/variance/exact median/corr.
+    * Results are rounded to 6 dp — both engines compute these with
+    * numerically different but ~1e-13-relative-close algorithms. */
+  val q16 = Q(
+    "q_agg_stats",
+    """SELECT c_mktsegment,
+      |  round(stddev_samp(c_acctbal), 6) AS sd_bal,
+      |  round(var_samp(c_acctbal), 6) AS var_bal,
+      |  round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 6) AS med_bal,
+      |  min(c_acctbal) AS min_bal,
+      |  max(c_acctbal) AS max_bal,
+      |  round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) AS corr_bal_nat
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        round(stddev_samp(col("c_acctbal")), 6).as("sd_bal"),
+        round(var_samp(col("c_acctbal")), 6).as("var_bal"),
+        round(expr("percentile(c_acctbal, 0.5)"), 6).as("med_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 6)
+          .as("corr_bal_nat"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Q17 — approximate distinct (HLL sketch). No oracle: estimates differ
+    * across engines by design; ApproxSpec asserts ±5% of exact instead.
+    * At 100 TB this is THE distinct-count: the sketch merges associatively
+    * so the shuffle carries one ~few-KB sketch per group per partition. */
+  val q17 = Q.noOracle("q_agg_approx") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q18 — custom typed UDAF (geometric mean, functions.GeoMean). */
+  val q18 = Q(
+    "q_udaf_geomean",
+    """SELECT l_returnflag,
+      |  round(exp(avg(ln(l_extendedprice))), 6) AS geomean_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_extendedprice > 0
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (spark, dir) =>
+    val geo = udaf(graft.functions.GeoMean)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 0)
+      .groupBy("l_returnflag")
+      .agg(round(geo(col("l_extendedprice")), 6).as("geomean_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  def all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18)
 }

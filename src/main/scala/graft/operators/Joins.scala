@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** Join operators (SURVEY.md §2.3): broadcast star join, shuffle fact⋈fact,
+  * outer/semi/anti, theta, equi+range residual, as-of.
+  *
+  * Scale notes per operator are on each query. General rule: dims
+  * (region/nation/supplier) are broadcast explicitly — at 100 TB they stay
+  * small, so the fact side never shuffles for them; fact⋈fact joins shuffle
+  * both sides on the join key once (sort-merge), and AQE converts to
+  * broadcast at runtime if a filtered side turns out small.
+  */
+object Joins {
+
+  /** Q05 — multi-way star join. nation/region broadcast explicitly;
+    * customer is left to the planner (broadcast at these SFs, shuffle at
+    * 100 TB — exactly the decision AQE should own, not the query author). */
+  val q05 = Q(
+    "q_join_star",
+    s"""SELECT r_name, n_name,
+       |  ${sqlExactSum("o_totalprice", 100)} AS revenue,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(exactSum(col("o_totalprice"), 100).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Q06 — fact⋈fact equi join (sort-merge at scale): lineitem⋈orders on
+    * orderkey. Both sides shuffle on the key exactly once; the aggregation
+    * after it is partial→final so the second shuffle carries 5 rows. */
+  val q06 = Q(
+    "q_join_big",
+    s"""SELECT o_orderpriority,
+       |  ${sqlExactSum("l_extendedprice * (1 - l_discount)", 10000)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q07 — left outer join + null handling: per mktsegment, how many
+    * (customer, order) rows, how many matched, how many customers had no
+    * order at all (each orderless customer contributes exactly one
+    * null-extended row, so the count is exact). */
+  val q07 = Q(
+    "q_join_left",
+    s"""SELECT c_mktsegment,
+       |  COUNT(*) AS n_rows,
+       |  COUNT(o_orderkey) AS n_matched,
+       |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless,
+       |  ${sqlExactSum("COALESCE(o_totalprice, 0)", 100)} AS sum_price
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_matched"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long")
+          .as("n_orderless"),
+        exactSum(coalesce(col("o_totalprice"), lit(0.0)), 100).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Q08 — left semi join (EXISTS): customers with ≥1 urgent order. The
+    * semi join never duplicates the left side and the right side is reduced
+    * to its join key — the cheapest existence check Spark has. */
+  val q08 = Q(
+    "q_join_semi",
+    s"""SELECT c_mktsegment, COUNT(*) AS n_custs,
+       |  ${sqlExactSum("c_acctbal", 100)} AS sum_bal
+       |FROM customer
+       |WHERE EXISTS (SELECT 1 FROM orders
+       |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), exactSum(col("c_acctbal"), 100).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Q09 — left anti join (NOT EXISTS): parts that never shipped in
+    * quantity > 45. The filter on the right side runs BEFORE the join and
+    * prunes ~90% of lineitem at the scan. */
+  val q09 = Q(
+    "q_join_anti",
+    """SELECT p_brand, COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+      |FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey AND l_quantity > 45)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+  ) { (spark, dir) =>
+    Tables.part(spark, dir)
+      .join(
+        Tables.lineitem(spark, dir).filter(col("l_quantity") > 45),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
+      .orderBy("p_brand")
+  }
+
+  /** Q10 — theta (pure-inequality) join: supplier pairs where one balance
+    * is less than half the other. No equi key ⇒ BroadcastNestedLoopJoin;
+    * supplier is a dim that stays broadcastable at 100 TB. A theta join
+    * over two FACT tables would be quadratic and is deliberately not in
+    * the inventory — band it (Q11) or block it (Q32) instead. */
+  val q10 = Q(
+    "q_join_theta",
+    """SELECT a.s_nationkey AS nationkey, COUNT(*) AS n_pairs
+      |FROM supplier a, supplier b
+      |WHERE a.s_acctbal * 2 < b.s_acctbal
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val a = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("a_bal"))
+    val b = Tables.supplier(spark, dir).select(col("s_acctbal").as("b_bal"))
+    a.join(b, col("a_bal") * 2 < col("b_bal"))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nationkey")
+  }
+
+  /** Q11 — equi + range residual join: lineitem⋈orders on orderkey with a
+    * shipdate-within-120-days band. The equi key drives the shuffle; the
+    * band is a residual filter evaluated inside the join — no extra pass. */
+  val q11 = Q(
+    "q_join_range",
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |  COUNT(*) AS n_items,
+       |  ${sqlExactSum("l_extendedprice", 100)} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  AND l_shipdate >= o_orderdate
+       |  AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_items"), exactSum(col("l_extendedprice"), 100).as("sum_price"))
+      .orderBy("o_year")
+  }
+
+  /** Q12 — as-of join, window formulation: for each purchase event, the
+    * user's most recent strictly-prior click. One shuffle on user_id, one
+    * sort per partition — the classic scalable as-of shape (vs a join +
+    * per-row max which re-shuffles). The oracle uses the same window SQL;
+    * DuckDB's native ASOF JOIN produces the same rows but this form pins
+    * the strict-< and tiebreak semantics explicitly on both engines. */
+  val q12 = Q(
+    "q_join_asof",
+    """SELECT event_id, user_id, ts, prev_click_ts,
+      |  (epoch_us(ts) - epoch_us(prev_click_ts)) / 1000000.0 AS secs_since_click
+      |FROM (
+      |  SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("prev_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("prev_click_ts"),
+        ((unix_micros(col("ts")) - unix_micros(col("prev_click_ts"))) / lit(1000000.0))
+          .as("secs_since_click"))
+      .orderBy("event_id")
+  }
+
+  def all: Seq[Q] = Seq(q05, q06, q07, q08, q09, q10, q11, q12)
+}

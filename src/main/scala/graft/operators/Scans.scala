@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Scan / projection / source-shaped operators (SURVEY.md §2.1).
+  *
+  * Scale notes: both queries are narrow projections — Catalyst prunes the
+  * parquet scan to exactly the referenced columns (check `ReadSchema` in
+  * explain), so at 100 TB the scan reads 3-4 columns of the fact table, not
+  * all 11. The JSON extraction is a per-row codegen'd expression; no UDF.
+  */
+object Scans {
+
+  /** Q01 — parquet scan + projection + alias + computed column. Per-row
+    * IEEE double arithmetic (`price * (1 - disc)`) is evaluation-order
+    * deterministic, so no rounding is needed on the pass-through values. */
+  val q01 = Q(
+    "q_scan_project",
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity AS qty, l_extendedprice AS price,
+      |  l_extendedprice * (1 - l_discount) AS net
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Q02 — JSON-in-string extraction: parse `events.props` ({"k": <int>}),
+    * bucket by k % 10. `get_json_object` is a codegen'd path expression —
+    * no parse-to-struct materialization, no UDF. */
+  val q02 = Q(
+    "q_json_props",
+    """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS bucket,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      .orderBy("bucket")
+  }
+
+  def all: Seq[Q] = Seq(q01, q02)
+}

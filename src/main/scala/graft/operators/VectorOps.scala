@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.sources.Tables
+
+/** Vector / similarity-search operators over the embeddings table
+  * (SURVEY.md §2.7 Q33-Q34 + ANN variants): brute-force cosine top-k,
+  * element-wise centroids, threshold near-dup pairs, and a bucketed
+  * (IVF-style) ANN path.
+  *
+  * The dot product is pure higher-order-function SQL (zip_with + aggregate)
+  * — codegen-friendly, no UDF, verified byte-identical vs DuckDB
+  * (SURVEY §2.7 Q33). Embeddings are unit-norm so cosine ≡ dot product.
+  *
+  * Scale notes: brute-force pairing is the CORRECTNESS baseline; the scale
+  * path is `q_vec_ann_bucketed`, which joins only within a coarse bucket
+  * (here the label; at 100 TB, a k-means/IVF cell id or LSH band computed
+  * the same way) — the join key turns the quadratic pair-gen into
+  * per-bucket work, which is exactly how a 1000-executor cluster shards it.
+  */
+object VectorOps {
+
+  /** dot(a, b) as deterministic sequential-fold SQL; both engines evaluate
+    * the same left-to-right association order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private val sqlDot =
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  /** Q33 — brute-force cosine top-10 pairs (a_id < b_id). */
+  val q33 = Q(
+    "q_vec_knn",
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round($sqlDot, 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY sim DESC, a_id, b_id
+       |LIMIT 10""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("a_id"), asc("b_id"))
+      .limit(10)
+  }
+
+  /** Q34 — per-label element-wise centroid, long format (label, pos, c).
+    * Components are summed as exact 1e-9-resolution integer units (Det
+    * discipline) so the mean is partition-order independent. */
+  val q34 = Q(
+    "q_vec_centroid",
+    """SELECT label, CAST(i - 1 AS INT) AS pos,
+      |  SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
+      |    / 1000000000.0 / COUNT(*) AS c,
+      |  COUNT(*) AS n
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        (sum(round(col("v").cast("double") * 1000000000L).cast("long"))
+          / lit(1000000000.0) / count(lit(1))).as("c"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sim ≥ threshold, blocked by
+    * label (near-identical vectors land in the same coarse bucket; the
+    * documented recall tradeoff of every blocked ANN scheme). */
+  val qVecNearDup = Q(
+    "q_vec_neardup",
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+       |  round($sqlDot, 6) AS sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $sqlDot >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("b_vec"))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("sim_raw", dot(col("a_vec"), col("b_vec")))
+      .filter(col("sim_raw") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("label"),
+        round(col("sim_raw"), 6).as("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Bucketed ANN (IVF-style): top-3 nearest neighbors per query vector,
+    * searching ONLY its bucket. Window top-k per query after an in-bucket
+    * equi join — the plan a 100 TB ANN lookup actually wants (shuffle on
+    * bucket id, local heap per query). */
+  val qVecAnnBucketed = Q(
+    "q_vec_ann_bucketed",
+    s"""SELECT a_id, b_id, sim, rk FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    round($sqlDot, 6) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 50)
+       |WHERE rk <= 3
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val a = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    a.join(b, col("label") === col("b_label") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("a_id", "rk")
+  }
+
+  def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed)
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** Streaming operators (SURVEY.md §2.8). Each windowed aggregation exists
+  * twice over the SAME logic: a batch twin (graded against the DuckDB
+  * oracle — Q35-Q37) and a Structured Streaming builder (same groupBy,
+  * plus watermark) verified by MemoryStream ScalaTests. Keeping one
+  * `agg` definition for both guarantees the streaming path computes what
+  * the verified batch path computes.
+  *
+  * Scale notes: windowed streaming aggs keep state per (window, key);
+  * the 10-minute watermark bounds that state — expired windows are
+  * evicted, so state size is O(active windows × keys), not O(stream).
+  * Session windows additionally merge on arrival; the gap bound keeps
+  * per-user state to the single open session.
+  */
+object Streams {
+
+  /** Tumbling-window agg core, shared by Q35 and the streaming twin. */
+  private def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), exactSum(col("value"), 1000000).as("sum_value"))
+
+  /** Q35 — tumbling 1-hour window per event_type (batch twin). */
+  val q35 = Q(
+    "q_stream_tumbling",
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  COUNT(*) AS cnt,
+       |  ${sqlExactSum("value", 1000000)} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  ) { (spark, dir) =>
+    tumblingAgg(Tables.events(spark, dir))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Sliding-window agg core (1 h window, 30 min slide): each event lands
+    * in exactly 2 windows. */
+  private def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q36 — sliding window (batch twin). The oracle expands each event into
+    * its two member windows explicitly. */
+  val q36 = Q(
+    "q_stream_sliding",
+    """SELECT window_start, COUNT(*) AS cnt
+      |FROM (
+      |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+      |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+      |    AS window_start
+      |  FROM events)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    slidingAgg(Tables.events(spark, dir))
+      .select(col("w.start").as("window_start"), col("cnt"))
+      .orderBy("window_start")
+  }
+
+  /** Session-window agg core (10-minute gap) per user. */
+  private def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value"), 1000000).as("sum_value"))
+
+  /** Q37 — session windows (batch twin). Spark's session end = last event
+    * + gap, so duration = (end - start) - gap. The oracle is the standard
+    * gaps-and-islands rewrite with the same strict >= gap boundary. */
+  val q37 = Q(
+    "q_stream_session",
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |              OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM marked)
+       |SELECT user_id, min(ts) AS session_start,
+       |  COUNT(*) AS n_events,
+       |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_secs,
+       |  ${sqlExactSum("value", 1000000)} AS sum_value
+       |FROM sessions
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+  ) { (spark, dir) =>
+    sessionAgg(Tables.events(spark, dir))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"),
+        // subtract the gap in integer µs BEFORE the single float division —
+        // (x/1e6 - 600.0) would reintroduce float error vs the oracle's
+        // (max-min)/1e6
+        ((unix_micros(col("w.end")) - unix_micros(col("w.start")) - lit(600000000L))
+          / lit(1000000.0)).as("dur_secs"),
+        col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  // ---- Structured Streaming twins (MemoryStream-tested; not oracle-able) ----
+
+  /** Streaming tumbling agg with a 10-minute watermark: late rows beyond
+    * the watermark are dropped; in Append mode a window only emits once
+    * the watermark passes its end. */
+  def tumblingStream(events: DataFrame): DataFrame =
+    tumblingAgg(events.withWatermark("ts", "10 minutes"))
+
+  def slidingStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "10 minutes"))
+
+  def sessionStream(events: DataFrame): DataFrame =
+    sessionAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** Stateful streaming dedup: exactly-once per event_id within the
+    * watermark horizon; state for ids older than the watermark is evicted. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  def all: Seq[Q] = Seq(q35, q36, q37)
+}
