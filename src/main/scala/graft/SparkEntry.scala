@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Scans.all ++ operators.Filters.all ++ operators.Joins.all ++
       operators.Aggregates.all ++ operators.Windows.all ++
       operators.SortSet.all ++ functions.Scalars.all ++
-      operators.TextOps.all ++ operators.VectorOps.all ++
+      operators.TextOps.all ++ operators.TextExtras.all ++
+      operators.SketchDedup.all ++ operators.VectorOps.all ++
       streaming.Streams.all
 
   /** Flagship query (Q13 pricing summary) on sf0.001; driver smoke-checks

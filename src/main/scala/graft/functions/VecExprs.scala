@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** dot(a, b) over two float32 vectors as a native Catalyst expression with
+  * whole-stage codegen.
+  *
+  * The same value is expressible with pure higher-order functions —
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
+  * verified byte-identical vs the DuckDB oracle (SURVEY §2.7 Q33) — but
+  * that shape allocates a 64-element intermediate array and walks a lambda
+  * interpreter per pair. On an all-pairs kNN at sf0.1 (2M pairs) the HOF
+  * form measured ~15 s; this expression is a tight primitive loop inside
+  * WholeStageCodegen. At 100 TB the same expression serves every vector
+  * operator, so the win compounds.
+  *
+  * Determinism: ascending-index loop, double accumulation — the exact
+  * association order DuckDB's list_sum uses, so results stay bit-identical
+  * cross-engine (and partition-count independent: it's a per-row scalar).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs are produced internally (always ArrayType(FloatType) columns),
+  // so no ExpectsInputTypes contract — AbstractDataType is private to
+  // Spark in 4.x
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val ys = b.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += xs(i).toDouble * ys(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |float[] $xs = $a.toFloatArray();
+         |float[] $ys = $b.toFloatArray();
+         |int $n = Math.min($xs.length, $ys.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $xs[$i] * (double) $ys[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecExprs {
+  private val fid = FunctionIdentifier("graft_dot")
+
+  /** Registers graft_dot in the session's function registry (idempotent);
+    * also makes it available to spark.sql(...) users. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!spark.sessionState.functionRegistry.functionExists(fid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        fid,
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    }
+  }
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_dot", a, b)
+  }
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Additional training-data-pipeline text operators beyond SURVEY §2.7's
+  * core set: per-document quality scoring, heuristic language-ID scoring,
+  * canonical fingerprinting, n-gram shingle near-dup, regex (BPE-ish)
+  * tokenization, and multimodal (binary-column) metadata extraction.
+  *
+  * All are per-row codegen'd expressions plus partial→final aggregates —
+  * the shapes that stream through a 100 TB corpus in one pass. The n-gram
+  * dedup inherits Q32's blocking + broadcast strategy.
+  */
+object TextExtras {
+
+  private val stops = Seq("the", "of", "and", "a", "to", "in", "is", "on")
+  private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
+
+  /** Per-document quality metrics: token count, average token length,
+    * stopword ratio, and a banded quality label. All ratios are exact
+    * int/int divisions — deterministic cross-engine. */
+  val qTextQuality = Q(
+    "q_text_quality",
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |  (n_chars - (len(string_split(text, ' ')) - 1))
+       |    / len(string_split(text, ' ')) AS avg_tok_len,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopsSql))) AS INT)
+       |    AS n_stop,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopsSql))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stop_ratio,
+       |  CASE WHEN len(string_split(text, ' ')) < 30 THEN 'short'
+       |       WHEN len(string_split(text, ' ')) < 70 THEN 'medium'
+       |       ELSE 'long' END AS length_band
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val tk = split(col("text"), " ")
+    val nTok = size(tk)
+    val nStop = size(filter(tk, t => t.isin(stops: _*)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        ((col("n_chars") - (nTok - lit(1))) / nTok).as("avg_tok_len"),
+        nStop.as("n_stop"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        when(nTok < 30, "short").when(nTok < 70, "medium").otherwise("long")
+          .as("length_band"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language-ID scoring: character-class ratios → predicted
+    * class, tabulated against the labeled lang (the fixture corpus shares
+    * one vocabulary, so this exercises the scoring machinery — the
+    * per-class thresholds — not real linguistics). */
+  val qLangId = Q(
+    "q_lang_id",
+    """SELECT lang, predicted, COUNT(*) AS n_docs
+      |FROM (
+      |  SELECT lang,
+      |    CASE WHEN CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+      |              / length(regexp_replace(text, '[^a-z]', '', 'g')) >= 0.4
+      |         THEN 'vowel-heavy'
+      |         WHEN CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+      |              / length(regexp_replace(text, '[^a-z]', '', 'g')) >= 0.3
+      |         THEN 'balanced'
+      |         ELSE 'consonant-heavy' END AS predicted
+      |  FROM documents)
+      |GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin
+  ) { (spark, dir) =>
+    val vowels = length(regexp_replace(col("text"), "[^aeiou]", ""))
+    val letters = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val ratio = vowels.cast("double") / letters
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(ratio >= 0.4, "vowel-heavy")
+          .when(ratio >= 0.3, "balanced")
+          .otherwise("consonant-heavy").as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set — the classic "same bag of words" near-dup key. Reported per
+    * source: distinct fingerprints vs docs (collisions = clones). */
+  val qTextFingerprint = Q(
+    "q_text_fingerprint",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(array_to_string(
+      |    list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_fingerprints
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_fingerprints"))
+      .orderBy("source")
+  }
+
+  /** n-gram (3-token shingle) Jaccard near-dup: far more discriminative
+    * than token-set Jaccard on a small vocabulary (word ORDER matters), so
+    * the threshold separates cleanly. Same lang-block + broadcast strategy
+    * as Q32; same exact-integer threshold arithmetic. */
+  val qDedupNgram = Q(
+    "q_dedup_ngram",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+  ) { (spark, dir) =>
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("""array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+               |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""".stripMargin)
+          .as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+      col("sh").as("a_sh"), col("sz").as("a_sz"))
+    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("sh").as("b_sh"), col("sz").as("b_sz"))
+    // J >= 1/2  <=>  3*i >= sa+sb  (exact ints; |union| = sa+sb-i)
+    a.join(broadcast(b), col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .filter(col("inter") * 3 >= col("a_sz") + col("b_sz"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double")
+          / (col("a_sz") + col("b_sz") - col("inter")), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Regex (BPE-ish) tokenization: alpha runs and digit runs as separate
+    * tokens, counted per language — the cheap token-budget estimator a
+    * training pipeline runs before the real tokenizer. */
+  val qTokenBpe = Q(
+    "q_token_bpe",
+    """SELECT lang,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS n_re_tokens,
+      |  CAST(MIN(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS INT) AS min_doc_tokens,
+      |  CAST(MAX(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS INT) AS max_doc_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    val n = size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(sum(n).as("n_re_tokens"), min(n).as("min_doc_tokens"),
+        max(n).as("max_doc_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Multimodal-column metadata: treat the text as an opaque binary
+    * payload (stand-in for image/audio bytes — see operators.Multimodal
+    * for the typed decode plumbing) and extract byte length + content
+    * digest + a deterministic stub feature, per source. */
+  val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    """SELECT source,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  COUNT(DISTINCT left(md5(text), 16)) AS n_digests,
+      |  CAST(SUM(n_chars % 97) AS BIGINT) AS stub_feature_sum
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text").cast("binary")).as("blob_len"),
+        substring(md5(col("text")), 1, 16).as("digest16"),
+        (col("n_chars") % 97).as("stub_feature"))
+      .groupBy("source")
+      .agg(sum(col("blob_len")).as("total_bytes"),
+        countDistinct("digest16").as("n_digests"),
+        sum(col("stub_feature")).as("stub_feature_sum"))
+      .orderBy("source")
+  }
+
+  def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
+    qDedupNgram, qTokenBpe, qMultimodalMeta)
+}

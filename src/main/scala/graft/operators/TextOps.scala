@@ -109,14 +109,21 @@ object TextOps {
       col("tk").as("a_tk"), col("sz").as("a_sz"))
     val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
       col("tk").as("b_tk"), col("sz").as("b_sz"))
-    a.join(b,
+    // One set-intersection per pair; |union| comes free as sza+szb-|inter|,
+    // and the threshold J >= 0.9 is applied in EXACT integer form
+    // (i/(sa+sb-i) >= 9/10  <=>  19*i >= 9*(sa+sb)) so no float boundary
+    // exists. b is broadcast: the lang block key has only 5 distinct values,
+    // so a shuffle join would put all pairs on 5 of 32 cores. (At 100 TB the
+    // build side no longer broadcasts — that's where the MinHash-LSH band
+    // key replaces lang as the join key; see object doc.)
+    a.join(broadcast(b),
         col("a_lang") === col("b_lang") && col("a_id") < col("b_id") &&
         col("a_sz") * 10 >= col("b_sz") * 9 && col("b_sz") * 10 >= col("a_sz") * 9)
-      .withColumn("j_raw",
-        size(array_intersect(col("a_tk"), col("b_tk"))).cast("double")
-          / size(array_union(col("a_tk"), col("b_tk"))))
-      .filter(col("j_raw") >= 0.9)
-      .select(col("a_id"), col("b_id"), round(col("j_raw"), 6).as("jaccard"))
+      .withColumn("inter", size(array_intersect(col("a_tk"), col("b_tk"))))
+      .filter(col("inter") * 19 >= (col("a_sz") + col("b_sz")) * 9)
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double")
+          / (col("a_sz") + col("b_sz") - col("inter")), 6).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
