@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.Det._
@@ -128,6 +128,33 @@ object Streams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- Arbitrary stateful processing (flatMapGroupsWithState) ------------
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserState(n_events: Long, sum_value: Double)
+  final case class UserUpdate(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Running per-user aggregate via explicit state: emits one update per
+    * user per micro-batch. State is one (count, sum) pair per user — the
+    * bounded-state shape that survives an unbounded stream. */
+  def runningUserState(events: Dataset[Ev]): Dataset[UserUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { e => n += 1; s += e.value }
+          state.update(UserState(n, s))
+          Iterator(UserUpdate(uid, n, s))
+      }
+  }
 
   def all: Seq[Q] = Seq(q35, q36, q37)
 }

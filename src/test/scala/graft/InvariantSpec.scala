@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalatest.matchers.should.Matchers
+
+/** Cross-operator invariants over the fixtures (SURVEY §5 property layer):
+  * window totals, set-op algebra, dedup bounds, plus ScalaCheck properties
+  * for the pure helper arithmetic. */
+class InvariantSpec extends SparkTestBase with Matchers {
+
+  test("windowed counts conserve events: tumbling=1x, sliding=2x, session=1x") {
+    val n = graft.sources.Tables.events(spark, sf()).count()
+    val dir = sf()
+    def total(q: graft.Q, cntCol: String): Long =
+      q.fn(spark, dir).agg(sum(cntCol)).head().getLong(0)
+    assert(total(graft.streaming.Streams.q35, "cnt") === n)
+    assert(total(graft.streaming.Streams.q36, "cnt") === 2 * n)
+    assert(total(graft.streaming.Streams.q37, "n_events") === n)
+  }
+
+  test("set-op algebra: |A intersect B| + |A except B| == |A|") {
+    def active(yr: Int) = graft.sources.Tables.orders(spark, sf())
+      .filter(year(col("o_orderdate")) === yr).select("o_custkey").distinct()
+    val a = active(1996)
+    val b = active(1997)
+    assert(a.intersect(b).count() + a.except(b).count() === a.count())
+  }
+
+  test("exact dedup survivor count per lang is bounded by doc count") {
+    val dir = sf()
+    val perLang = graft.operators.TextOps.q31.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, survivors) =>
+      assert(survivors <= docs(lang))
+      assert(survivors > 0)
+    }
+  }
+
+  test("Det units/exactSum round-trip is exact for 2dp money (ScalaCheck)") {
+    val cents = Gen.chooseNum(-999999999L, 999999999L)
+    val prop = forAll(cents) { c =>
+      val money = c / 100.0 // any 2dp value
+      math.round(money * 100) == c
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("frame sampling arithmetic properties (ScalaCheck)") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 10000)
+      k <- Gen.chooseNum(1, 100)
+      cap <- Gen.chooseNum(0, 200)
+    } yield (n, k, cap)
+    val prop = forAll(gen) { case (n, k, cap) =>
+      val s = graft.operators.Multimodal.sampleFrameIndexes(n, k, cap)
+      s.size <= cap && s.forall(i => i >= 0 && i < math.max(n, 1)) &&
+        s == s.sorted && s.distinct == s
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.1 non-oracle-able surfaces: partitioned parquet sink
+  * round-trip, JSON file source with a declared schema, surrogate ids,
+  * and the registered-scala-UDF surface. */
+class SinkSourceSpec extends SparkTestBase {
+
+  test("partitioned parquet sink round-trips with partition pruning") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val orders = graft.sources.Tables.orders(spark, sf())
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_month", month(col("o_orderdate")))
+    orders.write.partitionBy("o_year", "o_month").mode("overwrite").parquet(out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() === orders.count())
+    // partition pruning: a single (year, month) reads only that directory
+    val pruned = back.filter(col("o_year") === 1996 && col("o_month") === 3)
+    val expected = orders.filter(col("o_year") === 1996 && col("o_month") === 3).count()
+    assert(pruned.count() === expected)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // partition columns round-trip as columns
+    assert(back.columns.toSet === orders.columns.toSet)
+  }
+
+  test("JSON file source with declared schema (no inference in prod path)") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part1.json"),
+      """{"song_id":"S1","title":"alpha","duration":123.5,"year":1999}
+        |{"song_id":"S2","title":"beta","duration":0.5,"year":2001}
+        |{"song_id":"S3","title":"gamma","duration":7.25}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("song_id", StringType), StructField("title", StringType),
+      StructField("duration", DoubleType), StructField("year", LongType)))
+    val df = spark.read.schema(schema).json(dir)
+    assert(df.schema === schema)
+    assert(df.count() === 3)
+    assert(df.filter(col("year").isNull).count() === 1) // missing field -> null
+    val sums = df.agg(sum("duration")).head().getDouble(0)
+    assert(math.abs(sums - 131.25) < 1e-9)
+  }
+
+  test("monotonically_increasing_id yields unique surrogate keys") {
+    val df = graft.sources.Tables.customer(spark, sf())
+      .withColumn("sk", monotonically_increasing_id())
+    assert(df.select("sk").distinct().count() === df.count())
+  }
+
+  test("registered scala UDF surface works from SQL and DataFrame") {
+    spark.udf.register("graft_band", (p: Double) =>
+      if (p < 50000) "low" else if (p < 150000) "mid" else "high")
+    graft.sources.Tables.orders(spark, sf()).createOrReplaceTempView("orders_udf_t")
+    val viaSql = spark.sql(
+      "SELECT graft_band(o_totalprice) AS b, COUNT(*) AS c FROM orders_udf_t GROUP BY 1")
+    assert(viaSql.count() > 0)
+    val total = viaSql.agg(sum("c")).head().getLong(0)
+    assert(total === spark.table("orders_udf_t").count())
+  }
+}

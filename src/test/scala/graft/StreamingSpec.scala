@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+/** Structured Streaming behavior that the batch oracle can't grade
+  * (SURVEY §2.8): watermark late-data drop, stateful dedup within the
+  * watermark, and arbitrary state via flatMapGroupsWithState — all driven
+  * through MemoryStream micro-batches. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+      v: Double = 1.0): Ev = Ev(id, ts(t), user, typ, v)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("tumbling window + watermark drops late data in append mode") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.tumblingStream(input.toDF())
+      .selectExpr("w.start AS window_start", "event_type", "cnt")
+      .writeStream.format("memory").queryName("tumbling_wm")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      // watermark still behind the window end: nothing emitted yet
+      assert(spk.table("tumbling_wm").count() === 0)
+
+      input.addData(ev(3, "2024-01-01 11:30:00"))
+      q.processAllAvailable()
+      // watermark = 11:20 > [10:00,11:00) end -> that window emits with 2 rows
+      val emitted = spk.table("tumbling_wm").as[(Timestamp, String, Long)].collect()
+      assert(emitted.toSeq === Seq((ts("2024-01-01 10:00:00"), "click", 2L)))
+
+      // a late event behind the watermark is DROPPED, not merged
+      input.addData(ev(4, "2024-01-01 10:05:00"))
+      input.addData(ev(5, "2024-01-01 12:45:00")) // advances watermark past 12:00
+      q.processAllAvailable()
+      val rows = spk.table("tumbling_wm").as[(Timestamp, String, Long)]
+        .collect().toSeq.sortBy(_._1.getTime)
+      // 10:00 window still cnt=2 (late row 4 dropped); 11:00 window cnt=1
+      assert(rows === Seq(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "click", 1L)))
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.dedupStream(input.toDF())
+      .selectExpr("event_id")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:02:00")) // same id, within watermark
+      q.processAllAvailable()
+      val ids = spk.table("dedup_wm").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L), "each event_id must appear exactly once")
+    }
+  }
+
+  test("flatMapGroupsWithState keeps running per-user state across batches") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.runningUserState(input.toDS())
+      .writeStream.format("memory").queryName("user_state")
+      .outputMode("update").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:00:00", user = 1, v = 1.5),
+        ev(2, "2024-01-01 10:01:00", user = 1, v = 2.5),
+        ev(3, "2024-01-01 10:02:00", user = 2, v = 5.0))
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 10:03:00", user = 1, v = 4.0))
+      q.processAllAvailable()
+      val latest = spk.table("user_state")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(latest(1L) === ((1L, 3L, 8.0))) // 3 events, 1.5+2.5+4.0
+      assert(latest(2L) === ((2L, 1L, 5.0)))
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VecExprs
+
+/** The custom DotProduct expression and the approx-distinct (Q17) bound. */
+class VectorAndApproxSpec extends SparkTestBase {
+
+  test("dot(v, v) == 1 for unit-norm fixture vectors (codegen path)") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    val selfSims = e.select(
+        round(VecExprs.dot(spark, col("embedding"), col("embedding")), 4).as("s"))
+      .distinct().collect().map(_.getDouble(0))
+    assert(selfSims.forall(s => math.abs(s - 1.0) <= 0.001),
+      s"self-cosine not ~1: ${selfSims.mkString(",")}")
+  }
+
+  test("DotProduct matches the higher-order-function formulation exactly") {
+    val e = graft.sources.Tables.embeddings(spark, sf()).limit(50)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val hof = expr(
+      """aggregate(zip_with(a_vec, b_vec,
+        |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+    val diff = a.join(b, col("a_id") < col("b_id"))
+      .select((VecExprs.dot(spark, col("a_vec"), col("b_vec")) - hof).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff === 0.0, "codegen dot must be bit-identical to the HOF fold")
+  }
+
+  test("interpreted eval matches codegen result") {
+    import graft.functions.DotProduct
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val xs = Array(0.5f, -0.25f, 0.125f)
+    val lit1 = Literal.create(ArrayData.toArrayData(xs), ArrayType(FloatType))
+    val v = DotProduct(lit1, lit1).eval(null).asInstanceOf[Double]
+    val expected = xs.map(x => x.toDouble * x.toDouble).sum
+    assert(v === expected)
+  }
+
+  test("approx_count_distinct within 5% of exact per group (Q17 contract)") {
+    val df = graft.sources.Tables.lineitem(spark, sf("sf0.01"))
+    val got = df.groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx"),
+        countDistinct("l_partkey").as("exact"))
+      .collect()
+    got.foreach { r =>
+      val (a, x) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - x) / x <= 0.05,
+        s"flag ${r.getString(0)}: approx $a vs exact $x off by >5%")
+    }
+  }
+}
