@@ -123,19 +123,31 @@ object TextExtras {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
   ) { (spark, dir) =>
+    // Inverted-index plan: explode shingles and equi-join ON THE SHINGLE —
+    // |A ∩ B| falls out of a groupBy count over the (pair, shared-shingle)
+    // incidences. No per-pair set operation ever runs, and cost scales with
+    // the incidence count (Σ_pairs |∩|), not the full pair count — the
+    // all-pairs-similarity shape that holds up on a 1000-executor cluster
+    // (the shuffle key is the shingle, which has high cardinality, unlike
+    // the 5-value lang block).
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         expr("""array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
                |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""".stripMargin)
           .as("sh"))
       .withColumn("sz", size(col("sh")))
-    val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
-      col("sh").as("a_sh"), col("sz").as("a_sz"))
-    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("sh").as("b_sh"), col("sz").as("b_sz"))
+    val inc = t.select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+    val inter = inc.select(col("doc_id").as("a_id"), col("lang"), col("s"))
+      .join(inc.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("s").as("b_s")),
+        col("lang") === col("b_lang") && col("s") === col("b_s") &&
+        col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("int").as("inter"))
+    val sza = t.select(col("doc_id").as("a_id"), col("sz").as("a_sz"))
+    val szb = t.select(col("doc_id").as("b_id"), col("sz").as("b_sz"))
     // J >= 1/2  <=>  3*i >= sa+sb  (exact ints; |union| = sa+sb-i)
-    a.join(broadcast(b), col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+    inter.join(broadcast(sza), "a_id").join(broadcast(szb), "b_id")
       .filter(col("inter") * 3 >= col("a_sz") + col("b_sz"))
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double")

@@ -101,25 +101,30 @@ object TextOps {
       |      / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.9
       |ORDER BY a_id, b_id""".stripMargin
   ) { (spark, dir) =>
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        array_distinct(toks(col("text"))).as("tk"))
-      .withColumn("sz", size(col("tk")))
-    val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
-      col("tk").as("a_tk"), col("sz").as("a_sz"))
-    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("tk").as("b_tk"), col("sz").as("b_sz"))
-    // One set-intersection per pair; |union| comes free as sza+szb-|inter|,
-    // and the threshold J >= 0.9 is applied in EXACT integer form
+    // Token sets are dictionary-encoded into bitmaps (TokenBits): per pair,
+    // |A ∩ B| is popcount(a AND b) — exact, and ~100x cheaper than a string
+    // hash-set intersection. |union| comes free as sza+szb-|inter|, and the
+    // threshold J >= 0.9 is applied in EXACT integer form
     // (i/(sa+sb-i) >= 9/10  <=>  19*i >= 9*(sa+sb)) so no float boundary
     // exists. b is broadcast: the lang block key has only 5 distinct values,
     // so a shuffle join would put all pairs on 5 of 32 cores. (At 100 TB the
     // build side no longer broadcasts — that's where the MinHash-LSH band
     // key replaces lang as the join key; see object doc.)
+    val t = graft.functions.TokenBits.withBitmap(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(toks(col("text"))).as("tk"))
+        .withColumn("sz", size(col("tk"))),
+      "doc_id", "tk", "bits")
+    val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+      col("bits").as("a_bits"), col("sz").as("a_sz"))
+    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("bits").as("b_bits"), col("sz").as("b_sz"))
     a.join(broadcast(b),
         col("a_lang") === col("b_lang") && col("a_id") < col("b_id") &&
         col("a_sz") * 10 >= col("b_sz") * 9 && col("b_sz") * 10 >= col("a_sz") * 9)
-      .withColumn("inter", size(array_intersect(col("a_tk"), col("b_tk"))))
+      .withColumn("inter",
+        graft.functions.SketchExprs.bitmapAndCount(spark, col("a_bits"), col("b_bits")))
       .filter(col("inter") * 19 >= (col("a_sz") + col("b_sz")) * 9)
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double")
