@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for representative queries and
+  * flag the scale-critical properties (pushed filters, pruned schemas,
+  * broadcast vs shuffle joins, whole-stage codegen coverage). Run:
+  *   runMain graft.tools.PlanAudit /root/testdata/sf0.01 [out.txt]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = if (args.length > 1) args(1) else "/tmp/plan_audit.txt"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val audited = Seq(
+      "q_scan_project", "q_filter_pred", "q_join_star", "q_join_big",
+      "q_agg_pricing", "q_win_topk", "q_sort_limit", "q_dedup_near",
+      "q_dedup_ngram", "q_vec_knn", "q_stream_tumbling")
+    val queries = graft.SparkEntry.queries
+    val sb = new StringBuilder
+    audited.foreach { name =>
+      val df = queries(name)(spark, sfDir)
+      // execute THIS Dataset's queryExecution (count() would plan a separate
+      // aggregate query) so AQE's FINAL plan with codegen ids prints
+      df.collect()
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append(s"\n========== $name ==========\n")
+      // headline properties first, full plan after
+      def flag(what: String, pred: String => Boolean): Unit =
+        sb.append(f"  $what%-28s ${if (pred(plan)) "yes" else "NO"}%s\n")
+      flag("WholeStageCodegen", p => p.contains("codegen id"))
+      flag("PushedFilters (non-empty)",
+        p => p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"))
+      flag("BroadcastHashJoin", _.contains("BroadcastHashJoin"))
+      flag("SortMergeJoin", _.contains("SortMergeJoin"))
+      flag("TakeOrderedAndProject", _.contains("TakeOrderedAndProject"))
+      flag("HashAggregate partial",
+        p => p.contains("HashAggregate") && p.contains("partial_"))
+      sb.append(plan).append("\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    println(s"[plan-audit] wrote $out (${audited.size} plans)")
+    spark.stop()
+  }
+}
