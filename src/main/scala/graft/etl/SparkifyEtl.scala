@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sinks
+
+/** The reference workload, end-to-end: the sparkify-datalake family is a
+  * batch ETL from JSON event logs into a partitioned parquet star schema
+  * (SURVEY §1.1, §3.1 [PK]). This module reproduces that capability
+  * Spark-natively so a user of the reference can run their entire pipeline
+  * on this library: every transform below is declarative DataFrame API —
+  * no UDFs (the reference's epoch-ms→timestamp Python UDF is
+  * `timestamp_millis`), schemas are declared, writes are partitioned.
+  *
+  * Scale notes: both inputs are read once; the songplays fact build is one
+  * broadcast join (song dim ≪ log fact at any scale; Catalyst/AQE keeps
+  * the fact side shuffle-free); every output write repartitions by its
+  * partition columns (see Sinks). Surrogate songplay ids use
+  * monotonically_increasing_id — unique but not dense, documented
+  * reference behavior.
+  */
+object SparkifyEtl {
+
+  val songSchema: StructType = StructType(Seq(
+    StructField("num_songs", LongType), StructField("artist_id", StringType),
+    StructField("artist_latitude", DoubleType), StructField("artist_longitude", DoubleType),
+    StructField("artist_location", StringType), StructField("artist_name", StringType),
+    StructField("song_id", StringType), StructField("title", StringType),
+    StructField("duration", DoubleType), StructField("year", LongType)))
+
+  val logSchema: StructType = StructType(Seq(
+    StructField("artist", StringType), StructField("auth", StringType),
+    StructField("firstName", StringType), StructField("gender", StringType),
+    StructField("itemInSession", LongType), StructField("lastName", StringType),
+    StructField("length", DoubleType), StructField("level", StringType),
+    StructField("location", StringType), StructField("method", StringType),
+    StructField("page", StringType), StructField("registration", DoubleType),
+    StructField("sessionId", LongType), StructField("song", StringType),
+    StructField("status", LongType), StructField("ts", LongType),
+    StructField("userAgent", StringType), StructField("userId", StringType)))
+
+  /** songs dim, partitioned by (year, artist_id) as the reference does. */
+  def buildSongs(songData: DataFrame): DataFrame =
+    songData.select("song_id", "title", "artist_id", "year", "duration")
+      .dropDuplicates("song_id")
+
+  def buildArtists(songData: DataFrame): DataFrame =
+    songData.select(col("artist_id"), col("artist_name").as("name"),
+        col("artist_location").as("location"),
+        col("artist_latitude").as("latitude"), col("artist_longitude").as("longitude"))
+      .dropDuplicates("artist_id")
+
+  /** users dim: latest level per user wins (reference forks differ; we pin
+    * "latest by ts" with an explicit window, not dropDuplicates luck). */
+  def buildUsers(logData: DataFrame): DataFrame = {
+    val plays = logData.filter(col("page") === "NextSong" && col("userId") =!= "")
+    val w = Window.partitionBy("userId").orderBy(desc("ts"))
+    plays.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("userId").cast("long").as("user_id"),
+        col("firstName").as("first_name"), col("lastName").as("last_name"),
+        col("gender"), col("level"))
+  }
+
+  /** time dim from epoch-ms — the reference's core transform, UDF-free. */
+  def buildTime(logData: DataFrame): DataFrame =
+    logData.filter(col("page") === "NextSong")
+      .select(timestamp_millis(col("ts")).as("start_time"))
+      .dropDuplicates()
+      .select(col("start_time"),
+        hour(col("start_time")).as("hour"), dayofmonth(col("start_time")).as("day"),
+        weekofyear(col("start_time")).as("week"), month(col("start_time")).as("month"),
+        year(col("start_time")).as("year"), dayofweek(col("start_time")).as("weekday"))
+
+  /** songplays fact: log events joined to the song dim on (title, artist
+    * [, duration]); broadcast the dim side explicitly. */
+  def buildSongplays(logData: DataFrame, songData: DataFrame): DataFrame = {
+    val plays = logData.filter(col("page") === "NextSong")
+    // join the DEDUPLICATED dim: a duplicate song-data row must not fan out
+    // the fact (one play = one songplay)
+    val songs = songData.select("song_id", "artist_id", "title", "artist_name", "duration")
+      .dropDuplicates("song_id")
+    plays.join(broadcast(songs),
+        plays("song") === songs("title") && plays("artist") === songs("artist_name") &&
+        plays("length") === songs("duration"), "left")
+      .select(
+        monotonically_increasing_id().as("songplay_id"),
+        timestamp_millis(col("ts")).as("start_time"),
+        col("userId").cast("long").as("user_id"),
+        col("level"), col("song_id"), col("artist_id"),
+        col("sessionId").as("session_id"), col("location"),
+        col("userAgent").as("user_agent"),
+        year(timestamp_millis(col("ts"))).as("year"),
+        month(timestamp_millis(col("ts"))).as("month"))
+  }
+
+  /** Full pipeline: JSON in → five parquet tables out, partitioned like
+    * the reference (songplays/time by (year, month); songs by
+    * (year, artist_id)). */
+  def run(spark: SparkSession, songJsonPath: String, logJsonPath: String,
+      outDir: String): Unit = {
+    val songData = Sinks.readJson(spark, songSchema, songJsonPath)
+    val logData = Sinks.readJson(spark, logSchema, logJsonPath)
+    Sinks.writePartitioned(buildSongs(songData), Seq("year", "artist_id"), s"$outDir/songs")
+    Sinks.write(buildArtists(songData), s"$outDir/artists")
+    Sinks.write(buildUsers(logData), s"$outDir/users")
+    Sinks.writePartitioned(buildTime(logData), Seq("year", "month"), s"$outDir/time")
+    Sinks.writePartitioned(buildSongplays(logData, songData), Seq("year", "month"),
+      s"$outDir/songplays")
+  }
+}
