@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanism artifacts: bucketed co-located joins (no shuffle) and
+  * salted skew joins (identical results, finer partitioning). These are
+  * the cluster-shape levers the 100 TB design leans on — asserted here on
+  * real plans, not just described in docs. */
+class ScaleSpec extends SparkTestBase {
+
+  test("bucketed tables join with ZERO shuffle exchanges") {
+    val spk = spark
+    spk.sql("DROP TABLE IF EXISTS b_orders")
+    spk.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.sources.Tables.orders(spk, sf())
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.sources.Tables.lineitem(spk, sf())
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prevThreshold = spk.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spk.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spk.table("b_lineitem")
+        .join(spk.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket-pruned scans feed the sort-merge join directly: the ONLY
+      // exchange allowed is the final single-partition agg shuffle — no
+      // exchange between scans and join
+      val joinSection = plan.substring(0, plan.length)
+      assert(joinSection.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val exchangesBeforeJoin = plan.split("SortMergeJoin").last
+        .split('\n').count(_.contains("Exchange hashpartitioning"))
+      assert(exchangesBeforeJoin === 0,
+        s"bucketed join must not shuffle its inputs:\n$plan")
+    } finally {
+      spk.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spk.sql("DROP TABLE IF EXISTS b_orders")
+      spk.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val spk = spark
+    val orders = graft.sources.Tables.orders(spk, sf())
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = graft.sources.Tables.lineitem(spk, sf())
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val plain = lineitem.join(orders, "o_orderkey")
+    val salted = graft.functions.Salting.saltedJoin(lineitem, orders, "o_orderkey", 8)
+    assert(salted.count() === plain.count())
+    // value-level equality, not just counts
+    val pSum = plain.agg(sum(expr("o_custkey * l_quantity"))).head().getDouble(0)
+    val sSum = salted.agg(sum(expr("o_custkey * l_quantity"))).head().getDouble(0)
+    assert(pSum === sSum)
+  }
+
+  test("salted join spreads a hot key across salt buckets") {
+    val spk = spark
+    import spk.implicits._
+    // one pathologically hot key: 10k rows of key=1 vs 10 of key=2
+    val big = (Seq.fill(10000)(1L) ++ Seq.fill(10)(2L)).zipWithIndex
+      .toDF("k", "payload")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val salted = big.withColumn("__salt",
+      pmod(hash(col("k"), col("payload")), lit(8)))
+    val spread = salted.filter(col("k") === 1)
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(spread.length === 8, "hot key must occupy all 8 salt buckets")
+    assert(spread.max < 10000, "no single bucket may hold the whole hot key")
+    // and the join itself stays correct
+    val joined = graft.functions.Salting.saltedJoin(big, small, "k", 8)
+    assert(joined.count() === 10010)
+  }
+}

@@ -73,6 +73,52 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("session windows merge within the gap and emit after watermark passes") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.sessionStream(input.toDF())
+      .selectExpr("w.start AS session_start", "user_id", "n_events")
+      .writeStream.format("memory").queryName("session_wm")
+      .outputMode("append").start()
+    withQuery(q) {
+      // 10:00 and 10:05 merge (gap < 10 min); 10:30 starts a new session
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"),
+        ev(3, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 11:30:00")) // watermark past both ends
+      q.processAllAvailable()
+      val sessions = spk.table("session_wm").as[(Timestamp, Long, Long)]
+        .collect().toSeq.sortBy(_._1.getTime)
+      assert(sessions === Seq(
+        (ts("2024-01-01 10:00:00"), 1L, 2L),
+        (ts("2024-01-01 10:30:00"), 1L, 1L)))
+    }
+  }
+
+  test("sliding windows place each event in two windows (streaming)") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.slidingStream(input.toDF())
+      .selectExpr("w.start AS window_start", "cnt")
+      .writeStream.format("memory").queryName("sliding_wm")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:40:00"))
+      input.addData(ev(2, "2024-01-01 13:00:00")) // flush via watermark
+      q.processAllAvailable()
+      val wins = spk.table("sliding_wm").as[(Timestamp, Long)]
+        .collect().toSeq.sortBy(_._1.getTime)
+      // event at 10:40 belongs to [10:00,11:00) and [10:30,11:30)
+      assert(wins === Seq(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:30:00"), 1L)))
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     val spk = spark
     import spk.implicits._
