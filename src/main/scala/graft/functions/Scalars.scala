@@ -65,7 +65,7 @@ object Scalars {
       |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
       |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
       |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
-      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
       |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
       |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
       |  last_day(CAST(o_orderdate AS DATE)) AS eom,

@@ -104,7 +104,7 @@ object Aggregates {
       s"""SELECT COALESCE(r_name, '(all)') AS r,
          |  COALESCE(n_name, '(all)') AS n,
          |  grouping_id() AS gid,
-         |  SUM(CAST(${sqlUnits("o_totalprice", 100)} AS DECIMAL(38,0))) / 100.0 AS revenue,
+         |  CAST(SUM(CAST(${sqlUnits("o_totalprice", 100)} AS DECIMAL(38,0))) / 100.0 AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_orders
          |FROM q15_star
          |GROUP BY ROLLUP(r_name, n_name)
