@@ -123,20 +123,31 @@ object TextExtras {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
   ) { (spark, dir) =>
-    // Inverted-index plan: explode shingles and equi-join ON THE SHINGLE —
-    // |A ∩ B| falls out of a groupBy count over the (pair, shared-shingle)
-    // incidences. No per-pair set operation ever runs, and cost scales with
-    // the incidence count (Σ_pairs |∩|), not the full pair count — the
-    // all-pairs-similarity shape that holds up on a 1000-executor cluster
-    // (the shuffle key is the shingle, which has high cardinality, unlike
-    // the 5-value lang block).
-    val t = Tables.documents(spark, dir)
+    // Inverted-index plan: build the (doc, shingle) incidence list and
+    // equi-join ON THE SHINGLE — |A ∩ B| falls out of a groupBy count over
+    // the (pair, shared-shingle) incidences. No per-pair set operation ever
+    // runs, and cost scales with the incidence count (Σ_pairs |∩|), not the
+    // full pair count — the all-pairs-similarity shape that holds up on a
+    // 1000-executor cluster (the shuffle key is the shingle, which has high
+    // cardinality, unlike the 5-value lang block).
+    //
+    // Shingles come from posexplode + two lead() windows over token
+    // position — ONE tokenize per document. (The array formulation
+    // `transform(sequence, i -> slice(split(text), i, 3))` re-evaluates
+    // split(text) per shingle under CollapseProject: ~50x the work.)
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        expr("""array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-               |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))""".stripMargin)
-          .as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val inc = t.select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+        posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val inc = toks
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
+      .dropDuplicates("doc_id", "s")
+    val sz = inc.groupBy("doc_id", "lang").agg(count(lit(1)).cast("int").as("sz"))
     val inter = inc.select(col("doc_id").as("a_id"), col("lang"), col("s"))
       .join(inc.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
         col("s").as("b_s")),
@@ -144,8 +155,8 @@ object TextExtras {
         col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).cast("int").as("inter"))
-    val sza = t.select(col("doc_id").as("a_id"), col("sz").as("a_sz"))
-    val szb = t.select(col("doc_id").as("b_id"), col("sz").as("b_sz"))
+    val sza = sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz"))
+    val szb = sz.select(col("doc_id").as("b_id"), col("sz").as("b_sz"))
     // J >= 1/2  <=>  3*i >= sa+sb  (exact ints; |union| = sa+sb-i)
     inter.join(broadcast(sza), "a_id").join(broadcast(szb), "b_id")
       .filter(col("inter") * 3 >= col("a_sz") + col("b_sz"))
