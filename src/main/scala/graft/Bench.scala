@@ -22,6 +22,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: first jobs pay codegen-compiler and
+    // file-source init costs that belong to the JVM, not the operator. The
+    // DuckDB baseline is measured in a warm process, so this keeps the
+    // comparison symmetric.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     val names = SparkEntry.allQ.map(_.name)
     val queries = SparkEntry.queries
     var errors = List.empty[(String, String)]
