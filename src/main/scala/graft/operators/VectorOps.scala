@@ -130,5 +130,64 @@ object VectorOps {
       .orderBy("a_id", "rk")
   }
 
-  def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed)
+  // ---- Random-hyperplane LSH ---------------------------------------------
+  // 8 deterministic integer hyperplanes over dim 64, generated from one
+  // formula and embedded as IDENTICAL array literals in the Spark
+  // expression and the DuckDB oracle — so bucket assignment is
+  // bit-identical cross-engine. sign(h·v) per hyperplane → an 8-bit bucket.
+  private val nPlanes = 8
+  private val dim = 64
+  private def plane(j: Int): IndexedSeq[Int] =
+    (0 until dim).map(i => ((1103515245L * (j + 1) + 12345L * (i + 1)) % 1997L).toInt - 998)
+
+  private def bucketExprSpark: String =
+    (0 until nPlanes).map { j =>
+      val arr = plane(j).mkString("array(", ", ", ")")
+      s"IF(aggregate(zip_with(embedding, $arr, (x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0, ${1 << j}, 0)"
+    }.mkString("(", " + ", ")")
+
+  private def bucketExprDuck: String =
+    (0 until nPlanes).map { j =>
+      val arr = plane(j).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(list_zip(embedding, $arr), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** LSH-bucketed ANN: top-3 neighbors per query vector, searching only
+    * its random-hyperplane bucket. Unlike q_vec_ann_bucketed (label = an
+    * IVF cell stand-in, data-DEPENDENT), hyperplane buckets are
+    * data-INDEPENDENT — the production shape when no clustering exists
+    * yet. The bucket id is the equi-join key, so candidate generation is
+    * a plain shuffle join at any scale. */
+  val qVecLshBucketed = Q(
+    "q_vec_lsh_bucketed",
+    s"""WITH t AS (SELECT vec_id, embedding, CAST($bucketExprDuck AS INT) AS bucket
+       |           FROM embeddings)
+       |SELECT a_id, b_id, bucket, sim, rk FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) DESC, b.vec_id) AS INT) AS rk
+       |  FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 50)
+       |WHERE rk <= 3
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", expr(bucketExprSpark).cast("int"))
+    val a = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("bucket").as("b_bucket"),
+      col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("bucket"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("a_id", "rk")
+  }
+
+  def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed)
 }
