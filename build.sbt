@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one rebuildable SparkSession (SparkTestBase); ExtensionsSpec
+// must stop/rebuild the SparkContext to prove the static
+// spark.sql.extensions plugin path, so suites cannot run concurrently.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -28,6 +28,18 @@ object Bench {
     // comparison symmetric.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    // Warm the custom Catalyst expressions too: their first use pays
+    // function registration + whole-stage codegen compilation, which
+    // otherwise lands inside the first timed sketch/vector query
+    // (round-2 driver bench showed simhash/minhash 6-7x the warm cost).
+    graft.functions.SketchExprs.register(spark)
+    graft.functions.VecExprs.register(spark)
+    spark.range(64).selectExpr(
+      "graft_simhash16(array(id, id + 1)) AS sh",
+      "graft_minhash_sig(array(id, id + 2)) AS mh",
+      "graft_bitmap_and_count(array(id), array(id)) AS bc",
+      "graft_dot(array(cast(id as float)), array(cast(id as float))) AS d")
+      .collect()
     val names = SparkEntry.allQ.map(_.name)
     val queries = SparkEntry.queries
     var errors = List.empty[(String, String)]

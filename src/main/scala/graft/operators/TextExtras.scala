@@ -106,8 +106,8 @@ object TextExtras {
 
   /** n-gram (3-token shingle) Jaccard near-dup: far more discriminative
     * than token-set Jaccard on a small vocabulary (word ORDER matters), so
-    * the threshold separates cleanly. Same lang-block + broadcast strategy
-    * as Q32; same exact-integer threshold arithmetic. */
+    * the threshold separates cleanly. Inverted-index join on the shingle
+    * (see body); same exact-integer threshold arithmetic as Q32. */
   val qDedupNgram = Q(
     "q_dedup_ngram",
     """WITH t AS (
@@ -158,7 +158,10 @@ object TextExtras {
     val sza = sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz"))
     val szb = sz.select(col("doc_id").as("b_id"), col("sz").as("b_sz"))
     // J >= 1/2  <=>  3*i >= sa+sb  (exact ints; |union| = sa+sb-i)
-    inter.join(broadcast(sza), "a_id").join(broadcast(szb), "b_id")
+    // No broadcast hints: sza/szb are one row per document (corpus-sized),
+    // and the doc_id join key is high-cardinality — a shuffle join is the
+    // 100 TB shape; AQE demotes to broadcast when genuinely small.
+    inter.join(sza, "a_id").join(szb, "b_id")
       .filter(col("inter") * 3 >= col("a_sz") + col("b_sz"))
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double")

@@ -106,10 +106,18 @@ object TextOps {
     // hash-set intersection. |union| comes free as sza+szb-|inter|, and the
     // threshold J >= 0.9 is applied in EXACT integer form
     // (i/(sa+sb-i) >= 9/10  <=>  19*i >= 9*(sa+sb)) so no float boundary
-    // exists. b is broadcast: the lang block key has only 5 distinct values,
-    // so a shuffle join would put all pairs on 5 of 32 cores. (At 100 TB the
-    // build side no longer broadcasts — that's where the MinHash-LSH band
-    // key replaces lang as the join key; see object doc.)
+    // exists.
+    //
+    // Join strategy: the lang block key has only 5 distinct values, so a
+    // plain shuffle join would put all pairs on 5 reducers — and a
+    // broadcast of the corpus-sized b side cannot run at 100 TB. Instead
+    // SALT the key: side a gets salt = hash(a_id) mod R, side b is
+    // replicated R times, and the join key becomes (lang, salt) — 5*R
+    // sub-keys spread over the cluster, identical output rows, bounded
+    // R× duplication of b instead of an unbounded driver broadcast.
+    // (The asymptotic 100 TB answer remains MinHash-LSH banding, whose
+    // band key is high-cardinality by construction; see SketchDedup.)
+    val R = 8
     val t = graft.functions.TokenBits.withBitmap(
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
@@ -118,10 +126,13 @@ object TextOps {
       "doc_id", "tk", "bits")
     val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
       col("bits").as("a_bits"), col("sz").as("a_sz"))
+      .withColumn("a_salt", pmod(hash(col("a_id")), lit(R)))
     val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
       col("bits").as("b_bits"), col("sz").as("b_sz"))
-    a.join(broadcast(b),
-        col("a_lang") === col("b_lang") && col("a_id") < col("b_id") &&
+      .withColumn("b_salt", explode(sequence(lit(0), lit(R - 1))))
+    a.join(b,
+        col("a_lang") === col("b_lang") && col("a_salt") === col("b_salt") &&
+        col("a_id") < col("b_id") &&
         col("a_sz") * 10 >= col("b_sz") * 9 && col("b_sz") * 10 >= col("a_sz") * 9)
       .withColumn("inter",
         graft.functions.SketchExprs.bitmapAndCount(spark, col("a_bits"), col("b_bits")))

@@ -54,7 +54,11 @@ object VectorOps {
 
   /** Q34 — per-label element-wise centroid, long format (label, pos, c).
     * Components are summed as exact 1e-9-resolution integer units (Det
-    * discipline) so the mean is partition-order independent. */
+    * discipline) so the mean is partition-order independent. The
+    * accumulator is DECIMAL(38,0), mirroring Det.exactSum: unit values are
+    * ~1e9, so a BIGINT sum would wrap past ~9e9 rows per group — DuckDB's
+    * SUM(BIGINT) is already a 128-bit HUGEINT, so only the Spark side
+    * needed widening; both engines then divide the exact sum as DOUBLE. */
   val q34 = Q(
     "q_vec_centroid",
     """SELECT label, CAST(i - 1 AS INT) AS pos,
@@ -69,8 +73,8 @@ object VectorOps {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(
-        (sum(round(col("v").cast("double") * 1000000000L).cast("long"))
-          / lit(1000000000.0) / count(lit(1))).as("c"),
+        (sum(round(col("v").cast("double") * 1000000000L).cast("decimal(38,0)"))
+          .cast("double") / lit(1000000000.0) / count(lit(1))).as("c"),
         count(lit(1)).as("n"))
       .orderBy("label", "pos")
   }

@@ -49,6 +49,41 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("TokenBits dense-id remap (vocab > 64k) matches exact intersections; empty sets survive") {
+    val spk = spark
+    // 3500 docs x 40 terms: 20 from a small shared pool (real overlap) +
+    // 20 globally unique => vocab = 997 + 70000 > SmallVocab, forcing the
+    // partition-offset dense-id path instead of the single-window dictionary
+    val base = spk.range(3500)
+      .select(col("id").as("doc_id"), expr(
+        """array_distinct(transform(sequence(0, 39), k ->
+          |  IF(k < 20, concat('s', pmod(id + k * 151, 997)),
+          |             concat('u', id * 20 + k - 20))))""".stripMargin).as("tk"))
+    val withEmpty = base.union(
+      spk.range(1).select(lit(999999L).as("doc_id"),
+        expr("cast(array() as array<string>)").as("tk")))
+    val vocab = withEmpty.select(explode(col("tk"))).distinct().count()
+    assert(vocab > graft.functions.TokenBits.SmallVocab,
+      s"test must exercise the large-vocab path (vocab=$vocab)")
+    val enc = graft.functions.TokenBits.withBitmap(withEmpty, "doc_id", "tk", "bits")
+    // popcount(a AND b) must equal |A ∩ B| for every consecutive-doc pair
+    val pairs = enc.select(col("doc_id").as("a_id"), col("tk").as("a_tk"),
+        col("bits").as("a_bits"))
+      .join(enc.select((col("doc_id") + 1).as("a_id"), col("tk").as("b_tk"),
+        col("bits").as("b_bits")), "a_id")
+    val mismatches = pairs
+      .withColumn("pc",
+        graft.functions.SketchExprs.bitmapAndCount(spk, col("a_bits"), col("b_bits")))
+      .withColumn("ex", size(array_intersect(col("a_tk"), col("b_tk"))))
+      .filter(col("pc") =!= col("ex")).count()
+    assert(mismatches === 0)
+    // the empty-set row survives the encode (left join) with an all-zero bitmap
+    val emptyRow = enc.filter(col("doc_id") === 999999L)
+      .select(expr("aggregate(bits, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"))
+      .collect()
+    assert(emptyRow.length === 1 && emptyRow.head.getLong(0) === 0L)
+  }
+
   test("minhash-LSH candidates achieve full recall on planted near-dups at J>=0.9") {
     // ids 4 and 5 share 3 of 4 tokens (J=0.75) — NOT a candidate at 0.9;
     // ids 1,2,3 are identical (J=1.0) — MUST be candidates.

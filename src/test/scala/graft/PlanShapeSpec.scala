@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression protection: the scale properties PlanAudit prints
+  * are asserted here so `sbt test` FAILS if a pushed filter disappears, a
+  * join silently degrades to a nested-loop, or a corpus-sized broadcast
+  * hint sneaks back into a dedup pipeline. These lock in the round-2/3
+  * scale fixes permanently — a green build means the graded queries still
+  * carry the plans we would want on a 1000-executor cluster.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private lazy val queries = SparkEntry.queries
+  private val dir = "/root/testdata/sf0.001"
+
+  /** AQE-final formatted physical plan (collect() first so adaptive
+    * re-planning has actually happened — count() would plan separately). */
+  private def finalPlan(name: String): String = {
+    val df = queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  /** Broadcast-hinted join sides in the OPTIMIZED LOGICAL plan — the
+    * static hints written in our code, before AQE makes its own runtime
+    * broadcast decisions (which are size-gated and therefore fine). */
+  private def hintedSideOutputs(name: String): Seq[Seq[String]] = {
+    val plan = queries(name)(spark, dir).queryExecution.optimizedPlan
+    plan.collect {
+      case j: Join =>
+        val sides = Seq(
+          j.hint.leftHint.flatMap(_.strategy).map(_ => j.left.output.map(_.name)),
+          j.hint.rightHint.flatMap(_.strategy).map(_ => j.right.output.map(_.name)))
+        sides.flatten
+    }.flatten
+  }
+
+  test("dedup/sketch pipelines carry no corpus-sized broadcast hints") {
+    // Only the token-dictionary join may be hinted (vocab-bounded, and
+    // size-gated in TokenBits); any other hinted side — bands, per-doc
+    // bitmap/size tables, the corpus itself — is a 100 TB OOM reintroduced.
+    val dedups = Seq("q_dedup_near", "q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_simhash_r1", "q_dedup_ngram")
+    dedups.foreach { name =>
+      hintedSideOutputs(name).foreach { out =>
+        assert(out.exists(c => c == "__id" || c == "__off"),
+          s"$name has a broadcast hint on a non-dictionary side (cols: " +
+            s"${out.mkString(", ")}) — corpus-sized broadcasts cannot run at scale")
+      }
+    }
+  }
+
+  test("no BroadcastNestedLoopJoin outside the documented theta/knn baselines") {
+    // q_join_theta (non-equi by definition) and q_vec_knn (brute-force
+    // baseline; scale path is the bucketed/LSH ANN queries) are the only
+    // sanctioned BNLJ plans in the inventory.
+    val mustNotBnlj = Seq("q_join_star", "q_join_big", "q_join_range",
+      "q_join_asof", "q_dedup_near", "q_dedup_minhash", "q_dedup_simhash_r1",
+      "q_dedup_ngram", "q_vec_ann_bucketed", "q_vec_lsh_bucketed")
+    mustNotBnlj.foreach { name =>
+      assert(!finalPlan(name).contains("BroadcastNestedLoopJoin"),
+        s"$name degraded to BroadcastNestedLoopJoin")
+    }
+    assert(finalPlan("q_join_theta").contains("BroadcastNestedLoopJoin"),
+      "q_join_theta should be the BNLJ baseline (supplier is dim-sized)")
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    Seq("q_filter_pred", "q_agg_pricing", "q_vec_ann_bucketed").foreach { name =>
+      val plan = finalPlan(name)
+      assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+        s"$name lost its parquet filter pushdown")
+    }
+  }
+
+  test("flagship agg keeps partial aggregation and top-k keeps TakeOrderedAndProject") {
+    val agg = finalPlan("q_agg_pricing")
+    assert(agg.contains("HashAggregate") && agg.contains("partial_"),
+      "q_agg_pricing lost map-side partial aggregation")
+    assert(finalPlan("q_sort_limit").contains("TakeOrderedAndProject"),
+      "q_sort_limit global sort+limit no longer plans as TakeOrderedAndProject")
+  }
+}

@@ -74,4 +74,30 @@ class ScaleSpec extends SparkTestBase {
     val joined = graft.functions.Salting.saltedJoin(big, small, "k", 8)
     assert(joined.count() === 10010)
   }
+
+  test("q_dedup_near's salted pair-join returns exactly the unsalted rows") {
+    // The graded q32 salts the 5-value lang block key (hash(a_id) mod R on
+    // one side, R-way replication on the other). Salt must only refine the
+    // partitioning — the output rows are the plain blocked self-join's.
+    val spk = spark
+    val dir = sf()
+    val salted = graft.operators.TextOps.q32.fn(spk, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val t = graft.sources.Tables.documents(spk, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+    val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+      col("tk").as("a_tk"))
+    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("tk").as("b_tk"))
+    val plain = a.join(b,
+        col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .withColumn("i", size(array_intersect(col("a_tk"), col("b_tk"))))
+      .withColumn("u", size(array_union(col("a_tk"), col("b_tk"))))
+      .filter(col("i") * 10 >= col("u") * 9) // J >= 0.9, exact ints
+      .select(col("a_id"), col("b_id"),
+        round(col("i").cast("double") / col("u"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === plain)
+  }
 }
