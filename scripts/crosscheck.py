@@ -31,7 +31,10 @@ def norm(v):
     if isinstance(v, datetime.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
-        return ("ts", v.isoformat() + "T00:00:00")
+        # tagged distinctly from timestamps: a DATE-vs-TIMESTAMP drift
+        # between engines must FAIL here (the driver's schema check would
+        # reject it), same reasoning as keeping ints distinct from floats
+        return ("date", v.isoformat())
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v

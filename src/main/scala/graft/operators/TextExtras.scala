@@ -147,6 +147,9 @@ object TextExtras {
       .select(col("doc_id"), col("lang"),
         concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
       .dropDuplicates("doc_id", "s")
+      // persist: the incidence list feeds both sides of the inverted-index
+      // join AND the per-doc size aggregate — three executions otherwise
+      .persist()
     val sz = inc.groupBy("doc_id", "lang").agg(count(lit(1)).cast("int").as("sz"))
     val inter = inc.select(col("doc_id").as("a_id"), col("lang"), col("s"))
       .join(inc.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),

@@ -118,12 +118,15 @@ object TextOps {
     // (The asymptotic 100 TB answer remains MinHash-LSH banding, whose
     // band key is high-cardinality by construction; see SketchDedup.)
     val R = 8
+    // persist: t feeds both sides of the pair join; caching the
+    // one-row-per-doc bitmap table halves the tokenize+encode work
     val t = graft.functions.TokenBits.withBitmap(
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
           array_distinct(toks(col("text"))).as("tk"))
         .withColumn("sz", size(col("tk"))),
       "doc_id", "tk", "bits")
+      .persist()
     val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
       col("bits").as("a_bits"), col("sz").as("a_sz"))
       .withColumn("a_salt", pmod(hash(col("a_id")), lit(R)))

@@ -178,8 +178,11 @@ object VectorOps {
        |WHERE rk <= 3
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
+    // persist: both join sides re-derive the bucket (8 hyperplane dot
+    // products per row) — cache the bucketed table once
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", expr(bucketExprSpark).cast("int"))
+      .persist()
     val a = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_vec"))
     val b = e.select(col("vec_id").as("b_id"), col("bucket").as("b_bucket"),

@@ -23,7 +23,8 @@ object PlanAudit {
     val audited = Seq(
       "q_scan_project", "q_filter_pred", "q_join_star", "q_join_big",
       "q_agg_pricing", "q_win_topk", "q_sort_limit", "q_dedup_near",
-      "q_dedup_ngram", "q_vec_knn", "q_stream_tumbling")
+      "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash_r1",
+      "q_vec_knn", "q_stream_tumbling")
     val queries = graft.SparkEntry.queries
     val sb = new StringBuilder
     audited.foreach { name =>
