@@ -11,7 +11,8 @@ object SparkEntry {
   /** Every graded query, in SURVEY §2 order. */
   def allQ: Seq[Q] =
     operators.Scans.all ++ operators.Filters.all ++ operators.Joins.all ++
-      operators.Aggregates.all ++ operators.Windows.all ++
+      operators.Aggregates.all ++ operators.Reshape.all ++
+      operators.Windows.all ++
       operators.SortSet.all ++ functions.Scalars.all ++
       operators.TextOps.all ++ operators.TextExtras.all ++
       operators.SketchDedup.all ++ operators.VectorOps.all ++

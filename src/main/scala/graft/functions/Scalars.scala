@@ -187,5 +187,67 @@ object Scalars {
       .orderBy("vec_id", "pos")
   }
 
-  def all: Seq[Q] = Seq(q24, q25, q26, q27, q28)
+  /** Map functions over a MapType column built from the events JSON: size,
+    * element_at, sorted map_keys, map_filter, and an aggregate over
+    * map_values. The map exists only inside the Spark plan (MapType has no
+    * stable cross-engine parquet hash), so every OUTPUT column is a plain
+    * int/string the oracle reproduces directly from the JSON — the operator
+    * under test is Spark's map machinery, the contract stays comparable. */
+  val qFnMap = Q(
+    "q_fn_map",
+    """SELECT event_id,
+      |  3 AS n_keys,
+      |  CAST(json_extract(props, '$.k') AS INT) % 7 AS k7,
+      |  'k,k3,k7' AS keys_str,
+      |  CAST(json_extract(props, '$.k') AS INT)
+      |    + CAST(json_extract(props, '$.k') AS INT) % 7
+      |    + CAST(json_extract(props, '$.k') AS INT) % 3 AS vals_sum,
+      |  CAST((CAST(json_extract(props, '$.k') AS INT) > 50)::INT
+      |    + (CAST(json_extract(props, '$.k') AS INT) % 7 > 50)::INT
+      |    + (CAST(json_extract(props, '$.k') AS INT) % 3 > 50)::INT AS INT) AS n_big
+      |FROM events
+      |WHERE event_id < 2000
+      |ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(spark, dir)
+      .filter(col("event_id") < 2000)
+      .withColumn("m", map_from_arrays(
+        array(lit("k"), lit("k7"), lit("k3")),
+        array(k, pmod(k, lit(7)), pmod(k, lit(3)))))
+      .select(col("event_id"),
+        size(col("m")).as("n_keys"),
+        element_at(col("m"), "k7").as("k7"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_str"),
+        aggregate(map_values(col("m")), lit(0), (acc, x) => acc + x).as("vals_sum"),
+        size(map_filter(col("m"), (_, v) => v > 50)).as("n_big"))
+      .orderBy("event_id")
+  }
+
+  /** Bitwise functions: AND/OR/XOR/shifts/popcount over the part key —
+    * exact integer ops, trivially deterministic cross-engine. */
+  val qFnBitwise = Q(
+    "q_fn_bitwise",
+    """SELECT p_partkey,
+      |  p_partkey & 255 AS b_and,
+      |  p_partkey | 4096 AS b_or,
+      |  xor(p_partkey, 1365) AS b_xor,
+      |  p_partkey << 2 AS b_shl,
+      |  p_partkey >> 3 AS b_shr,
+      |  CAST(bit_count(p_partkey) AS INT) AS b_pop
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+  ) { (spark, dir) =>
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        (col("p_partkey").bitwiseAND(255)).as("b_and"),
+        (col("p_partkey").bitwiseOR(4096)).as("b_or"),
+        (col("p_partkey").bitwiseXOR(1365)).as("b_xor"),
+        shiftleft(col("p_partkey"), 2).as("b_shl"),
+        shiftright(col("p_partkey"), 3).as("b_shr"),
+        bit_count(col("p_partkey")).as("b_pop"))
+      .orderBy("p_partkey")
+  }
+
+  def all: Seq[Q] = Seq(q24, q25, q26, q27, q28, qFnMap, qFnBitwise)
 }

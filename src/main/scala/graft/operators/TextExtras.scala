@@ -219,6 +219,72 @@ object TextExtras {
       .orderBy("source")
   }
 
+  /** Per-language top-k document selection by quality score — the
+    * curation step that picks the best documents per stratum. Window
+    * top-k with a doc_id tiebreak (rank is unique ⇒ deterministic). */
+  val qDocTopkQuality = Q(
+    "q_doc_topk_quality",
+    """SELECT lang, rk, doc_id, n_tokens FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS INT) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3
+      |ORDER BY lang, rk""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(col("text"), " "))
+    val w = Window.partitionBy("lang").orderBy(desc("n_tokens"), asc("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("lang", "rk", "doc_id", "n_tokens")
+      .orderBy("lang", "rk")
+  }
+
+  /** Composite training-data curation pipeline as ONE dataflow: exact
+    * dedup (keep min doc_id per sha-256) → quality gate (token count band
+    * + stopword ratio cap) → per-(lang, source) corpus stats. This is the
+    * shape a real 100 TB pre-training filter runs: one scan, one
+    * hash-groupBy for the dedup key, one semi-join, one final aggregate. */
+  val qPipelineFilter = Q(
+    "q_pipeline_filter",
+    s"""WITH survivors AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |kept AS (
+       |  SELECT d.lang, d.source,
+       |    len(string_split(d.text, ' ')) AS n_tokens
+       |  FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+       |  WHERE len(string_split(d.text, ' ')) BETWEEN 20 AND 100
+       |    AND CAST(len(list_filter(string_split(d.text, ' '), t -> t IN ($stopsSql))) AS DOUBLE)
+       |        / len(string_split(d.text, ' ')) <= 0.5)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM kept
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tk = split(col("text"), " ")
+    val nTok = size(tk)
+    val nStop = size(filter(tk, t => t.isin(stops: _*)))
+    val survivors = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .filter(nTok.between(20, 100) &&
+        nStop.cast("double") / nTok <= 0.5)
+      .select(col("lang"), col("source"), nTok.as("n_tokens"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"))
+      .orderBy("lang", "source")
+  }
+
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
-    qDedupNgram, qTokenBpe, qMultimodalMeta)
+    qDedupNgram, qTokenBpe, qMultimodalMeta, qDocTopkQuality, qPipelineFilter)
 }

@@ -196,5 +196,50 @@ object VectorOps {
       .orderBy("a_id", "rk")
   }
 
-  def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed)
+  /** Int8 quantization of the embedding column — the storage/bandwidth
+    * step an embedding pipeline runs before ANN serving (4x smaller than
+    * float32). Per-vector absmax scaling; round-half-up via floor(x+0.5)
+    * (floor is deterministic cross-engine where round-half-even on a
+    * binary-double boundary is not). All arithmetic is written with
+    * identical left-assoc op order on both engines, so the doubles — and
+    * therefore the rounded error metric — are bit-identical. */
+  val qVecQuantize = Q(
+    "q_vec_quantize",
+    """WITH t AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mxa
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, mxa, embedding,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mxa + 0.5) AS INT)) AS qv
+      |  FROM t)
+      |SELECT vec_id, qv[1] AS q1, qv[2] AS q2, qv[3] AS q3, qv[4] AS q4,
+      |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS INT) AS sabs,
+      |  round(list_max(list_transform(range(1, 65), i ->
+      |    abs(CAST(qv[CAST(i AS INT)] AS DOUBLE) * mxa / 127.0
+      |        - CAST(embedding[CAST(i AS INT)] AS DOUBLE)))), 6) AS err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .withColumn("mxa",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qv",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mxa + 0.5d) AS INT))"))
+      .select(col("vec_id"),
+        element_at(col("qv"), 1).as("q1"),
+        element_at(col("qv"), 2).as("q2"),
+        element_at(col("qv"), 3).as("q3"),
+        element_at(col("qv"), 4).as("q4"),
+        expr("aggregate(qv, 0, (a, x) -> a + abs(x))").as("sabs"),
+        round(expr(
+          """array_max(zip_with(qv, embedding,
+            |  (q, x) -> abs(CAST(q AS DOUBLE) * mxa / 127.0 - CAST(x AS DOUBLE))))""".stripMargin),
+          6).as("err"))
+      .orderBy("vec_id")
+  }
+
+  def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
+    qVecQuantize)
 }

@@ -107,5 +107,28 @@ object Windows {
       .orderBy("day")
   }
 
-  def all: Seq[Q] = Seq(q19, q20, q21)
+  /** Distribution windows: percent_rank / cume_dist / first_value per
+    * mktsegment. The window order (acctbal, custkey) is a unique key, so
+    * the rank-derived rationals are exact and identical cross-engine;
+    * round6 only pins their decimal repr. */
+  val qWinDist = Q(
+    "q_win_dist",
+    """SELECT c_custkey, c_mktsegment,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  first_value(c_custkey) OVER w AS poorest_k
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first("c_custkey").over(w).as("poorest_k"))
+      .orderBy("c_custkey")
+  }
+
+  def all: Seq[Q] = Seq(q19, q20, q21, qWinDist)
 }
