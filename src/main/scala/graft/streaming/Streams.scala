@@ -109,6 +109,56 @@ object Streams {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream-stream interval-join core, shared by the graded batch twin and
+    * the streaming twin: each purchase joined to the same user's clicks in
+    * the preceding 30 minutes (strictly before the purchase). */
+  private def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+
+  private def purchases(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+
+  private def clicks(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+
+  /** Stream-stream interval join (batch twin): per purchase, how many of
+    * the same user's clicks landed in the preceding 30 minutes. Inner-join
+    * semantics (purchases with zero prior clicks don't appear) — exactly
+    * what the streaming interval join emits. */
+  val qStreamJoin = Q(
+    "q_stream_join",
+    """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+      |  COUNT(*) AS n_clicks
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.user_id = p.user_id
+      | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+      |GROUP BY 1, 2, 3
+      |ORDER BY p_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    purchaseClickJoin(purchases(ev), clicks(ev))
+      .groupBy(col("p_id"), col("p_user").as("user_id"), col("p_ts"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("p_id")
+  }
+
+  /** Streaming twin: both sides watermarked, the range condition bounds
+    * each side's buffered state to ~30 minutes of events — the state-
+    * eviction contract that makes a stream-stream join runnable forever.
+    * (Per-purchase aggregation happens downstream/batch; the streaming
+    * stage emits the joined pairs.) */
+  def purchaseClickJoinStream(purchaseEvents: DataFrame, clickEvents: DataFrame): DataFrame =
+    purchaseClickJoin(
+      purchases(purchaseEvents).withWatermark("p_ts", "10 minutes"),
+      clicks(clickEvents).withWatermark("c_ts", "1 hour"))
+
   // ---- Structured Streaming twins (MemoryStream-tested; not oracle-able) ----
 
   /** Streaming tumbling agg with a 10-minute watermark: late rows beyond
@@ -156,5 +206,5 @@ object Streams {
       }
   }
 
-  def all: Seq[Q] = Seq(q35, q36, q37)
+  def all: Seq[Q] = Seq(q35, q36, q37, qStreamJoin)
 }

@@ -41,6 +41,38 @@ class InvariantSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("unpivot is the exact inverse of the wide projection") {
+    // melt(wide) must reproduce every (key, attr, value) cell exactly
+    val dir = sf()
+    val wide = graft.sources.Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"), col("p_retailprice").as("retail"),
+        col("p_size").cast("double").as("size"))
+    val long = wide.unpivot(Array(col("p_partkey")),
+      Array(col("retail"), col("size")), "attr", "val")
+    assert(long.count() === 2 * wide.count())
+    val back = long.groupBy("p_partkey")
+      .pivot("attr", Seq("retail", "size")).agg(first("val"))
+      .select("p_partkey", "retail", "size")
+    assert(back.except(wide).count() === 0 && wide.except(back).count() === 0)
+  }
+
+  test("int8 quantization error is bounded by half a quantization step") {
+    // |dequant(q) - x| <= mxa/127/2 (+ float slack) for every vector
+    val dir = sf()
+    val bad = graft.sources.Tables.embeddings(spark, dir)
+      .withColumn("mxa",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("err", expr(
+        """array_max(zip_with(
+          |  transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mxa + 0.5d) AS INT)),
+          |  embedding,
+          |  (q, x) -> abs(CAST(q AS DOUBLE) * mxa / 127.0 - CAST(x AS DOUBLE))))""".stripMargin))
+      .filter(col("err") > col("mxa") / 127.0 / 2.0 + 1e-9)
+      .count()
+    assert(bad === 0L)
+  }
+
   test("Det units/exactSum round-trip is exact for 2dp money (ScalaCheck)") {
     val cents = Gen.chooseNum(-999999999L, 999999999L)
     val prop = forAll(cents) { c =>

@@ -82,4 +82,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(finalPlan("q_sort_limit").contains("TakeOrderedAndProject"),
       "q_sort_limit global sort+limit no longer plans as TakeOrderedAndProject")
   }
+
+  test("per-group top-k pushes the rank limit below the shuffle (WindowGroupLimit)") {
+    // rn <= k over a window must plan a map-side WindowGroupLimit BEFORE
+    // the exchange (each task keeps its local top-k), not just the final
+    // one after — that pre-shuffle prune is what keeps a 100 TB per-group
+    // top-k from shuffling the whole fact table.
+    Seq("q_win_topk", "q_doc_topk_quality").foreach { name =>
+      val plan = finalPlan(name)
+      assert(plan.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
+        s"$name should carry partial (pre-shuffle) + final WindowGroupLimit")
+    }
+  }
+
+  test("pivot with explicit values plans a single aggregate pass (no distinct pre-scan)") {
+    // One relation leaf only (a two-level pivotfirst aggregate over one
+    // scan): omitting the pivot value list would add a distinct job over
+    // the data before the real aggregation. Counted on the optimized
+    // logical plan — the formatted physical string duplicates the scan in
+    // its tree/details/AQE-initial sections.
+    val leaves = queries("q_pivot")(spark, dir)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, s"q_pivot should scan lineitem exactly once, saw ${leaves.size}")
+  }
 }

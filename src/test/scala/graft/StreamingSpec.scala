@@ -119,6 +119,34 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join pairs purchases with prior clicks only") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = Streams.purchaseClickJoinStream(purchases.toDF(), clicks.toDF())
+      .selectExpr("p_id", "c_ts")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    withQuery(q) {
+      clicks.addData(
+        ev(11, "2024-01-01 09:40:00", typ = "click"), // within 30 min of p1
+        ev(12, "2024-01-01 09:20:00", typ = "click"), // outside the 30-min range
+        ev(13, "2024-01-01 10:05:00", typ = "click"), // AFTER p1: must not join
+        ev(14, "2024-01-01 09:50:00", user = 2, typ = "click")) // other user
+      purchases.addData(ev(1, "2024-01-01 10:00:00", typ = "purchase", v = 9.99))
+      q.processAllAvailable()
+      // advance both watermarks so the joined pair is emitted in append mode
+      clicks.addData(ev(15, "2024-01-01 12:00:00", typ = "click"))
+      purchases.addData(ev(2, "2024-01-01 12:00:00", typ = "purchase"))
+      q.processAllAvailable()
+      val joined = spk.table("ss_join").as[(Long, Timestamp)].collect().toSeq
+      assert(joined === Seq((1L, ts("2024-01-01 09:40:00"))),
+        "only the same-user click strictly inside (p_ts-30min, p_ts) joins")
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     val spk = spark
     import spk.implicits._
