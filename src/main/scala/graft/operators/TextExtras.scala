@@ -219,6 +219,41 @@ object TextExtras {
       .orderBy("source")
   }
 
+  /** Multimodal frame sampling: treat each payload as a video whose frame
+    * count comes from the content digest (byte 2 of md5 — the identical
+    * formula decodeStub uses in operators.Multimodal), then compute how
+    * many frames the every-5th-capped-at-20 sampler would pull:
+    * min(cap, (n-1) div every + 1) == Multimodal.sampleFrameIndexes(n, 5,
+    * 20).size (asserted exhaustively in MultimodalSpec). Exact ints —
+    * deterministic cross-engine via hex-digit arithmetic. */
+  val qMultimodalFrames = Q(
+    "q_multimodal_frames",
+    """WITH f AS (
+      |  SELECT source,
+      |    1 + (strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(text), 6, 1)) - 1) AS nf
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_videos,
+      |  CAST(SUM(nf) AS BIGINT) AS total_frames,
+      |  CAST(SUM(LEAST(20, (nf - 1) // 5 + 1)) AS BIGINT) AS total_sampled,
+      |  CAST(MAX(nf) AS INT) AS max_frames
+      |FROM f
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    val nf = (lit(1) +
+      expr("CAST(conv(substring(md5(text), 5, 2), 16, 10) AS INT)")).as("nf")
+    Tables.documents(spark, dir)
+      .select(col("source"), nf)
+      .withColumn("sampled", least(lit(20), expr("(nf - 1) div 5") + 1))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_videos"),
+        sum("nf").as("total_frames"),
+        sum("sampled").as("total_sampled"),
+        max("nf").cast("int").as("max_frames"))
+      .orderBy("source")
+  }
+
   /** Per-language top-k document selection by quality score — the
     * curation step that picks the best documents per stratum. Window
     * top-k with a doc_id tiebreak (rank is unique ⇒ deterministic). */
@@ -286,5 +321,6 @@ object TextExtras {
   }
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
-    qDedupNgram, qTokenBpe, qMultimodalMeta, qDocTopkQuality, qPipelineFilter)
+    qDedupNgram, qTokenBpe, qMultimodalMeta, qMultimodalFrames,
+    qDocTopkQuality, qPipelineFilter)
 }

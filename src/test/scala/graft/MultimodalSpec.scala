@@ -49,4 +49,13 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.sampleFrameIndexes(1000, 10, 5) === Seq(0, 10, 20, 30, 40))
     assert(Multimodal.sampleFrameIndexes(0, 5, 10) === Seq())
   }
+
+  test("q_multimodal_frames' SQL count formula equals sampleFrameIndexes exactly") {
+    // the graded query computes min(cap, (n-1) div every + 1) in SQL on
+    // both engines; it must agree with the Scala sampler for every n
+    (1 to 1000).foreach { n =>
+      assert(math.min(20, (n - 1) / 5 + 1) === Multimodal.sampleFrameIndexes(n, 5, 20).size,
+        s"formula diverges from sampler at n=$n")
+    }
+  }
 }

@@ -27,6 +27,33 @@ class SinkSourceSpec extends SparkTestBase {
     assert(back.columns.toSet === orders.columns.toSet)
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // The data-lake incremental-reload contract: re-writing one partition
+    // must not truncate the others (static overwrite mode would). This is
+    // the setting every partitioned 100 TB sink runs with.
+    val spk = spark
+    import spk.implicits._
+    val out = Files.createTempDirectory("graft_dpo").toString
+    val prev = spk.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spk.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1, "a", 10), (1, "b", 20), (2, "a", 30))
+        .toDF("pk", "k", "v")
+        .write.partitionBy("pk").mode("overwrite").parquet(out)
+      // overwrite ONLY pk=1 with corrected rows
+      Seq((1, "a", 11)).toDF("pk", "k", "v")
+        .write.partitionBy("pk").mode("overwrite").parquet(out)
+      val back = spk.read.parquet(out).as[(String, Int, Int)].collect().toSet
+      assert(back === Set(("a", 11, 1), ("a", 30, 2)),
+        "pk=1 replaced, pk=2 untouched")
+    } finally {
+      prev match {
+        case Some(v) => spk.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spk.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("JSON file source with declared schema (no inference in prod path)") {
     val dir = Files.createTempDirectory("graft_json").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part1.json"),
