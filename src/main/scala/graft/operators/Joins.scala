@@ -210,5 +210,58 @@ object Joins {
       .orderBy("event_id")
   }
 
-  def all: Seq[Q] = Seq(q05, q06, q07, q08, q09, q10, q11, q12)
+  /** Forward as-of join: for each purchase, the user's NEXT click — the
+    * mirror direction of Q12, via first_value over the following frame.
+    * Same single-shuffle-per-user scalable shape. */
+  val qJoinAsofFwd = Q(
+    "q_join_asof_fwd",
+    """SELECT event_id, user_id, ts, next_click_ts,
+      |  (epoch_us(next_click_ts) - epoch_us(ts)) / 1000000.0 AS secs_to_click
+      |FROM (
+      |  SELECT *, first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .withColumn("next_click_ts",
+        first(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_click_ts"),
+        ((unix_micros(col("next_click_ts")) - unix_micros(col("ts"))) / lit(1000000.0))
+          .as("secs_to_click"))
+      .orderBy("event_id")
+  }
+
+  /** Correlated scalar subquery — exercises Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery turns the per-row subquery into an
+    * aggregate + left outer join; verify with explain that NO per-row
+    * re-execution survives). SQL path: the DataFrame API has no scalar-
+    * subquery constructor. */
+  val qSubqueryScalar = Q(
+    "q_subquery_scalar",
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+      |   WHERE l_orderkey = o_orderkey) AS max_qty
+      |FROM orders
+      |WHERE o_orderkey <= 5000
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir).createOrReplaceTempView("sq_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("sq_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT CAST(MAX(l_quantity) AS DOUBLE) FROM sq_lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_qty
+        |FROM sq_orders
+        |WHERE o_orderkey <= 5000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(q05, q06, q07, q08, q09, q10, q11, q12,
+    qJoinAsofFwd, qSubqueryScalar)
 }
