@@ -53,6 +53,40 @@ object Reshape {
          |ORDER BY gid, r, n""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * exactly the (r_name) and (n_name) marginals, no grand total, no
+    * pairwise set. One Expand + one partial→final aggregate. */
+  val qAggGroupingSets = Q(
+    "q_agg_grouping_sets",
+    s"""SELECT COALESCE(r_name, '(all)') AS r,
+       |  COALESCE(n_name, '(all)') AS n,
+       |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS revenue,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY GROUPING SETS ((r_name), (n_name))
+       |ORDER BY gid, r, n""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      .createOrReplaceTempView("qgsets_star")
+    spark.sql(
+      s"""SELECT COALESCE(r_name, '(all)') AS r,
+         |  COALESCE(n_name, '(all)') AS n,
+         |  grouping_id() AS gid,
+         |  CAST(SUM(CAST(${Det.sqlUnits("o_totalprice", 100)} AS DECIMAL(38,0))) / 100.0 AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM qgsets_star
+         |GROUP BY GROUPING SETS ((r_name), (n_name))
+         |ORDER BY gid, r, n""".stripMargin)
+  }
+
   /** Pivot long→wide: per returnflag, quantity sums split by linestatus
     * columns. The value list is EXPLICIT (Seq("F","O")) so the plan is one
     * conditional-aggregate pass — omitting it makes Spark run a distinct
@@ -100,5 +134,5 @@ object Reshape {
       .orderBy("p_partkey", "attr")
   }
 
-  def all: Seq[Q] = Seq(qAggCube, qPivot, qUnpivot)
+  def all: Seq[Q] = Seq(qAggCube, qAggGroupingSets, qPivot, qUnpivot)
 }
