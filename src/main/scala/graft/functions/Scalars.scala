@@ -249,5 +249,31 @@ object Scalars {
       .orderBy("p_partkey")
   }
 
-  def all: Seq[Q] = Seq(q24, q25, q26, q27, q28, qFnMap, qFnBitwise)
+  /** StructType expressions: build structs in-plan, extract fields. Like
+    * q_fn_map, the struct lives only inside the plan — outputs are plain
+    * scalars so the cross-engine compare stays exact. */
+  val qFnStruct = Q(
+    "q_fn_struct",
+    """SELECT o_orderkey,
+      |  ({'lo': least(o_totalprice, 100000.0),
+      |    'hi': greatest(o_totalprice, 100000.0)}).hi AS hi_price,
+      |  struct_extract({'y': CAST(year(o_orderdate) AS INT),
+      |                  'm': CAST(month(o_orderdate) AS INT)}, 'm') AS o_month
+      |FROM orders
+      |WHERE o_orderkey <= 3000
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 3000)
+      .withColumn("pr", struct(
+        least(col("o_totalprice"), lit(100000.0)).as("lo"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("hi")))
+      .withColumn("ym", struct(
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m")))
+      .select(col("o_orderkey"), col("pr.hi").as("hi_price"),
+        col("ym.m").as("o_month"))
+      .orderBy("o_orderkey")
+  }
+
+  def all: Seq[Q] = Seq(q24, q25, q26, q27, q28, qFnMap, qFnBitwise, qFnStruct)
 }

@@ -254,6 +254,54 @@ object TextExtras {
       .orderBy("source")
   }
 
+  /** Token co-occurrence / PMI: which token pairs appear in the same
+    * document far more often than chance — collocation extraction, the
+    * corpus-statistics pass phrase-mining pipelines run. Inverted-index
+    * shape: the only big join is the incidence self-join ON doc_id
+    * (high-cardinality key), cost ∝ Σ per-doc pair counts — never a
+    * vocab×vocab scan. PMI = ln(c_ab·N / (c_a·c_b)); the ratio is exact
+    * ints → one double division → ln; round6 absorbs the ≤1-ulp libm
+    * difference between engines, and the ORDER BY uses the rounded value
+    * so the top-10 cut is identical. */
+  val qTextCooccur = Q(
+    "q_text_cooccur",
+    """WITH inc AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |ca AS (SELECT t, COUNT(*) AS c FROM inc GROUP BY t),
+      |pairs AS (
+      |  SELECT a.t AS ta, b.t AS tb, COUNT(*) AS c_ab
+      |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.t < b.t
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 5)
+      |SELECT ta, tb, c_ab,
+      |  round(ln((c_ab * n_docs) / (x.c * y.c)), 6) AS pmi
+      |FROM pairs JOIN ca x ON x.t = ta JOIN ca y ON y.t = tb, n
+      |ORDER BY pmi DESC, ta, tb
+      |LIMIT 10""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val inc = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .persist() // feeds both sides of the self-join + the token counts
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val ca = inc.groupBy("t").agg(count(lit(1)).as("c"))
+    val pairs = inc.select(col("doc_id"), col("t").as("ta"))
+      .join(inc.select(col("doc_id"), col("t").as("tb")), "doc_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    pairs
+      .join(ca.select(col("t").as("ta"), col("c").as("c_a")), "ta")
+      .join(ca.select(col("t").as("tb"), col("c").as("c_b")), "tb")
+      .crossJoin(nDf)
+      .select(col("ta"), col("tb"), col("c_ab"),
+        round(log((col("c_ab") * col("n_docs")) / (col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("ta"), asc("tb"))
+      .limit(10)
+  }
+
   /** Per-language top-k document selection by quality score — the
     * curation step that picks the best documents per stratum. Window
     * top-k with a doc_id tiebreak (rank is unique ⇒ deterministic). */
@@ -322,5 +370,5 @@ object TextExtras {
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qTokenBpe, qMultimodalMeta, qMultimodalFrames,
-    qDocTopkQuality, qPipelineFilter)
+    qTextCooccur, qDocTopkQuality, qPipelineFilter)
 }
