@@ -302,6 +302,45 @@ object TextExtras {
       .limit(10)
   }
 
+  /** Per-document TF-IDF top terms: the classic keyword extractor. TF is
+    * an exact per-(doc, term) count, IDF = ln(N/df) from exact counts, and
+    * the ranking key is the ROUNDED score (both engines) so the top-3 cut
+    * can't flip on a sub-ulp libm difference. One explode + two aggregates
+    * + a window — linear in corpus token count. */
+  val qTextTfidf = Q(
+    "q_text_tfidf",
+    """WITH inc AS (
+      |  SELECT doc_id, t, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY 1, 2),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |dfreq AS (SELECT t, COUNT(*) AS df FROM inc GROUP BY t)
+      |SELECT doc_id, rk, t, score FROM (
+      |  SELECT doc_id, i.t AS t,
+      |    round(tf * ln(n_docs / df), 6) AS score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY round(tf * ln(n_docs / df), 6) DESC, i.t) AS INT) AS rk
+      |  FROM inc i JOIN dfreq d ON i.t = d.t, n)
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val inc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .persist() // feeds the df aggregate AND the scored join
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = inc.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("t"))
+    inc.join(dfreq, "t").crossJoin(nDf)
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "t", "score")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Per-language top-k document selection by quality score — the
     * curation step that picks the best documents per stratum. Window
     * top-k with a doc_id tiebreak (rank is unique ⇒ deterministic). */
@@ -370,5 +409,5 @@ object TextExtras {
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qTokenBpe, qMultimodalMeta, qMultimodalFrames,
-    qTextCooccur, qDocTopkQuality, qPipelineFilter)
+    qTextCooccur, qTextTfidf, qDocTopkQuality, qPipelineFilter)
 }
