@@ -196,6 +196,40 @@ object VectorOps {
       .orderBy("a_id", "rk")
   }
 
+  /** Embedding-cosine near-dup at 100 TB shape: candidates from the
+    * random-hyperplane LSH bucket (data-independent equi-join key — the
+    * scale path q_vec_neardup's label blocking stands in for), then exact
+    * cosine-threshold verify. Recall is bucket-bounded by construction
+    * (near-identical vectors land in the same bucket with high
+    * probability; the standard multi-probe/multi-table extension raises
+    * it) — the documented tradeoff of every LSH dedup. */
+  val qVecLshNearDup = Q(
+    "q_vec_lsh_neardup",
+    s"""WITH t AS (SELECT vec_id, embedding, CAST($bucketExprDuck AS INT) AS bucket
+       |           FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+       |  round($sqlDot, 6) AS sim
+       |FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE $sqlDot >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+  ) { (spark, dir) =>
+    // persist: the bucketed table feeds both sides of the self-join (8
+    // hyperplane dot products per row otherwise computed twice)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", expr(bucketExprSpark).cast("int"))
+      .persist()
+    val a = e.select(col("vec_id").as("a_id"), col("bucket"),
+      col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("bucket").as("b_bucket"),
+      col("embedding").as("b_vec"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .withColumn("sim_raw", dot(spark)(col("a_vec"), col("b_vec")))
+      .filter(col("sim_raw") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("bucket"),
+        round(col("sim_raw"), 6).as("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Int8 quantization of the embedding column — the storage/bandwidth
     * step an embedding pipeline runs before ANN serving (4x smaller than
     * float32). Per-vector absmax scaling; round-half-up via floor(x+0.5)
@@ -241,5 +275,5 @@ object VectorOps {
   }
 
   def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
-    qVecQuantize)
+    qVecLshNearDup, qVecQuantize)
 }

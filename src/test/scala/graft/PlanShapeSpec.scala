@@ -59,6 +59,7 @@ class PlanShapeSpec extends SparkTestBase {
     val mustNotBnlj = Seq("q_join_star", "q_join_big", "q_join_range",
       "q_join_asof", "q_dedup_near", "q_dedup_minhash", "q_dedup_simhash_r1",
       "q_dedup_ngram", "q_vec_ann_bucketed", "q_vec_lsh_bucketed",
+      "q_vec_lsh_neardup",
       // correlated scalar subquery must decorrelate to an aggregate + equi
       // join, never a per-row nested loop
       "q_subquery_scalar")
