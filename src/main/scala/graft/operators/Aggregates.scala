@@ -153,6 +153,23 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Approximate quantiles (KLL-style sketch via percentile_approx). No
+    * oracle for the same reason as Q17 — sketch estimates differ across
+    * engines by design; VectorAndApproxSpec asserts each estimate lands
+    * within the accuracy bound of the exact percentile. At 100 TB this is
+    * THE percentile: the sketch merges associatively, so the shuffle
+    * carries one bounded-size sketch per group instead of sorting the
+    * column. */
+  val qAggApproxQuantile = Q.noOracle("q_agg_approx_quantile") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q18 — custom typed UDAF (geometric mean, functions.GeoMean). */
   val q18 = Q(
     "q_udaf_geomean",
@@ -173,5 +190,5 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  def all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18)
+  def all: Seq[Q] = Seq(q13, q14, q15, q16, q17, qAggApproxQuantile, q18)
 }

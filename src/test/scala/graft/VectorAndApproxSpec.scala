@@ -53,4 +53,27 @@ class VectorAndApproxSpec extends SparkTestBase {
         s"flag ${r.getString(0)}: approx $a vs exact $x off by >5%")
     }
   }
+
+  test("percentile_approx within rank-accuracy bound of exact percentile") {
+    // accuracy=1000 guarantees the returned value's RANK is within
+    // n/1000 of the target rank; assert via the exact percentiles of the
+    // surrounding rank band (a value-error bound would be distribution-
+    // dependent and wrong)
+    val spk = spark
+    val df = graft.sources.Tables.lineitem(spk, sf("sf0.01"))
+    Seq(0.5, 0.95).foreach { p =>
+      val eps = 2.0 / 1000 // 2x slack on the nominal 1/accuracy rank error
+      val rows = df.groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(p), lit(1000)).as("approx"),
+          expr(s"percentile(l_extendedprice, ${math.max(0.0, p - eps)})").as("lo"),
+          expr(s"percentile(l_extendedprice, ${math.min(1.0, p + eps)})").as("hi"))
+        .collect()
+      rows.foreach { r =>
+        val (a, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        assert(a >= lo && a <= hi,
+          s"flag ${r.getString(0)} p=$p: approx $a outside exact rank band [$lo, $hi]")
+      }
+    }
+  }
 }
