@@ -275,5 +275,28 @@ object Scalars {
       .orderBy("o_orderkey")
   }
 
-  def all: Seq[Q] = Seq(q24, q25, q26, q27, q28, qFnMap, qFnBitwise, qFnStruct)
+  /** Dirty-data handling: TRY_CAST over free-text tokens — NULL on parse
+    * failure instead of a job-killing exception, the semantics every ETL
+    * ingest path needs. COUNT(expr) counts the successful parses. */
+  val qFnTryCast = Q(
+    "q_fn_trycast",
+    """SELECT lang,
+      |  COUNT(*) AS n_tokens,
+      |  COUNT(TRY_CAST(t AS INT)) AS n_numeric,
+      |  CAST(SUM(TRY_CAST(t AS INT)) AS BIGINT) AS sum_numeric
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(expr("try_cast(t AS INT)")).as("n_numeric"),
+        sum(expr("try_cast(t AS INT)")).as("sum_numeric"))
+      .orderBy("lang")
+  }
+
+  def all: Seq[Q] = Seq(q24, q25, q26, q27, q28, qFnMap, qFnBitwise, qFnStruct,
+    qFnTryCast)
 }
