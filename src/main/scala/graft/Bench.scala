@@ -51,7 +51,12 @@ object Bench {
           errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries are independent; drop any tables the query persisted so a
+      // 70-query session doesn't accumulate cached blocks (memory pressure
+      // there showed up as 3-8x outliers on the later dedup/knn queries).
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -59,12 +64,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 3-decimal (ms) precision keeps the one-line JSON under ~1.7 KB for 70
+    // queries: the driver's log capture keeps only a bounded tail, and the
+    // full-precision line overflowed it in round 3 ("parsed": null).
+    def jnum(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
+      .mkString("{", ",", "}")
     val errs = errors.reverse.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Data-curation operators a large training pipeline runs between ingest
+  * and training: reproducible sampling, funnel/sequence analysis over the
+  * event stream, and PII-style redaction over documents.
+  *
+  * Scale notes: the sample filter is a pure per-row expression (no shuffle
+  * at all — it composes with any downstream op and at 100 TB cuts the scan
+  * output before the first exchange); the funnel is three user_id-keyed
+  * aggregations joined on the same key (one shuffle partitioning reused);
+  * redaction is per-row regexp work that whole-stage-codegens.
+  */
+object Curation {
+
+  /** Portable 32-bit hash (first 8 hex chars of md5, big-endian) of an
+    * arbitrary string expression — Spark form. Same construction as
+    * SketchDedup's token hash, applied to a composed row key. */
+  private def hash32Spark(in: String): String =
+    s"cast(conv(substring(md5($in), 1, 8), 16, 10) as bigint)"
+
+  private def hash32Duck(in: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+       |  i -> (strpos('0123456789abcdef', substr(md5($in), i, 1)) - 1)
+       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+
+  /** Deterministic 5% hash-sample of lineitem (hash(key) % 20 = 0), then
+    * per-flag stats. Reproducible across runs/engines (unlike TABLESAMPLE,
+    * whose RNG is engine-private), stratum-unbiased, and embarrassingly
+    * parallel: the filter is a per-row expression evaluated at the scan —
+    * the 100 TB shape for carving a training subset. Quantities are summed
+    * as exact cent-integers (Det discipline): order-independent. */
+  val qSampleHash = Q(
+    "q_sample_hash",
+    s"""SELECT l_returnflag, count(*) AS n_sampled,
+       |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+       |FROM lineitem
+       |WHERE ${hash32Duck("concat_ws('-', l_orderkey, l_linenumber)")} % 20 = 0
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(expr(
+        s"${hash32Spark("concat_ws('-', l_orderkey, l_linenumber)")} % 20 = 0"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(round(col("l_quantity") * 100).cast("bigint")).as("sum_qty_c"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Ordered funnel with a 48 h conversion window: first view → first
+    * click within 48 h of it → first purchase within 48 h of that click.
+    * Three conditional-min aggregations keyed on user_id, left-joined on
+    * the same key — at scale one hash partitioning on user_id serves all
+    * stages, and no per-user event list is ever materialized (contrast the
+    * collect_list-then-scan anti-pattern). */
+  val qEventsFunnel = Q(
+    "q_events_funnel",
+    """WITH u AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN u ON e.user_id = u.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > u.t1
+      |    AND e.ts <= u.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |    AND e.ts <= c.t2 + INTERVAL 48 HOUR GROUP BY e.user_id)
+      |SELECT count(*) AS n_users, count(u.t1) AS n_viewed,
+      |  count(c.t2) AS n_clicked_after, count(p.t3) AS n_purchased_after
+      |FROM u LEFT JOIN c ON u.user_id = c.user_id
+      |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val u = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(u, Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 48 HOURS"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 48 HOURS"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    u.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_users"), count(col("t1")).as("n_viewed"),
+        count(col("t2")).as("n_clicked_after"),
+        count(col("t3")).as("n_purchased_after"))
+  }
+
+  /** PII-style redaction sweep: flag-and-count documents whose text
+    * contains "sensitive" tokens (the fixture vocabulary's `key`/`value`
+    * stand in for emails/SSNs), plus the post-redaction length delta.
+    * Per-row regexp only — codegen'd, shuffle-free until the final small
+    * per-lang rollup. The same \b-bounded RE2-safe pattern runs on both
+    * engines; counts (not rewritten text) are compared, so engine-level
+    * regex-replacement quirks can't hide in an unverified column. */
+  val qTextRedact = Q(
+    "q_text_redact",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '\b(key|value)\b', 0))) AS BIGINT)
+      |    AS n_redacted,
+      |  CAST(SUM(length(regexp_replace(text, '\b(key|value)\b', '<X>', 'g'))
+      |           - length(text)) AS BIGINT) AS len_delta
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(expr("regexp_extract_all(text, '\\\\b(key|value)\\\\b', 0)"))
+          .as("n_red"),
+        (length(regexp_replace(col("text"), "\\b(key|value)\\b", "<X>"))
+          - length(col("text"))).as("delta"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_red").cast("bigint")).as("n_redacted"),
+        sum(col("delta").cast("bigint")).as("len_delta"))
+      .orderBy("lang")
+  }
+
+  def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact)
+}

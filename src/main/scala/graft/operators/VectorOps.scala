@@ -274,6 +274,52 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** K-means ASSIGNMENT step (the inner loop of IVF-cell training): assign
+    * every vector to its nearest of k=4 deterministic seed centroids
+    * (vec_id < 4), report per-cluster size and exact mean similarity.
+    * The plan is the one a 1000-executor Lloyd iteration wants: the k
+    * centroids broadcast (genuinely tiny — k rows, not corpus-sized), the
+    * corpus streams through a map-side cross join + per-vector argmax, and
+    * the only shuffle is the k-row final rollup. Mean sim accumulates as
+    * exact 1e-6-unit integers (Det discipline): partition-order
+    * independent. Ties break (sim DESC, cid ASC) identically cross-engine
+    * because the dot product is the same left-assoc double fold. */
+  val qVecKmeans = Q(
+    "q_vec_kmeans",
+    s"""WITH s AS (SELECT vec_id AS cid, embedding AS cvec
+       |           FROM embeddings WHERE vec_id < 4),
+       |asg AS (
+       |  SELECT e.vec_id, s.cid,
+       |    round(list_sum(list_transform(list_zip(e.embedding, s.cvec),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_sum(list_transform(list_zip(e.embedding, s.cvec),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) DESC,
+       |        s.cid) AS INT) AS rk
+       |  FROM embeddings e CROSS JOIN s)
+       |SELECT cid, count(*) AS n,
+       |  round(SUM(CAST(round(sim * 1000000) AS BIGINT)) / 1000000.0
+       |        / count(*), 6) AS avg_sim
+       |FROM asg WHERE rk = 1
+       |GROUP BY cid ORDER BY cid""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val seeds = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cid"),
+        round(dot(spark)(col("embedding"), col("cvec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("sim") * 1000000).cast("bigint")).cast("double")
+          / lit(1000000.0) / count(lit(1)), 6).as("avg_sim"))
+      .orderBy("cid")
+  }
+
   def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
-    qVecLshNearDup, qVecQuantize)
+    qVecLshNearDup, qVecQuantize, qVecKmeans)
 }

@@ -97,4 +97,21 @@ class DedupSpec extends SparkTestBase {
     assert(out.contains((1L, 2L))) // identical, same lang block
     assert(!out.exists { case (x, y) => Set(x, y) == Set(4L, 5L) }) // J=0.75 < 0.9
   }
+
+  test("connected components close a chain transitively (diameter > 1)") {
+    // 10-20-30-40-50 is a path: CC must label all five with 10 even though
+    // 10 and 50 never pair directly — this is what the greedy keep-list
+    // cannot do, and it needs ceil(log/diameter) propagation rounds, so a
+    // one-iteration bug would fail here while passing on fixture cliques.
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L),
+      (70L, 60L), // reversed pair: min-label must still win
+      (100L, 101L)
+    ).toDF("a_id", "b_id")
+    val cc = graft.operators.SketchDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(10L, 20L, 30L, 40L, 50L).forall(cc(_) == 10L))
+    assert(cc(60L) == 60L && cc(70L) == 60L)
+    assert(cc(100L) == 100L && cc(101L) == 100L)
+    assert(cc.size === 9)
+  }
 }
