@@ -40,7 +40,10 @@ object Bench {
       "graft_bitmap_and_count(array(id), array(id)) AS bc",
       "graft_dot(array(cast(id as float)), array(cast(id as float))) AS d")
       .collect()
+    // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.allQ.map(_.name)
+      .filter(n => only.forall(_.contains(n)))
     val queries = SparkEntry.queries
     var errors = List.empty[(String, String)]
     val results = names.map { name =>
