@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.{DotProduct, SketchExprs}
 
 /** SparkSessionExtensions entry point: makes every graft native function
@@ -28,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SketchExprs.MinHashSig(es.head))
     f("graft_bitmap_and_count", classOf[SketchExprs.BitmapAndCount],
       es => SketchExprs.BitmapAndCount(es.head, es(1)))
+    f("graft_bloom_agg", classOf[BloomFilterAggregate],
+      es => new BloomFilterAggregate(es.head, es(1), es(2)))
+    f("graft_might_contain", classOf[BloomFilterMightContain],
+      es => BloomFilterMightContain(es.head, es(1)))
   }
 }

@@ -15,7 +15,7 @@ object SparkEntry {
       operators.Windows.all ++
       operators.SortSet.all ++ functions.Scalars.all ++
       operators.TextOps.all ++ operators.TextExtras.all ++
-      operators.Curation.all ++
+      operators.Curation.all ++ operators.PipelineOps.all ++
       operators.SketchDedup.all ++ operators.VectorOps.all ++
       streaming.Streams.all
 

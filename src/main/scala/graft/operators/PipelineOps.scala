@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.{BloomExprs, Det}
+import graft.sources.Tables
+
+/** Second wave of large-pipeline operators: an explicit Bloom-filter
+  * semi-join prefilter, stratified hash sampling, per-document token
+  * entropy, time-series resample with forward fill, gaps-and-islands
+  * streak detection, and greedy sequence packing for training contexts.
+  *
+  * Scale shapes: the Bloom probe is a per-row bit test at the scan (the
+  * shuffle never sees non-candidates); sampling and entropy are pure
+  * map-side expressions plus partial→final aggregates; the resample grid
+  * is generated per-key from that key's own bounds (no global calendar
+  * table); streaks and packing are single-shuffle window plans keyed on
+  * high-cardinality ids.
+  */
+object PipelineOps {
+
+  /** Portable 32-bit hash (first 8 hex chars of md5) — same construction
+    * as Curation.qSampleHash, applied to a doc key. */
+  private def hash32Spark(in: String): String =
+    s"cast(conv(substring(md5($in), 1, 8), 16, 10) as bigint)"
+  private def hash32Duck(in: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9),
+       |  i -> (strpos('0123456789abcdef', substr(md5($in), i, 1)) - 1)
+       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+
+  /** Bloom-filter prefiltered semi-join: revenue of line items whose order
+    * is 1-URGENT. The build side aggregates urgent orderkeys into a Bloom
+    * sketch (one pass, associative merge); the probe side tests each
+    * lineitem row against the sketch AT THE SCAN, then an exact IN
+    * semi-join removes the false positives — so the result is exactly the
+    * plain semi-join's, which is what the oracle runs. At 100 TB this is
+    * the difference between shuffling the whole fact table and shuffling
+    * only plausible matches (Spark's own runtime row-level filtering
+    * applies the identical plan; here it is explicit and always on). */
+  val qJoinBloom = Q(
+    "q_join_bloom",
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  ${Det.sqlExactSum("l_extendedprice", 100)} AS revenue
+       |FROM lineitem
+       |WHERE l_orderkey IN
+       |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  ) { (spark, dir) =>
+    BloomExprs.register(spark)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+      .createOrReplaceTempView("qjb_keys")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      .createOrReplaceTempView("qjb_probe")
+    // ~30k urgent keys at sf0.1; sized for ~1% FPP with headroom. The
+    // exact IN semi-join after the probe keeps correctness independent of
+    // the sketch parameters.
+    spark.sql(
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         |  CAST(SUM(CAST(${Det.sqlUnits("l_extendedprice", 100)} AS DECIMAL(38,0))) / 100.0
+         |       AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT l_orderkey, l_returnflag, l_extendedprice FROM qjb_probe
+         |  WHERE graft_might_contain(
+         |    (SELECT graft_bloom_agg(xxhash64(o_orderkey), 300000L, 2400000L)
+         |     FROM qjb_keys),
+         |    xxhash64(l_orderkey)))
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM qjb_keys)
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Stratified deterministic sampling: per-language rates (en 50%, zh 30%,
+    * others 20%) — the training-mix rebalancing step. The keep decision is
+    * a pure per-row hash expression evaluated at the scan: no shuffle, no
+    * engine-private RNG, reproducible on any cluster layout. */
+  val qSampleStratified = Q(
+    "q_sample_stratified",
+    s"""SELECT lang, COUNT(*) AS n_sampled,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM documents
+       |WHERE ${hash32Duck("concat('doc-', doc_id)")} % 100 <
+       |  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 20 END
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .filter(expr(
+        s"${hash32Spark("concat('doc-', cast(doc_id as string))")} % 100 < " +
+          "CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 20 END"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Per-document token Shannon entropy — the repetition/diversity quality
+    * signal (boilerplate and keyword-stuffed documents score low). Exact
+    * integer term counts feed H = ln(n) − Σ c·ln(c) / n; one explode and
+    * two partial→final aggregates, linear in corpus token count. */
+  val qTextEntropy = Q(
+    "q_text_entropy",
+    """WITH c AS (
+      |  SELECT doc_id, t, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY doc_id, t),
+      |d AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    SUM(c * ln(c)) AS s
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n AS n_tokens, round(ln(n) - s / n, 6) AS entropy
+      |FROM d ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), sum(col("c") * log(col("c"))).as("s"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(log(col("n")) - col("s") / col("n"), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Time-series resample: per-user hourly grid over that user's own event
+    * span, gap-filled with 0 counts and a forward-filled running value
+    * (cents — exact integers end-to-end). The grid comes from sequence()
+    * over per-key bounds, so grid size is Σ per-key spans, not
+    * |keys| × |global calendar|; the forward fill is one window over the
+    * same user_id partitioning the grid join already established. */
+  val qTimeResample = Q(
+    "q_time_resample",
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hr, COUNT(*) AS n,
+      |    SUM(CAST(round(value * 100) AS BIGINT)) AS sv
+      |  FROM events WHERE user_id % 50 = 0 GROUP BY user_id, date_trunc('hour', ts)),
+      |b AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY user_id),
+      |g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b),
+      |j AS (SELECT g.user_id, g.hr, h.n, h.sv
+      |      FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr)
+      |SELECT user_id, hr, CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+      |  CAST(last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents
+      |FROM j ORDER BY user_id, hr""".stripMargin
+  ) { (spark, dir) =>
+    val hourly = Tables.events(spark, dir)
+      .filter(col("user_id") % 50 === 0)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).as("sv"))
+      // feeds the bounds aggregate AND the grid join — one row per
+      // (user, active hour), far smaller than the event table
+      .persist()
+    val grid = hourly.groupBy("user_id")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last("sv", ignoreNulls = true).over(w).as("filled_cents"))
+      .orderBy("user_id", "hr")
+  }
+
+  /** Gaps-and-islands: per-user runs of consecutive same-type events (the
+    * classic row_number-difference trick), rolled up to per-type streak
+    * stats. One shuffle on user_id serves both window functions; the
+    * group key (user, type, rn − rnt) never materializes per-run lists. */
+  val qWinStreaks = Q(
+    "q_win_streaks",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rnt
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_type, COUNT(*) AS len
+      |  FROM o GROUP BY user_id, event_type, rn - rnt)
+      |SELECT event_type, CAST(max(len) AS INT) AS max_streak,
+      |  COUNT(*) AS n_streaks,
+      |  CAST(COUNT(*) FILTER (WHERE len >= 3) AS BIGINT) AS n_streaks_ge3
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (spark, dir) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byUserType = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(byUser).as("rn"),
+        row_number().over(byUserType).as("rnt"))
+      .groupBy(col("user_id"), col("event_type"), (col("rn") - col("rnt")).as("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy("event_type")
+      .agg(max("len").cast("int").as("max_streak"),
+        count(lit(1)).as("n_streaks"),
+        count(when(col("len") >= 3, 1)).as("n_streaks_ge3"))
+      .orderBy("event_type")
+  }
+
+  /** Greedy sequence packing: concatenate each language's documents (in
+    * doc_id order) into fixed 2048-token training contexts; report per-bin
+    * document count and token fill. The bin index is an exclusive running
+    * sum div the context length — exact integers, one window + one
+    * aggregate, both on the lang partitioning. */
+  val qDocPack = Q(
+    "q_doc_pack",
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    CAST(coalesce(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT lang, CAST(cum // 2048 AS INT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY lang, cum // 2048
+      |ORDER BY lang, bin""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
+      .groupBy(col("lang"), expr("cum div 2048").cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("bigint")).as("n_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
+    qTimeResample, qWinStreaks, qDocPack)
+}
