@@ -16,6 +16,7 @@ object SparkEntry {
       operators.SortSet.all ++ functions.Scalars.all ++
       operators.TextOps.all ++ operators.TextExtras.all ++
       operators.Curation.all ++ operators.PipelineOps.all ++
+      operators.OlapExtras.all ++
       operators.SketchDedup.all ++ operators.VectorOps.all ++
       streaming.Streams.all
 

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.{Det, Salting}
+import graft.sources.Tables
+
+/** OLAP reporting operators beyond SURVEY §2's core aggregates: a graded
+  * salted-join (skew mitigation as a first-class, oracle-checked result,
+  * not just a test), a fixed-width histogram, window-share ratios, and a
+  * deterministic per-group mode.
+  *
+  * All numeric outputs follow the Det discipline: exact integer units
+  * through every shuffle, one double division at the end — so results are
+  * identical on any partitioning, 4 threads or 1000 executors.
+  */
+object OlapExtras {
+
+  /** Salted aggregate-join-back: per returnflag, how many line items
+    * exceed that flag's mean quantity. The join key has THREE distinct
+    * values — the canonical hot-key shape where hash partitioning
+    * collapses to 3 reducers and AQE cannot split a single key's bucket.
+    * Salting.saltedJoin spreads each hot key over 8 salt sub-keys; the
+    * result is provably identical to the unsalted join (salt only refines
+    * the partitioning). The mean comparison is exact:
+    * units·n > Σunits avoids the double division entirely. */
+  val qJoinSkewSalt = Q(
+    "q_join_skew_salt",
+    """WITH st AS (
+      |  SELECT l_returnflag,
+      |    SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS s,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag,
+      |  CAST(COUNT(*) FILTER (WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * st.n > st.s)
+      |       AS BIGINT) AS n_above,
+      |  COUNT(*) AS n_total
+      |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+      |GROUP BY l.l_returnflag
+      |ORDER BY l.l_returnflag""".stripMargin
+  ) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), Det.units(col("l_quantity"), 100).as("q_units"))
+    val stats = li.groupBy("l_returnflag")
+      .agg(sum(col("q_units").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
+    Salting.saltedJoin(li, stats, "l_returnflag", 8)
+      .groupBy("l_returnflag")
+      .agg(count(when(col("q_units") * col("n") > col("s"), 1)).as("n_above"),
+        count(lit(1)).as("n_total"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Fixed-width histogram of order totals (25k-wide buckets, capped at
+    * bucket 19): integer bucket arithmetic on exact cents, partial→final
+    * count per bucket — the data-profiling pass that needs exactly one
+    * scan and a 20-row shuffle. */
+  val qAggHist = Q(
+    "q_agg_hist",
+    """SELECT CAST(LEAST(19, CAST(round(o_totalprice * 100) AS BIGINT) // 2500000) AS INT)
+      |    AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(Det.units(col("o_totalprice"), 100).as("cents"))
+      .select(least(lit(19L), expr("cents div 2500000")).cast("int").as("bucket"),
+        col("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .orderBy("bucket")
+  }
+
+  /** Revenue share of each nation within its region: a whole-partition
+    * window aggregate (no ORDER BY → unbounded frame) over exact unit
+    * sums; the share is one double division of two exact integers,
+    * rounded to 6 dp on both engines. */
+  val qWinShare = Q(
+    "q_win_share",
+    """WITH nat AS (
+      |  SELECT r_name, n_name,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS u
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name)
+      |SELECT r_name, n_name,
+      |  CAST(u / 100.0 AS DOUBLE) AS revenue,
+      |  round(CAST(u AS DOUBLE) / CAST(SUM(u) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+      |    AS share
+      |FROM nat
+      |ORDER BY r_name, n_name""".stripMargin
+  ) { (spark, dir) =>
+    val nat = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      // DECIMAL(38,0) accumulator, as Det.exactSum: a BIGINT sum of cents
+      // can wrap at 1e11-row groups; DuckDB's SUM(BIGINT) is HUGEINT
+      .agg(sum(Det.units(col("o_totalprice"), 100).cast("decimal(38,0)")).as("u"))
+    val w = Window.partitionBy("r_name")
+    nat.select(col("r_name"), col("n_name"),
+      (col("u") / 100.0).cast("double").as("revenue"),
+      round(col("u").cast("double") / sum("u").over(w).cast("double"), 6).as("share"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Deterministic per-group mode: the most frequent event_type per user
+    * band, ties broken by type name — count-then-rank, never a
+    * collect_list. Two aggregations on the same band key = one effective
+    * partitioning at scale. */
+  val qAggMode = Q(
+    "q_agg_mode",
+    """SELECT band, event_type AS mode_type, n FROM (
+      |  SELECT user_id % 10 AS band, event_type, COUNT(*) AS n,
+      |    CAST(row_number() OVER (PARTITION BY user_id % 10
+      |      ORDER BY COUNT(*) DESC, event_type) AS INT) AS rk
+      |  FROM events GROUP BY band, event_type)
+      |WHERE rk = 1
+      |ORDER BY band""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("band").orderBy(desc("n"), asc("event_type"))
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 10).as("band"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("band"), col("event_type").as("mode_type"), col("n"))
+      .orderBy("band")
+  }
+
+  def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode)
+}
