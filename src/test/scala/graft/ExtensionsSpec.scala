@@ -37,6 +37,13 @@ class ExtensionsSpec extends SparkTestBase {
       assert(s2.sql(
         "SELECT graft_bitmap_and_count(array(CAST(7 AS BIGINT)), array(CAST(5 AS BIGINT)))")
         .head().getInt(0) === 2) // popcount(7 & 5) = popcount(0b101) = 2
+      // Bloom pair via the plugin: a member must test positive
+      s2.range(0, 50).selectExpr("id AS k").createOrReplaceTempView("ext_bloom_keys")
+      assert(s2.sql(
+        """SELECT graft_might_contain(
+          |  (SELECT graft_bloom_agg(xxhash64(k), 50L, 800L) FROM ext_bloom_keys),
+          |  xxhash64(25L))""".stripMargin)
+        .head().getBoolean(0))
     } finally {
       SparkSession.getActiveSession.foreach(_.stop())
       SparkSession.clearActiveSession()

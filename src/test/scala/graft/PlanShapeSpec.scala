@@ -99,6 +99,45 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("bloom prefilter evaluates at the probe side, before the exact semi-join") {
+    val plan = finalPlan("q_join_bloom")
+    assert(plan.contains("might_contain"),
+      "q_join_bloom lost its Bloom probe filter")
+    assert(plan.contains("LeftSemi"),
+      "q_join_bloom lost the exact semi-join that removes false positives")
+    // the probe must be a Filter feeding the join, not a post-join residual:
+    // the formatted plan lists the Filter operator id below the join inputs
+    val filterIdx = plan.indexOf("might_contain")
+    assert(filterIdx >= 0 && plan.substring(0, filterIdx).contains("Filter"),
+      "q_join_bloom's might_contain is no longer inside a Filter operator")
+  }
+
+  test("salted join refines the key with __salt on both sides") {
+    val plan = queries("q_join_skew_salt")(spark, dir)
+      .queryExecution.optimizedPlan
+    val saltedJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "__salt")) => j
+    }
+    assert(saltedJoins.nonEmpty,
+      "q_join_skew_salt no longer joins on the salt sub-key — hot keys collapse " +
+        "back onto single reducers")
+  }
+
+  test("new equi-join pipelines never degrade to nested loops") {
+    Seq("q_join_bloom", "q_join_skew_salt", "q_vec_ivf_probe2",
+      "q_time_resample").foreach { name =>
+      assert(!finalPlan(name).contains("BroadcastNestedLoopJoin") ||
+        name == "q_vec_ivf_probe2", // centroid cross join IS k-row broadcast
+        s"$name degraded to BroadcastNestedLoopJoin")
+    }
+    // ivf multi-probe: the only nested-loop is the k-row centroid cross
+    // join (broadcast by construction); the candidate join must stay equi
+    val ivf = finalPlan("q_vec_ivf_probe2")
+    assert(ivf.contains("SortMergeJoin") || ivf.contains("BroadcastHashJoin")
+      || ivf.contains("ShuffledHashJoin"),
+      "q_vec_ivf_probe2 lost its equi candidate join")
+  }
+
   test("pivot with explicit values plans a single aggregate pass (no distinct pre-scan)") {
     // One relation leaf only (a two-level pivotfirst aggregate over one
     // scan): omitting the pivot value list would add a distinct job over
