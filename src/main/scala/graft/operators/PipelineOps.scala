@@ -235,6 +235,52 @@ object PipelineOps {
       .orderBy("lang", "bin")
   }
 
+  /** Bigram language-model scoring: per-document average negative
+    * log-likelihood under corpus MLE bigram statistics −
+    * the perplexity-style fluency filter a pre-training pipeline runs
+    * (high NLL = improbable word sequences = likely junk). Every bigram's
+    * −ln P(w2|w1) = ln(c(w1)/c(w1,w2)) is computed from exact corpus
+    * counts, scaled to 1e-6 integer units and summed as integers — the
+    * per-doc mean is partition-order independent. Two count aggregates
+    * plus two equi-joins on the bigram/prefix (high-cardinality keys);
+    * cost is linear in corpus token count. */
+  val qTextNgramLm = Q(
+    "q_text_ngram_lm",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1),
+      |u AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(c1 AS DOUBLE) / c12) * 1000000) AS BIGINT) AS units
+      |  FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  round(SUM(units) / 1000000.0 / COUNT(*), 6) AS nll
+      |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w1")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val bigrams = toks
+      .withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select("doc_id", "w1", "w2")
+      // feeds both count aggregates AND the scoring join
+      .persist()
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        round(log(col("c1").cast("double") / col("c12")) * 1000000)
+          .cast("bigint").as("units"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("units").cast("decimal(38,0)")).cast("double")
+          / lit(1000000.0) / count(lit(1)), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
-    qTimeResample, qWinStreaks, qDocPack)
+    qTimeResample, qWinStreaks, qDocPack, qTextNgramLm)
 }
