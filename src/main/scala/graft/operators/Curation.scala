@@ -127,5 +127,89 @@ object Curation {
       .orderBy("lang")
   }
 
-  def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact)
+  /** Training-mix apportionment: split a 1,000,000-token budget across
+    * languages proportional to each language's token count, using
+    * largest-remainder rounding (Hamilton's method) so the allocations
+    * are integers that sum EXACTLY to the budget. Pure integer
+    * arithmetic — floor quotas from bigint division, the leftover seats
+    * assigned by remainder rank with a lang tiebreak — so both engines
+    * agree bit-for-bit. The shape is two tiny aggregates + a rank over
+    * |langs| rows: nothing here grows with the corpus except the first
+    * token count. */
+  val qDocMixBudget = Q(
+    "q_doc_mix_budget",
+    """WITH t AS (
+      |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total, COUNT(*) AS n_langs FROM t),
+      |q AS (
+      |  SELECT lang, toks,
+      |    CAST((toks * 1000000) // total AS BIGINT) AS floor_alloc,
+      |    CAST((toks * 1000000) % total AS BIGINT) AS rem
+      |  FROM t, tot),
+      |r AS (
+      |  SELECT lang, toks, floor_alloc,
+      |    CAST(row_number() OVER (ORDER BY rem DESC, lang) AS INT) AS rk,
+      |    CAST(1000000 - SUM(floor_alloc) OVER () AS BIGINT) AS leftover
+      |  FROM q)
+      |SELECT lang, toks, CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM r ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " ")).cast("bigint")).as("toks"))
+    val tot = t.agg(sum("toks").as("total"))
+    val q = t.crossJoin(tot)
+      .select(col("lang"), col("toks"),
+        expr("(toks * 1000000) div total").as("floor_alloc"),
+        expr("(toks * 1000000) % total").as("rem"))
+    val w = Window.orderBy(desc("rem"), asc("lang"))
+    val wAll = Window.partitionBy(lit(1))
+    q.select(col("lang"), col("toks"), col("floor_alloc"),
+      row_number().over(w).as("rk"),
+      (lit(1000000L) - sum("floor_alloc").over(wAll)).as("leftover"))
+      .select(col("lang"), col("toks"),
+        (col("floor_alloc") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("lang")
+  }
+
+  /** Cohort retention: users grouped by their first-seen day, tracked for
+    * 7 day-offsets — the activation matrix every analytics pipeline
+    * builds. Two aggregations on user_id (first-seen + distinct active
+    * days) and a count per (cohort, offset): at scale one user_id
+    * partitioning serves the first two, and the matrix itself is tiny. */
+  val qEventsRetention = Q(
+    "q_events_retention",
+    """WITH f AS (
+      |  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      |  FROM events),
+      |m AS (
+      |  SELECT f.cohort, CAST(a.d - f.cohort AS INT) AS offset_d, a.user_id
+      |  FROM a JOIN f ON a.user_id = f.user_id
+      |  WHERE a.d - f.cohort BETWEEN 0 AND 7)
+      |SELECT cohort, offset_d, COUNT(DISTINCT user_id) AS n_users
+      |FROM m GROUP BY cohort, offset_d
+      |ORDER BY cohort, offset_d""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+    val f = ev.groupBy("user_id").agg(min("d").as("cohort"))
+    val a = ev.distinct()
+    a.join(f, "user_id")
+      .select(col("cohort"), datediff(col("d"), col("cohort")).as("offset_d"),
+        col("user_id"))
+      .filter(col("offset_d").between(0, 7))
+      .groupBy("cohort", "offset_d")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "offset_d")
+  }
+
+  def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
+    qDocMixBudget, qEventsRetention)
 }
