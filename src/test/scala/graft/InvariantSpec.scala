@@ -73,6 +73,35 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(bad === 0L)
   }
 
+  test("token-budget apportionment sums exactly to the budget") {
+    val out = graft.operators.Curation.qDocMixBudget.fn(spark, sf()).collect()
+    assert(out.map(_.getLong(2)).sum === 1000000L)
+    // proportionality: every alloc is within 1 of its exact quota
+    val toks = out.map(_.getLong(1))
+    val total = toks.sum.toDouble
+    out.foreach { r =>
+      val exact = r.getLong(1) * 1000000L / total
+      assert(math.abs(r.getLong(2) - exact) <= 1.0 + 1e-9,
+        s"${r.getString(0)} alloc ${r.getLong(2)} vs exact quota $exact")
+    }
+  }
+
+  test("retention matrix: offset 0 counts every cohort member exactly once") {
+    val dir = sf()
+    val m = graft.operators.Curation.qEventsRetention.fn(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    val cohortSizes = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(to_date(date_trunc("day", col("ts")))).as("cohort"))
+      .groupBy("cohort").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    cohortSizes.foreach { case (day, n) =>
+      assert(m((day, 0)) === n, s"cohort $day day-0 retention must equal its size")
+    }
+    // monotone bound: no offset can retain more users than the cohort has
+    m.foreach { case ((day, _), n) => assert(n <= cohortSizes(day)) }
+  }
+
   test("Det units/exactSum round-trip is exact for 2dp money (ScalaCheck)") {
     val cents = Gen.chooseNum(-999999999L, 999999999L)
     val prop = forAll(cents) { c =>
