@@ -136,5 +136,38 @@ object OlapExtras {
       .orderBy("band")
   }
 
-  def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode)
+  /** CDC / lakehouse compaction: latest-record-wins per key — keep each
+    * customer's most recent order (orderdate DESC, orderkey DESC tiebreak)
+    * and roll the survivors up per status. The rank-1 window plans with a
+    * pre-shuffle WindowGroupLimit (each task keeps one row per local key
+    * before the exchange), which is exactly the merge-on-read compaction
+    * shape: the shuffle carries one candidate per (task, key), never the
+    * full history. */
+  val qCdcCompact = Q(
+    "q_cdc_compact",
+    """SELECT o_orderstatus, COUNT(*) AS n_latest,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+      |FROM (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_latest"),
+        Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode, qCdcCompact)
 }

@@ -92,7 +92,7 @@ class PlanShapeSpec extends SparkTestBase {
     // the exchange (each task keeps its local top-k), not just the final
     // one after — that pre-shuffle prune is what keeps a 100 TB per-group
     // top-k from shuffling the whole fact table.
-    Seq("q_win_topk", "q_doc_topk_quality").foreach { name =>
+    Seq("q_win_topk", "q_doc_topk_quality", "q_cdc_compact").foreach { name =>
       val plan = finalPlan(name)
       assert(plan.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
         s"$name should carry partial (pre-shuffle) + final WindowGroupLimit")
