@@ -24,7 +24,10 @@ object PlanAudit {
       "q_scan_project", "q_filter_pred", "q_join_star", "q_join_big",
       "q_agg_pricing", "q_win_topk", "q_sort_limit", "q_dedup_near",
       "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash_r1",
-      "q_vec_knn", "q_stream_tumbling")
+      "q_vec_knn", "q_stream_tumbling",
+      // round-4 additions
+      "q_join_bloom", "q_join_skew_salt", "q_vec_ivf_probe2",
+      "q_time_resample", "q_text_ngram_lm", "q_cdc_compact")
     val queries = graft.SparkEntry.queries
     val sb = new StringBuilder
     audited.foreach { name =>
