@@ -159,6 +159,51 @@ object Streams {
       purchases(purchaseEvents).withWatermark("p_ts", "10 minutes"),
       clicks(clickEvents).withWatermark("c_ts", "1 hour"))
 
+  /** Windowed per-user agg core, shared by the top-k batch twin and the
+    * streaming builder. */
+  private def userWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), exactSum(col("value"), 1000000).as("sum_value"))
+
+  /** Windowed top-k: the 3 highest-value users per hour — the trending/
+    * leaderboard query. Batch twin ranks the windowed agg directly; in
+    * streaming, the SAME userWindowAgg runs incrementally under a
+    * watermark and the tiny per-window rank is a downstream (foreachBatch
+    * or batch-over-sink) step — ranking over an updating agg is not
+    * emittable mid-window under append semantics. The rank key is the
+    * exact-unit sum (identical double on both engines), tiebroken by
+    * user_id. */
+  val qStreamTopk = Q(
+    "q_stream_topk",
+    s"""WITH h AS (
+       |  SELECT date_trunc('hour', ts) AS ws, user_id,
+       |    ${sqlExactSum("value", 1000000)} AS sum_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT ws AS window_start, rk, user_id, sum_value FROM (
+       |  SELECT ws, user_id, sum_value,
+       |    CAST(row_number() OVER (PARTITION BY ws
+       |      ORDER BY sum_value DESC, user_id) AS INT) AS rk
+       |  FROM h)
+       |WHERE rk <= 3
+       |ORDER BY window_start, rk""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val rw = Window.partitionBy("w").orderBy(desc("sum_value"), asc("user_id"))
+    userWindowAgg(Tables.events(spark, dir))
+      .withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= 3)
+      .select(col("w.start").as("window_start"), col("rk"), col("user_id"),
+        col("sum_value"))
+      .orderBy("window_start", "rk")
+  }
+
+  /** Streaming stage of the windowed top-k: the incremental per-(window,
+    * user) aggregation under a 10-minute watermark. State is one row per
+    * open (window, user) — watermark-bounded. */
+  def userWindowStream(events: DataFrame): DataFrame =
+    userWindowAgg(events.withWatermark("ts", "10 minutes"))
+
   // ---- Structured Streaming twins (MemoryStream-tested; not oracle-able) ----
 
   /** Streaming tumbling agg with a 10-minute watermark: late rows beyond
@@ -206,5 +251,5 @@ object Streams {
       }
   }
 
-  def all: Seq[Q] = Seq(q35, q36, q37, qStreamJoin)
+  def all: Seq[Q] = Seq(q35, q36, q37, qStreamJoin, qStreamTopk)
 }

@@ -53,6 +53,33 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("windowed per-user agg stream matches the batch twin it feeds top-k from") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.userWindowStream(input.toDF())
+      .selectExpr("w.start AS ws", "user_id", "cnt", "sum_value")
+      .writeStream.format("memory").queryName("user_win")
+      .outputMode("append").start()
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00", user = 1, v = 5.0),
+      ev(2, "2024-01-01 10:10:00", user = 2, v = 9.0),
+      ev(3, "2024-01-01 10:20:00", user = 1, v = 2.5))
+    withQuery(q) {
+      input.addData(data: _*)
+      input.addData(ev(9, "2024-01-01 12:00:00", user = 9)) // advance watermark
+      q.processAllAvailable()
+      val streamed = spk.table("user_win")
+        .filter("ws = timestamp'2024-01-01 10:00:00'")
+        .as[(Timestamp, Long, Long, Double)].collect().toSeq.sortBy(_._2)
+      // identical numbers to running the shared agg core in batch
+      assert(streamed === Seq(
+        (ts("2024-01-01 10:00:00"), 1L, 2L, 7.5),
+        (ts("2024-01-01 10:00:00"), 2L, 1L, 9.0)))
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches") {
     val spk = spark
     import spk.implicits._
