@@ -50,5 +50,42 @@ object Scans {
       .orderBy("bucket")
   }
 
-  def all: Seq[Q] = Seq(q01, q02)
+  /** Schema-evolution union: two ingest "generations" of the orders feed —
+    * an old snapshot without the priority column (1996 and earlier) and a
+    * new snapshot that added it — combined with unionByName(
+    * allowMissingColumns = true), the lakehouse append-with-evolved-schema
+    * path. Missing columns null-fill; the rollup then proves the null
+    * semantics (old rows land in the '(none)' bucket). Both branches are
+    * narrow projections of the same scan; the union is a zero-shuffle
+    * concatenation. */
+  val qSchemaEvolve = Q(
+    "q_schema_evolve",
+    """WITH legacy AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE year(o_orderdate) <= 1996),
+      |modern AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |  WHERE year(o_orderdate) > 1996),
+      |unioned AS (
+      |  SELECT * FROM legacy UNION ALL BY NAME SELECT * FROM modern)
+      |SELECT coalesce(o_orderpriority, '(none)') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+      |FROM unioned
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin
+  ) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val legacy = o.filter(year(col("o_orderdate")) <= 1996)
+      .select("o_orderkey", "o_totalprice")
+    val modern = o.filter(year(col("o_orderdate")) > 1996)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    legacy.unionByName(modern, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("(none)")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .orderBy("priority")
+  }
+
+  def all: Seq[Q] = Seq(q01, q02, qSchemaEvolve)
 }

@@ -397,6 +397,69 @@ object VectorOps {
       .orderBy("a_id", "rk")
   }
 
+  /** ANN quality evaluation: recall@3 of the hyperplane-LSH index against
+    * brute-force ground truth, per query vector — the measurement every
+    * ANN deployment runs before trusting an index. Ground truth is the
+    * exact top-3 over the full corpus (window rank, same rounded-sim
+    * ordering); the candidate set is the LSH bucket's top-3; recall is an
+    * exact intersection count over (query, neighbor) pairs. At scale the
+    * ground-truth side runs on a sampled query set (here: vec_id < 50 —
+    * the same bounded query panel the ANN queries use), which is exactly
+    * how production recall monitoring bounds the quadratic cost. */
+  val qVecRecallEval = Q(
+    "q_vec_recall_eval",
+    s"""WITH t AS (SELECT vec_id, embedding, CAST($bucketExprDuck AS INT) AS bucket
+       |           FROM embeddings),
+       |truth AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 50)
+       |  WHERE rk <= 3),
+       |approx AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) DESC, b.vec_id) AS INT) AS rk
+       |    FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 50)
+       |  WHERE rk <= 3)
+       |SELECT tr.a_id,
+       |  CAST(COUNT(ap.b_id) AS INT) AS n_hit,
+       |  round(COUNT(ap.b_id) / 3.0, 6) AS recall_at_3
+       |FROM truth tr LEFT JOIN approx ap
+       |  ON tr.a_id = ap.a_id AND tr.b_id = ap.b_id
+       |GROUP BY tr.a_id
+       |ORDER BY tr.a_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", expr(bucketExprSpark).cast("int"))
+      .persist() // query panel + both candidate sides
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("bucket").as("b_bucket"),
+      col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    def top3(joined: org.apache.spark.sql.DataFrame) = joined
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("a_id", "b_id")
+    val truth = top3(q.join(b, col("a_id") =!= col("b_id")))
+    val approx = top3(q.join(b,
+      col("bucket") === col("b_bucket") && col("a_id") =!= col("b_id")))
+    truth.join(approx.withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg(count(col("hit")).cast("int").as("n_hit"),
+        round(count(col("hit")) / 3.0, 6).as("recall_at_3"))
+      .orderBy("a_id")
+  }
+
   def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
-    qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2)
+    qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2, qVecRecallEval)
 }
