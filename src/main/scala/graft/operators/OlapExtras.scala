@@ -169,5 +169,85 @@ object OlapExtras {
       .orderBy("o_orderstatus")
   }
 
-  def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode, qCdcCompact)
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * orders ⋈ lineitem, revenue per order, top 10. The canonical
+    * selective-dim → big-fact plan: both date filters push to the scans,
+    * the customer filter cuts the orders join input, and the top-10 runs
+    * as TakeOrderedAndProject on the rounded exact-unit revenue (ties
+    * broken by orderkey, so the cut is identical cross-engine).
+    * price·(1−disc) is exact at 1e-4 units (2 dp × 2 dp). */
+  val qOlapShipPriority = Q(
+    "q_olap_ship_priority",
+    """SELECT l_orderkey, o_orderdate,
+      |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |    / 10000.0 AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-03-15'
+      |  AND l_shipdate > TIMESTAMP '1997-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(Det.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-way join where customer
+    * and supplier must share a nation, revenue per nation in one region
+    * and year. Dims broadcast; the fact⋈fact lineitem⋈orders equi-join is
+    * the only big shuffle; the c_nationkey = s_nationkey residual rides
+    * on the joined row. */
+  val qOlapLocalSupp = Q(
+    "q_olap_local_supp",
+    """SELECT n_name,
+      |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |    / 10000.0 AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(Det.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode, qCdcCompact,
+    qOlapShipPriority, qOlapLocalSupp)
 }
