@@ -248,6 +248,37 @@ object OlapExtras {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  /** TPC-H Q14 shape (promotion effect): the share of one month's revenue
+    * coming from PROMO-type parts — a conditional-aggregate ratio over the
+    * part ⋈ lineitem join. Both the numerator (CASE-gated) and the
+    * denominator are exact 1e-4-unit integer sums; the percentage is one
+    * double division of the two, rounded to 6 dp. The part side
+    * broadcasts; the date filter prunes the fact scan. */
+  val qOlapPromoRatio = Q(
+    "q_olap_promo_ratio",
+    """SELECT
+      |  round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+      |      ELSE 0 END)
+      |    / SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)),
+      |    6) AS promo_pct,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin
+  ) { (spark, dir) =>
+    val units = Det.units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", units).otherwise(0L))
+          / sum(units), 6).as("promo_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
   def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode, qCdcCompact,
-    qOlapShipPriority, qOlapLocalSupp)
+    qOlapShipPriority, qOlapLocalSupp, qOlapPromoRatio)
 }
