@@ -190,5 +190,53 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  def all: Seq[Q] = Seq(q13, q14, q15, q16, q17, qAggApproxQuantile, q18)
+
+  /** Multiple DISTINCT aggregates in one pass — planned through Catalyst's
+    * Expand (one replicated stream per distinct set) + two-phase
+    * aggregation, the shape that matters because each extra distinct
+    * multiplies the shuffled rows: worth one graded query so a planner
+    * regression (e.g. falling back to per-distinct subplans) is visible.
+    * Distinct years ride on an exact integer year. */
+  val qAggMultiDistinct = Q(
+    "q_agg_multi_distinct",
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  COUNT(DISTINCT year(o_orderdate)) AS n_years,
+      |  COUNT(DISTINCT o_orderpriority) AS n_prios,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        countDistinct(col("o_orderpriority")).as("n_prios"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Array-valued aggregate output: the distinct priorities per status as
+    * a SORTED array (collect_set is unordered by contract — array_sort
+    * makes it deterministic), plus its cardinality. Exercises the
+    * array-output hash path end-to-end. */
+  val qAggCollectSet = Q(
+    "q_agg_collect_set",
+    """SELECT o_orderstatus,
+      |  list_sort(list(DISTINCT o_orderpriority)) AS prios,
+      |  CAST(len(list(DISTINCT o_orderpriority)) AS INT) AS n_prios
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(array_sort(collect_set(col("o_orderpriority"))).as("prios"),
+        size(collect_set(col("o_orderpriority"))).as("n_prios"))
+      .orderBy("o_orderstatus")
+  }
+
+  def all: Seq[Q] = Seq(q13, q14, q15, q16, q17, qAggApproxQuantile, q18,
+    qAggMultiDistinct, qAggCollectSet)
 }

@@ -130,5 +130,40 @@ object Windows {
       .orderBy("c_custkey")
   }
 
-  def all: Seq[Q] = Seq(q19, q20, q21, qWinDist)
+
+  /** RANGE-frame window (vs q_win_frame's ROWS): 3-day trailing revenue
+    * per day, where the frame is defined by VALUE distance on the epoch
+    * day number — days missing from the data simply contribute nothing,
+    * which a ROWS frame cannot express. Both engines frame over the same
+    * integer day index, so boundary inclusion is identical. */
+  val qWinRangeFrame = Q(
+    "q_win_range_frame",
+    """SELECT day, trail_cents / 100.0 AS trailing_3d, CAST(trail_n AS BIGINT) AS n_days
+      |FROM (
+      |  SELECT day,
+      |    CAST(SUM(rev_cents) OVER (ORDER BY epoch_day
+      |      RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_cents,
+      |    COUNT(*) OVER (ORDER BY epoch_day
+      |      RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS trail_n
+      |  FROM (
+      |    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |      CAST(datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS epoch_day,
+      |      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |    FROM orders GROUP BY 1, 2))
+      |ORDER BY day""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.Det._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(sum(units(col("o_totalprice"), 100)).cast("long").as("rev_cents"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy("epoch_day").rangeBetween(-3, 0)
+    daily
+      .select(col("day"),
+        (sum(col("rev_cents")).over(w) / lit(100.0)).as("trailing_3d"),
+        count(lit(1)).over(w).as("n_days"))
+      .orderBy("day")
+  }
+
+  def all: Seq[Q] = Seq(q19, q20, q21, qWinDist, qWinRangeFrame)
 }
