@@ -1,0 +1,35 @@
+package graft
+
+/** Partition-count independence: the Det discipline (exact integer units,
+  * rounded floats, total ORDER BY) promises every graded query returns
+  * IDENTICAL rows regardless of the cluster layout. The DuckDB oracle
+  * can't see this — it compares one Spark run against one DuckDB run — so
+  * this suite re-runs the float-heaviest queries under different
+  * spark.sql.shuffle.partitions and asserts row-for-row equality. A
+  * failure here means a result would differ between local[4] and a
+  * 1000-executor cluster. */
+class DeterminismSpec extends SparkTestBase {
+
+  // The queries where partial-aggregation order could plausibly leak into
+  // the output: float sums, window ratios, sketch pipelines, iterative CC.
+  private val sensitive = Seq(
+    "q_agg_pricing", "q_agg_stats", "q_win_share", "q_vec_centroid",
+    "q_text_ngram_lm", "q_stream_session", "q_dedup_minhash", "q_dedup_cc",
+    "q_udaf_geomean", "q_text_entropy", "q_vec_kmeans", "q_doc_mix_budget")
+
+  test("float-sensitive queries return identical rows under 3 vs 17 shuffle partitions") {
+    val dir = sf()
+    val queries = SparkEntry.queries
+    sensitive.foreach { name =>
+      def run(parts: Int): Seq[String] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try queries(name)(spark, dir).collect().map(_.toString).toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+      }
+      val a = run(3)
+      val b = run(17)
+      assert(a === b, s"$name differs between 3 and 17 shuffle partitions")
+      assert(a.nonEmpty, s"$name returned no rows")
+    }
+  }
+}
