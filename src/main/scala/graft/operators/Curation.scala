@@ -210,6 +210,79 @@ object Curation {
       .orderBy("cohort", "offset_d")
   }
 
+
+  /** Winsorized (outlier-clipped) mean: per market segment, the mean
+    * account balance after dropping rows outside the [p05, p95] band —
+    * the standard robust-statistics gate a feature pipeline applies
+    * before normalization. Thresholds are exact interpolated percentiles
+    * ROUNDED to 6 dp on both engines before the comparison, so a
+    * boundary row can never flip on a sub-ulp difference (balances have
+    * 2 dp). Two passes: a tiny per-group percentile table joined back
+    * (broadcast — one row per segment), then the filtered exact-unit
+    * mean. */
+  val qClipOutliers = Q(
+    "q_clip_outliers",
+    """WITH p AS (
+      |  SELECT c_mktsegment,
+      |    round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.05), 6) AS p05,
+      |    round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.95), 6) AS p95
+      |  FROM customer GROUP BY c_mktsegment)
+      |SELECT c.c_mktsegment,
+      |  COUNT(*) AS n_kept,
+      |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*) AS clipped_mean
+      |FROM customer c JOIN p ON c.c_mktsegment = p.c_mktsegment
+      |WHERE c_acctbal >= p05 AND c_acctbal <= p95
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+  ) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+    val p = cust.groupBy("c_mktsegment")
+      .agg(round(expr("percentile(c_acctbal, 0.05)"), 6).as("p05"),
+        round(expr("percentile(c_acctbal, 0.95)"), 6).as("p95"))
+    cust.join(broadcast(p), "c_mktsegment")
+      .filter(col("c_acctbal") >= col("p05") && col("c_acctbal") <= col("p95"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_kept"),
+        graft.functions.Det.exactAvg(col("c_acctbal"), 100).as("clipped_mean"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Time-weighted average value (TWAP) per user: each reading weighted by
+    * how long it was current (gap to the next event), all in exact
+    * integer units — value cents x duration microseconds sums as a
+    * DECIMAL(38,0), one double division at the end. The single window
+    * (lead over user, ts) and the final per-user rollup share one
+    * user_id partitioning. */
+  val qEventsTwap = Q(
+    "q_events_twap",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS v_c,
+      |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch_us(ts) AS dt_us
+      |  FROM events WHERE user_id < 100)
+      |SELECT user_id,
+      |  COUNT(dt_us) AS n_intervals,
+      |  CAST(SUM(v_c * dt_us) AS DOUBLE) / SUM(dt_us) / 100.0 AS twap
+      |FROM g WHERE dt_us IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 100)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("bigint").as("v_c"),
+        (unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts"))).as("dt_us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(col("dt_us")).as("n_intervals"),
+        (sum((col("v_c") * col("dt_us")).cast("decimal(38,0)")).cast("double")
+          / sum(col("dt_us")) / lit(100.0)).as("twap"))
+      .orderBy("user_id")
+  }
+
   def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
-    qDocMixBudget, qEventsRetention)
+    qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap)
 }
