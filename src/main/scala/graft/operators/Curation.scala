@@ -283,6 +283,42 @@ object Curation {
       .orderBy("user_id")
   }
 
+
+  /** DAU / trailing-7-day WAU: daily active users plus the rolling
+    * 7-day distinct-user count. Rolling DISTINCT cannot ride a window
+    * frame (distinct doesn't decompose), so the scale shape is: dedup to
+    * (day, user) pairs once — the only corpus-sized shuffle — then a
+    * bounded range join of each day against its 7-day lookback window of
+    * pairs, counting distinct per anchor day. Cost is |days| x 7 x
+    * |daily actives|, independent of raw event volume. */
+  val qEventsWau = Q(
+    "q_events_wau",
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT d FROM du)
+      |SELECT days.d,
+      |  (SELECT COUNT(*) FROM du WHERE du.d = days.d) AS dau,
+      |  (SELECT COUNT(DISTINCT u2.user_id) FROM du u2
+      |   WHERE u2.d BETWEEN days.d - 6 AND days.d) AS wau
+      |FROM days
+      |ORDER BY days.d""".stripMargin
+  ) { (spark, dir) =>
+    val du = Tables.events(spark, dir)
+      .select(to_date(date_trunc("day", col("ts"))).as("d"), col("user_id"))
+      .distinct()
+      .persist() // anchors, DAU and the lookback join all read it
+    val days = du.select(col("d")).distinct()
+    val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = days.select(col("d").as("anchor"))
+      .join(du, datediff(col("anchor"), col("d")).between(0, 6))
+      .groupBy("anchor")
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, col("d") === col("anchor"))
+      .select(col("d"), col("dau"), col("wau"))
+      .orderBy("d")
+  }
+
   def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
-    qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap)
+    qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap, qEventsWau)
 }

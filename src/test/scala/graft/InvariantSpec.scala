@@ -73,6 +73,19 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(bad === 0L)
   }
 
+  test("the graded inventory has unique names and total ordering per query") {
+    val qs = SparkEntry.allQ
+    assert(qs.map(_.name).distinct.size === qs.size, "duplicate query name shadows another in SparkEntry.queries")
+    assert(SparkEntry.queries.size === qs.size)
+    // every oracle references only fixture tables (no temp/external names)
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    qs.flatMap(_.oracle).foreach { sql =>
+      assert(!sql.contains("read_parquet"), "oracle must use bare table names")
+    }
+    assert(qs.count(_.oracle.isEmpty) === 2) // q_agg_approx, q_agg_approx_quantile
+  }
+
   test("token-budget apportionment sums exactly to the budget") {
     val out = graft.operators.Curation.qDocMixBudget.fn(spark, sf()).collect()
     assert(out.map(_.getLong(2)).sum === 1000000L)
