@@ -319,6 +319,36 @@ object Curation {
       .orderBy("d")
   }
 
+
+  /** Volume anomaly scoring: each day's event count against the mean and
+    * sample-stddev of the preceding 7 days (frame excludes the current
+    * row — the monitored value must not contaminate its own baseline).
+    * Counts are exact ints; the z-score is float arithmetic over them,
+    * rounded to 6 dp on both engines. Days with fewer than 2 baseline
+    * points emit NULL (stddev undefined) on both engines. */
+  val qEventsAnomaly = Q(
+    "q_events_anomaly",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY day)
+      |SELECT day, n,
+      |  round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 6) AS zscore
+      |FROM d
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |ORDER BY day""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    Tables.events(spark, dir)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("day"), col("n"),
+        round((col("n") - avg("n").over(w)) / stddev_samp("n").over(w), 6)
+          .as("zscore"))
+      .orderBy("day")
+  }
+
   def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
-    qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap, qEventsWau)
+    qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap, qEventsWau,
+    qEventsAnomaly)
 }

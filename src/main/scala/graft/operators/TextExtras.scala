@@ -407,7 +407,38 @@ object TextExtras {
       .orderBy("lang", "source")
   }
 
+
+  /** Boolean keyword retrieval: rank documents by how many of the query
+    * terms they contain (conjunctive-ish OR retrieval with a match-count
+    * score), top-10 with doc_id tiebreak. The inverted-index shape: the
+    * scan filters to the 3 query terms BEFORE any shuffle, so the
+    * aggregate sees only matching incidences — at 100 TB this is a
+    * posting-list scan, not a corpus scan. */
+  val qTextSearch = Q(
+    "q_text_search",
+    """SELECT doc_id, CAST(n_terms AS INT) AS n_terms, lang FROM (
+      |  SELECT i.doc_id, COUNT(DISTINCT i.t) AS n_terms, min(d.lang) AS lang
+      |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |        FROM documents) i
+      |  JOIN documents d ON d.doc_id = i.doc_id
+      |  WHERE i.t IN ('data', 'query', 'vector')
+      |  GROUP BY i.doc_id)
+      |ORDER BY n_terms DESC, doc_id
+      |LIMIT 10""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val inc = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .filter(col("t").isin("data", "query", "vector"))
+      .groupBy("doc_id")
+      .agg(countDistinct("t").as("n_terms"))
+    inc.join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("n_terms").cast("int").as("n_terms"), col("lang"))
+      .orderBy(desc("n_terms"), asc("doc_id"))
+      .limit(10)
+  }
+
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qTokenBpe, qMultimodalMeta, qMultimodalFrames,
-    qTextCooccur, qTextTfidf, qDocTopkQuality, qPipelineFilter)
+    qTextCooccur, qTextTfidf, qDocTopkQuality, qPipelineFilter, qTextSearch)
 }
