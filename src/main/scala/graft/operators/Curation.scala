@@ -348,7 +348,39 @@ object Curation {
       .orderBy("day")
   }
 
+
+  /** Equal-frequency feature binning: decile buckets of customer balance
+    * via ntile(10) with a custkey tiebreak (ties at bucket boundaries
+    * resolve identically on both engines), then per-bin population stats
+    * in exact cents — the feature-engineering discretization step. One
+    * global window (the feature table is per-entity, far smaller than the
+    * fact data) + a 10-row rollup. */
+  val qFeatureBin = Q(
+    "q_feature_bin",
+    """WITH b AS (
+      |  SELECT c_acctbal,
+      |    CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS bin
+      |  FROM customer)
+      |SELECT bin, COUNT(*) AS n,
+      |  CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS lo_cents,
+      |  CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS hi_cents,
+      |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*) AS mean_bal
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("c_acctbal", "c_custkey")
+    val cents = graft.functions.Det.units(col("c_acctbal"), 100)
+    Tables.customer(spark, dir)
+      .select(col("c_acctbal"), col("c_custkey"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(cents).as("lo_cents"), max(cents).as("hi_cents"),
+        graft.functions.Det.exactAvg(col("c_acctbal"), 100).as("mean_bal"))
+      .orderBy("bin")
+  }
+
   def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
     qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap, qEventsWau,
-    qEventsAnomaly)
+    qEventsAnomaly, qFeatureBin)
 }

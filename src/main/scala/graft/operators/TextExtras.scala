@@ -438,7 +438,40 @@ object TextExtras {
       .limit(10)
   }
 
+
+  /** Positional phrase search: documents containing the exact bigram
+    * "data query" — keyword retrieval can't see adjacency, so this joins
+    * the positional index with itself on (doc, pos+1). The posting-list
+    * filter still runs at the scan; the self-join carries only the two
+    * terms' postings. Counts per occurrence (not per doc) ride along. */
+  val qTextPhrase = Q(
+    "q_text_phrase",
+    """WITH pos AS (
+      |  SELECT doc_id, i AS p, ws[i] AS t
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+      |hits AS (
+      |  SELECT a.doc_id, COUNT(*) AS n_occur
+      |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      |  WHERE a.t = 'data' AND b.t = 'query'
+      |  GROUP BY a.doc_id)
+      |SELECT doc_id, CAST(n_occur AS INT) AS n_occur
+      |FROM hits ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val a = pos.filter(col("t") === "data")
+      .select(col("doc_id"), col("p"))
+    val b = pos.filter(col("t") === "query")
+      .select(col("doc_id").as("b_doc"), col("p").as("bp"))
+    a.join(b, col("doc_id") === col("b_doc") && col("bp") === col("p") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_occur"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qTokenBpe, qMultimodalMeta, qMultimodalFrames,
-    qTextCooccur, qTextTfidf, qDocTopkQuality, qPipelineFilter, qTextSearch)
+    qTextCooccur, qTextTfidf, qDocTopkQuality, qPipelineFilter, qTextSearch,
+    qTextPhrase)
 }
