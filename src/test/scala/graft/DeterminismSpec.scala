@@ -15,7 +15,9 @@ class DeterminismSpec extends SparkTestBase {
   private val sensitive = Seq(
     "q_agg_pricing", "q_agg_stats", "q_win_share", "q_vec_centroid",
     "q_text_ngram_lm", "q_stream_session", "q_dedup_minhash", "q_dedup_cc",
-    "q_udaf_geomean", "q_text_entropy", "q_vec_kmeans", "q_doc_mix_budget")
+    "q_udaf_geomean", "q_text_entropy", "q_vec_kmeans", "q_doc_mix_budget",
+    "q_clip_outliers", "q_events_twap", "q_events_anomaly",
+    "q_vec_recall_eval", "q_win_range_frame")
 
   test("float-sensitive queries return identical rows under 3 vs 17 shuffle partitions") {
     val dir = sf()
