@@ -470,8 +470,52 @@ object TextExtras {
       .orderBy("doc_id")
   }
 
+
+  /** Multimodal resize planning: per payload, stub-typed image dims from
+    * the content digest (hex pairs 7-8 / 9-10, the same digest-derived
+    * metadata convention as decodeStub/q_multimodal_frames), then the
+    * aspect-preserving fit into a 224x224 training tile: the longest side
+    * maps to 224, the other floors proportionally — all integer
+    * arithmetic, so the planned output dims are bit-identical
+    * cross-engine. The real decode/resample lives behind the
+    * Multimodal.decodeStub seam; THIS pass is the planning sweep a
+    * preprocessing pipeline runs to budget compute before decoding. */
+  val qMultimodalResize = Q(
+    "q_multimodal_resize",
+    """WITH d AS (
+      |  SELECT source,
+      |    64 + 4 * ((strpos('0123456789abcdef', substr(md5(text), 7, 1)) - 1) * 16
+      |            + (strpos('0123456789abcdef', substr(md5(text), 8, 1)) - 1)) AS w,
+      |    64 + 4 * ((strpos('0123456789abcdef', substr(md5(text), 9, 1)) - 1) * 16
+      |            + (strpos('0123456789abcdef', substr(md5(text), 10, 1)) - 1)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, w, h,
+      |    (w * 224) // GREATEST(w, h) AS out_w,
+      |    (h * 224) // GREATEST(w, h) AS out_h
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_images,
+      |  CAST(SUM(w * h) AS BIGINT) AS in_pixels,
+      |  CAST(SUM(out_w * out_h) AS BIGINT) AS out_pixels,
+      |  CAST(MAX(GREATEST(out_w, out_h)) AS INT) AS max_side
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    val dims = Tables.documents(spark, dir)
+      .select(col("source"),
+        (lit(64) + lit(4) * expr("CAST(conv(substring(md5(text), 7, 2), 16, 10) AS INT)")).as("w"),
+        (lit(64) + lit(4) * expr("CAST(conv(substring(md5(text), 9, 2), 16, 10) AS INT)")).as("h"))
+      .withColumn("out_w", expr("(w * 224) div greatest(w, h)"))
+      .withColumn("out_h", expr("(h * 224) div greatest(w, h)"))
+    dims.groupBy("source")
+      .agg(count(lit(1)).as("n_images"),
+        sum((col("w") * col("h")).cast("bigint")).as("in_pixels"),
+        sum((col("out_w") * col("out_h")).cast("bigint")).as("out_pixels"),
+        greatest(max("out_w"), max("out_h")).cast("int").as("max_side"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qTokenBpe, qMultimodalMeta, qMultimodalFrames,
     qTextCooccur, qTextTfidf, qDocTopkQuality, qPipelineFilter, qTextSearch,
-    qTextPhrase)
+    qTextPhrase, qMultimodalResize)
 }
