@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     f("graft_dot", classOf[DotProduct], es => DotProduct(es.head, es(1)))
     f("graft_simhash16", classOf[SketchExprs.SimHash16],
       es => SketchExprs.SimHash16(es.head))
+    f("graft_simhash_wide", classOf[SketchExprs.SimHashWide],
+      es => SketchExprs.SimHashWide(es.head))
     f("graft_minhash_sig", classOf[SketchExprs.MinHashSig],
       es => SketchExprs.MinHashSig(es.head))
     f("graft_bitmap_and_count", classOf[SketchExprs.BitmapAndCount],

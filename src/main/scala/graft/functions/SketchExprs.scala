@@ -113,6 +113,47 @@ object SketchExprs {
     override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
   }
 
+  /** Production-width SimHash: 60 bits (the portable token hash carries
+    * 60 bits of entropy — md5 hex chars 1-15 — so a "64-bit" sketch here
+    * is 60 meaningful bits; same majority rule per bit as SimHash16). */
+  case class SimHashWide(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData].toLongArray()
+      var sh = 0L
+      var k = 0
+      while (k < 60) {
+        var c = 0
+        var i = 0
+        while (i < hs.length) { if (((hs(i) >> k) & 1L) == 1L) c += 1; i += 1 }
+        if (2 * c > hs.length) sh |= (1L << k)
+        k += 1
+      }
+      sh
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val hs = ctx.freshName("hs"); val sh = ctx.freshName("sh")
+        val k = ctx.freshName("k"); val i = ctx.freshName("i"); val c = ctx.freshName("c")
+        s"""
+           |long[] $hs = $a.toLongArray();
+           |long $sh = 0L;
+           |for (int $k = 0; $k < 60; $k++) {
+           |  int $c = 0;
+           |  for (int $i = 0; $i < $hs.length; $i++) {
+           |    if ((($hs[$i] >> $k) & 1L) == 1L) $c++;
+           |  }
+           |  if (2 * $c > $hs.length) $sh |= (1L << $k);
+           |}
+           |${ev.value} = $sh;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+  }
+
   /** popcount(a AND b) over two BIGINT bitmap arrays — the set-intersection
     * cardinality when sets are dictionary-encoded into bit positions. Per
     * pair this is W and+popcount ops (W = ceil(vocab/64)) instead of a
@@ -161,6 +202,7 @@ object SketchExprs {
 
   def register(spark: SparkSession): Unit = synchronized {
     reg(spark, "graft_simhash16", classOf[SimHash16], es => SimHash16(es.head))
+    reg(spark, "graft_simhash_wide", classOf[SimHashWide], es => SimHashWide(es.head))
     reg(spark, "graft_minhash_sig", classOf[MinHashSig], es => MinHashSig(es.head))
     reg(spark, "graft_bitmap_and_count", classOf[BitmapAndCount],
       es => BitmapAndCount(es.head, es(1)))
@@ -168,6 +210,9 @@ object SketchExprs {
 
   def simhash16(spark: SparkSession, hs: Column): Column = {
     register(spark); call_function("graft_simhash16", hs)
+  }
+  def simhashWide(spark: SparkSession, hs: Column): Column = {
+    register(spark); call_function("graft_simhash_wide", hs)
   }
   def minhashSig(spark: SparkSession, hs: Column): Column = {
     register(spark); call_function("graft_minhash_sig", hs)
