@@ -115,6 +115,25 @@ class InvariantSpec extends SparkTestBase with Matchers {
     m.foreach { case ((day, _), n) => assert(n <= cohortSizes(day)) }
   }
 
+  test("band decomposition never misses a pair within its hamming radius (ScalaCheck)") {
+    // pigeonhole: 4 bands, radius 3 — flipping <= 3 of 60 bits can touch
+    // at most 3 bands, so at least one 15-bit band stays identical. This
+    // is the guarantee q_dedup_simhash_wide's candidate join relies on.
+    val gen = for {
+      sh <- Gen.chooseNum(0L, (1L << 60) - 1)
+      nFlips <- Gen.chooseNum(0, 3)
+      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 59))
+    } yield (sh, flips)
+    val prop = forAll(gen) { case (sh, flips) =>
+      val other = flips.foldLeft(sh)((v, k) => v ^ (1L << k))
+      (0 until 4).exists { b =>
+        ((sh >> (b * 15)) & 32767L) == ((other >> (b * 15)) & 32767L)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("Det units/exactSum round-trip is exact for 2dp money (ScalaCheck)") {
     val cents = Gen.chooseNum(-999999999L, 999999999L)
     val prop = forAll(cents) { c =>
