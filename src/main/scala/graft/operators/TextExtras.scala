@@ -514,8 +514,68 @@ object TextExtras {
       .orderBy("source")
   }
 
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 5-gram with the held-out split (source src0 stands in for the eval
+    * benchmark) — the overlap sweep every pre-training pipeline runs
+    * before the data ships. Inverted-index shape again: distinct
+    * (doc, 5-gram) incidences once, the eval side reduced to a distinct
+    * shingle set, one equi-join on the shingle — never doc x doc. Per
+    * language: training docs, contaminated docs, worst overlap count. */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, source, lang,
+      |    unnest(list_transform(range(1, len(ws) - 3),
+      |      i -> array_to_string(ws[i:i+4], ' '))) AS s
+      |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+      |        FROM documents)),
+      |e AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+      |h AS (SELECT sh.doc_id, sh.lang, COUNT(*) AS n_overlap
+      |      FROM sh JOIN e USING (s) WHERE sh.source <> 'src0'
+      |      GROUP BY sh.doc_id, sh.lang),
+      |tr AS (SELECT lang, COUNT(*) AS n_train FROM documents
+      |       WHERE source <> 'src0' GROUP BY lang)
+      |SELECT tr.lang, tr.n_train,
+      |  CAST(coalesce(c.n_contam, 0) AS BIGINT) AS n_contam,
+      |  CAST(coalesce(c.max_overlap, 0) AS BIGINT) AS max_overlap
+      |FROM tr LEFT JOIN (
+      |  SELECT lang, COUNT(*) AS n_contam, MAX(n_overlap) AS max_overlap
+      |  FROM h GROUP BY lang) c ON tr.lang = c.lang
+      |ORDER BY tr.lang""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("source"), col("lang"),
+      posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val sh = toks
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .withColumn("t3", lead("t", 3).over(w))
+      .withColumn("t4", lead("t", 4).over(w))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"), col("source"), col("lang"),
+        concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3"), col("t4")).as("s"))
+      .dropDuplicates("doc_id", "s")
+      .persist() // eval shingle set + training incidences
+    val e = sh.filter(col("source") === "src0").select("s").distinct()
+    val h = sh.filter(col("source") =!= "src0")
+      .join(e, "s")
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("n_overlap"))
+    val tr = docs.filter(col("source") =!= "src0")
+      .groupBy("lang").agg(count(lit(1)).as("n_train"))
+    val c = h.groupBy("lang")
+      .agg(count(lit(1)).as("n_contam"), max("n_overlap").as("max_overlap"))
+    tr.join(c, Seq("lang"), "left")
+      .select(col("lang"), col("n_train"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        coalesce(col("max_overlap"), lit(0L)).as("max_overlap"))
+      .orderBy("lang")
+  }
+
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qTokenBpe, qMultimodalMeta, qMultimodalFrames,
     qTextCooccur, qTextTfidf, qDocTopkQuality, qPipelineFilter, qTextSearch,
-    qTextPhrase, qMultimodalResize)
+    qTextPhrase, qMultimodalResize, qDecontaminate)
 }
