@@ -16,17 +16,6 @@ import graft.sources.Tables
   */
 object Curation {
 
-  /** Portable 32-bit hash (first 8 hex chars of md5, big-endian) of an
-    * arbitrary string expression — Spark form. Same construction as
-    * SketchDedup's token hash, applied to a composed row key. */
-  private def hash32Spark(in: String): String =
-    s"cast(conv(substring(md5($in), 1, 8), 16, 10) as bigint)"
-
-  private def hash32Duck(in: String): String =
-    s"""CAST(list_sum(list_transform(range(1, 9),
-       |  i -> (strpos('0123456789abcdef', substr(md5($in), i, 1)) - 1)
-       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
-
   /** Deterministic 5% hash-sample of lineitem (hash(key) % 20 = 0), then
     * per-flag stats. Reproducible across runs/engines (unlike TABLESAMPLE,
     * whose RNG is engine-private), stratum-unbiased, and embarrassingly
@@ -38,13 +27,13 @@ object Curation {
     s"""SELECT l_returnflag, count(*) AS n_sampled,
        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
        |FROM lineitem
-       |WHERE ${hash32Duck("concat_ws('-', l_orderkey, l_linenumber)")} % 20 = 0
+       |WHERE ${graft.functions.PortableHash.duck("concat_ws('-', l_orderkey, l_linenumber)")} % 20 = 0
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
   ) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .filter(expr(
-        s"${hash32Spark("concat_ws('-', l_orderkey, l_linenumber)")} % 20 = 0"))
+        s"${graft.functions.PortableHash.spark("concat_ws('-', l_orderkey, l_linenumber)")} % 20 = 0"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_sampled"),
         sum(round(col("l_quantity") * 100).cast("bigint")).as("sum_qty_c"))

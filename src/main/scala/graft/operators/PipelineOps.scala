@@ -20,15 +20,6 @@ import graft.sources.Tables
   */
 object PipelineOps {
 
-  /** Portable 32-bit hash (first 8 hex chars of md5) — same construction
-    * as Curation.qSampleHash, applied to a doc key. */
-  private def hash32Spark(in: String): String =
-    s"cast(conv(substring(md5($in), 1, 8), 16, 10) as bigint)"
-  private def hash32Duck(in: String): String =
-    s"""CAST(list_sum(list_transform(range(1, 9),
-       |  i -> (strpos('0123456789abcdef', substr(md5($in), i, 1)) - 1)
-       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
-
   /** Bloom-filter prefiltered semi-join: revenue of line items whose order
     * is 1-URGENT. The build side aggregates urgent orderkeys into a Bloom
     * sketch (one pass, associative merge); the probe side tests each
@@ -83,14 +74,14 @@ object PipelineOps {
     s"""SELECT lang, COUNT(*) AS n_sampled,
        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
        |FROM documents
-       |WHERE ${hash32Duck("concat('doc-', doc_id)")} % 100 <
+       |WHERE ${graft.functions.PortableHash.duck("concat('doc-', doc_id)")} % 100 <
        |  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 20 END
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
   ) { (spark, dir) =>
     Tables.documents(spark, dir)
       .filter(expr(
-        s"${hash32Spark("concat('doc-', cast(doc_id as string))")} % 100 < " +
+        s"${graft.functions.PortableHash.spark("concat('doc-', cast(doc_id as string))")} % 100 < " +
           "CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 20 END"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"),
