@@ -262,6 +262,37 @@ object Joins {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Full outer join — the reconciliation audit: every customer and every
+    * order key appears exactly once, bucketed into matched / customer-only
+    * / order-only (order-only is empty here by referential integrity, and
+    * the query PROVES that rather than assuming it). The aggregate over
+    * the join's null pattern is the standard data-quality sweep two
+    * ingest feeds get before being merged. */
+  val qJoinFull = Q(
+    "q_join_full",
+    """SELECT
+      |  CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'matched'
+      |       WHEN o_custkey IS NULL THEN 'customer_only'
+      |       ELSE 'order_only' END AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_custs
+      |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "matched")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("order_only").as("bucket"),
+        col("c_custkey"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), countDistinct("c_custkey").as("n_custs"))
+      .orderBy("bucket")
+  }
+
   def all: Seq[Q] = Seq(q05, q06, q07, q08, q09, q10, q11, q12,
-    qJoinAsofFwd, qSubqueryScalar)
+    qJoinAsofFwd, qSubqueryScalar, qJoinFull)
 }

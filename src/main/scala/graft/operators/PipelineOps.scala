@@ -272,6 +272,44 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+
+  /** Packed-context CONTENT check: the md5 of each 2048-token bin's
+    * concatenated text (newline-joined, doc_id order) — q_doc_pack proves
+    * the bin arithmetic; this proves the bytes that would ship to
+    * training are identical cross-engine. The ordered concatenation uses
+    * array_sort(collect_list(struct)) — sorted by the leading doc_id
+    * field, so the aggregate is order-insensitive to partitioning. */
+  val qDocPackContent = Q(
+    "q_doc_pack_content",
+    """WITH c AS (
+      |  SELECT lang, doc_id, text,
+      |    CAST(coalesce(SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) // 2048 AS bin
+      |  FROM documents)
+      |SELECT lang, CAST(bin AS INT) AS bin,
+      |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS content_md5,
+      |  COUNT(*) AS n_docs
+      |FROM c GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("bin",
+        expr("coalesce(sum(n_tok) over (partition by lang order by doc_id " +
+          "rows between unbounded preceding and 1 preceding), 0) div 2048"))
+      .groupBy(col("lang"), col("bin").cast("int").as("bin"))
+      .agg(
+        md5(concat_ws("\n",
+          expr("transform(array_sort(collect_list(struct(doc_id, text))), s -> s.text)"))
+        ).as("content_md5"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang", "bin")
+  }
+
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
-    qTimeResample, qWinStreaks, qDocPack, qTextNgramLm)
+    qTimeResample, qWinStreaks, qDocPack, qTextNgramLm, qDocPackContent)
 }
