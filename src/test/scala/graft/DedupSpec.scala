@@ -114,4 +114,35 @@ class DedupSpec extends SparkTestBase {
     assert(cc(100L) == 100L && cc(101L) == 100L)
     assert(cc.size === 9)
   }
+
+  test("connected components match a union-find reference on random graphs") {
+    import spark.implicits._
+    // deterministic PRNG: three fixed seeds, 40 nodes, 45 random edges —
+    // enough to produce multi-component graphs with chains AND cliques
+    for (seed <- Seq(7L, 42L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // min node id in v's component, restricted to nodes with edges
+          val root = find(v.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(u => find(u.toInt) == root).min
+        }).toMap
+      val got = graft.operators.SketchDedup.connectedComponents(
+        edges.toDF("a_id", "b_id")).as[(Long, Long)].collect().toMap
+      assert(got === expected, s"seed $seed: labels diverge from union-find")
+    }
+  }
 }
