@@ -44,8 +44,15 @@ object TokenBits {
     * silently drop them because explode yields no rows). */
   def withBitmap(df: DataFrame, keyCol: String, setCol: String,
       bitsCol: String): DataFrame = {
-    val exploded = df.select(col(keyCol), explode(col(setCol)).as("__t"))
-    val terms = exploded.select("__t").distinct()
+    // persist both shared sub-DAGs: `exploded` (corpus-linear incidences)
+    // feeds the vocab count, the dictionary AND the encode join — without
+    // the cache the tokenize+explode runs three times. At fixture scale
+    // the saving is inside run-to-run noise (tokenize is cheap next to
+    // the encode shuffles), but at 100 TB three corpus passes vs one is
+    // the difference that matters; the cache is the (doc, token)
+    // incidence list a production pipeline materializes anyway.
+    val exploded = df.select(col(keyCol), explode(col(setCol)).as("__t")).persist()
+    val terms = exploded.select("__t").distinct().persist()
     val vocab = terms.count() // driver-side scalar: bitmap width config
     val nWords = if (vocab == 0) 1 else ((vocab - 1) / 64 + 1).toInt
     val small = vocab <= SmallVocab
