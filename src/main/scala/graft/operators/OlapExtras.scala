@@ -279,6 +279,57 @@ object OlapExtras {
         count(lit(1)).as("n_items"))
   }
 
+
+  /** Exponentially-weighted moving average of daily revenue — EXACTLY.
+    * EWMA is inherently recursive, but with decay 1/2 and a 16-day
+    * horizon the weights are powers of two, so cents x 2^(15-gap) stays
+    * integer: the weighted sum accumulates in DECIMAL(38,0) with zero
+    * float error and one double division at the end. The lookback is a
+    * bounded range join on the integer day index (16 rows per anchor
+    * day) — the same per-key-bounded shape as the WAU lookback, never a
+    * growing frame. Tail truncation (gap > 15) is part of the operator's
+    * definition, identically on both engines. */
+  val qOlapEwma = Q(
+    "q_olap_ewma",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    CAST(datediff('day', DATE '1970-01-01',
+      |         CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS ep,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY day, ep),
+      |j AS (
+      |  SELECT a.day, a.ep,
+      |    SUM(b.cents * CAST(power(2, 15 - (a.ep - b.ep)) AS BIGINT)) AS wsum,
+      |    SUM(CAST(power(2, 15 - (a.ep - b.ep)) AS BIGINT)) AS wtot
+      |  FROM d a JOIN d b ON b.ep BETWEEN a.ep - 15 AND a.ep
+      |  GROUP BY a.day, a.ep)
+      |SELECT day, round(CAST(wsum AS DOUBLE) / wtot / 100.0, 2) AS ewma
+      |FROM j ORDER BY day""".stripMargin
+  ) { (spark, dir) =>
+    val d = Tables.orders(spark, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(sum(Det.units(col("o_totalprice"), 100)).as("cents"))
+      .withColumn("ep", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      .persist() // both sides of the bounded lookback join
+    val a = d.select(col("day"), col("ep"))
+    val b = d.select(col("ep").as("bep"), col("cents"))
+    a.join(b, col("bep").between(col("ep") - 15, col("ep")))
+      .select(col("day"), col("ep"),
+        (col("cents") * pow(lit(2), lit(15) - (col("ep") - col("bep"))).cast("long"))
+          .cast("decimal(38,0)").as("w"),
+        pow(lit(2), lit(15) - (col("ep") - col("bep"))).cast("long")
+          .cast("decimal(38,0)").as("wt"))
+      .groupBy("day", "ep")
+      .agg(sum("w").as("wsum"), sum("wt").as("wtot"))
+      .select(col("day"),
+        // 2 dp, not 6: the value is cents-scale (~1e6), so 6 dp sits at
+        // double's 13th significant digit where the engines' division can
+        // differ by an ulp (observed once in 2399 rows at sf0.01)
+        round(col("wsum").cast("double") / col("wtot").cast("double") / 100.0, 2)
+          .as("ewma"))
+      .orderBy("day")
+  }
+
   def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode, qCdcCompact,
-    qOlapShipPriority, qOlapLocalSupp, qOlapPromoRatio)
+    qOlapShipPriority, qOlapLocalSupp, qOlapPromoRatio, qOlapEwma)
 }
