@@ -369,7 +369,91 @@ object Curation {
       .orderBy("bin")
   }
 
+
+  /** Event-type transition matrix (first-order Markov statistics): for
+    * each ordered (from, to) pair of consecutive same-user events, the
+    * count and MLE transition probability from exact integer counts —
+    * the sequence-model statistics a behavioral pipeline extracts. One
+    * lag window on the (user, time) ordering, two aggregates sharing the
+    * from-type key. */
+  val qEventsMarkov = Q(
+    "q_events_markov",
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      |  FROM s WHERE prev_type IS NOT NULL
+      |  GROUP BY from_type, to_type),
+      |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+      |FROM c JOIN t ON c.from_type = t.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lag("event_type", 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy("from_type").agg(sum("n").as("tot"))
+    c.join(t, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Revenue concentration (Pareto sweep): rank customers by exact-unit
+    * revenue, then report at each revenue decile how many customers it
+    * takes — "what fraction of customers carry X% of revenue". Cumulative
+    * integer sums over a rank window; the decile cut compares exact
+    * integers (cum x 10 >= total x d), so no float boundary exists. */
+  val qOrdersPareto = Q(
+    "q_orders_pareto",
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |k AS (
+      |  SELECT cents,
+      |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rk,
+      |    CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(cents) OVER () AS BIGINT) AS total,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n_cust
+      |  FROM r)
+      |SELECT d AS decile, CAST(MIN(rk) AS BIGINT) AS n_customers,
+      |  round(CAST(MIN(rk) AS DOUBLE) / MIN(n_cust), 6) AS cust_frac
+      |FROM k, unnest([1,2,3,4,5,6,7,8,9]) u(d)
+      |WHERE cum * 10 >= total * d
+      |GROUP BY d
+      |ORDER BY d""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(graft.functions.Det.units(col("o_totalprice"), 100)).as("cents"))
+    val ord = Window.orderBy(desc("cents"), asc("o_custkey"))
+    val all = Window.partitionBy(lit(1))
+    val k = r.select(col("cents"),
+      row_number().over(ord).cast("long").as("rk"),
+      sum("cents").over(ord.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+      sum("cents").over(all).as("total"),
+      count(lit(1)).over(all).as("n_cust"))
+    k.crossJoin(spark.range(1, 10).select(col("id").cast("int").as("decile")))
+      .filter(col("cum") * 10 >= col("total") * col("decile"))
+      .groupBy("decile")
+      .agg(min("rk").as("n_customers"),
+        round(min("rk").cast("double") / min("n_cust"), 6).as("cust_frac"))
+      .orderBy("decile")
+  }
+
   def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
     qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap, qEventsWau,
-    qEventsAnomaly, qFeatureBin)
+    qEventsAnomaly, qFeatureBin, qEventsMarkov, qOrdersPareto)
 }
