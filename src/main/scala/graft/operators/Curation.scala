@@ -453,7 +453,40 @@ object Curation {
       .orderBy("decile")
   }
 
+
+  /** A/B-split lift readout: users deterministically hash-split 50/50,
+    * per-arm user counts, purchasers, and conversion rate, plus the
+    * pooled two-proportion z statistic — the experiment-analysis readout,
+    * with the assignment reproducible on any engine (no RNG). Counts are
+    * exact; the rate and z are float arithmetic over exact integers with
+    * the same operation order on both engines, rounded to 6 dp. */
+  val qEventsAbLift = Q(
+    "q_events_ab_lift",
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN ${graft.functions.PortableHash.duck("concat('ab-', user_id)")} % 2 = 0
+       |         THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS converted
+       |  FROM events GROUP BY user_id)
+       |SELECT arm, COUNT(*) AS n_users,
+       |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+       |  round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+       |FROM u GROUP BY arm ORDER BY arm""".stripMargin
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      .withColumn("arm",
+        when(expr(s"${graft.functions.PortableHash.spark("concat('ab-', cast(user_id as string))")} % 2 = 0"), "A")
+          .otherwise("B"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum("converted").as("n_converted"),
+        round(sum("converted").cast("double") / count(lit(1)), 6).as("conv_rate"))
+      .orderBy("arm")
+  }
+
   def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
     qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap, qEventsWau,
-    qEventsAnomaly, qFeatureBin, qEventsMarkov, qOrdersPareto)
+    qEventsAnomaly, qFeatureBin, qEventsMarkov, qOrdersPareto, qEventsAbLift)
 }
