@@ -330,6 +330,56 @@ object OlapExtras {
       .orderBy("day")
   }
 
+
+  /** RFM segmentation: recency (days since the customer's last order,
+    * against the corpus max date), frequency (order count), monetary
+    * (exact cents) — each cut into two fixed bands, customers rolled up
+    * per 8-way segment. All integer comparisons against integer
+    * thresholds: the segment assignment cannot float-drift. The corpus
+    * max date is a 1-row aggregate joined in (broadcast scalar), then
+    * everything is one customer-keyed aggregation. */
+  val qOlapRfm = Q(
+    "q_olap_rfm",
+    """WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+      |c AS (
+      |  SELECT o_custkey,
+      |    CAST(datediff('day', CAST(max(o_orderdate) AS DATE), CAST(min(mxd) AS DATE))
+      |         AS BIGINT) AS rec_days,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders, mx GROUP BY o_custkey)
+      |SELECT concat(
+      |    CASE WHEN rec_days <= 365 THEN 'R1' ELSE 'R0' END,
+      |    CASE WHEN freq >= 10 THEN 'F1' ELSE 'F0' END,
+      |    CASE WHEN cents >= 15000000 THEN 'M1' ELSE 'M0' END) AS segment,
+      |  COUNT(*) AS n_customers,
+      |  SUM(cents) / 100.0 / COUNT(*) AS avg_revenue
+      |FROM c GROUP BY segment
+      |ORDER BY segment""".stripMargin
+  ) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val mx = o.agg(max("o_orderdate").as("mxd"))
+    val c = o.crossJoin(broadcast(mx))
+      .groupBy("o_custkey")
+      .agg(
+        datediff(to_date(max("o_orderdate")), to_date(min("mxd")))
+          .cast("long").as("rec_days_neg"),
+        count(lit(1)).as("freq"),
+        sum(Det.units(col("o_totalprice"), 100)).as("cents"))
+      .withColumn("rec_days", -col("rec_days_neg"))
+    c.select(
+        concat(
+          when(col("rec_days") <= 365, "R1").otherwise("R0"),
+          when(col("freq") >= 10, "F1").otherwise("F0"),
+          when(col("cents") >= 15000000L, "M1").otherwise("M0")).as("segment"),
+        col("cents"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("cents").cast("decimal(38,0)")).cast("double") / 100.0
+          / count(lit(1))).as("avg_revenue"))
+      .orderBy("segment")
+  }
+
   def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode, qCdcCompact,
-    qOlapShipPriority, qOlapLocalSupp, qOlapPromoRatio, qOlapEwma)
+    qOlapShipPriority, qOlapLocalSupp, qOlapPromoRatio, qOlapEwma, qOlapRfm)
 }
