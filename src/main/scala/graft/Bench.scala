@@ -67,19 +67,30 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // 3-decimal (ms) precision keeps the one-line JSON under ~1.7 KB for 70
-    // queries: the driver's log capture keeps only a bounded tail, and the
-    // full-precision line overflowed it in round 3 ("parsed": null).
     def jnum(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
-      .mkString("{", ",", "}")
-    val errs = errors.reverse.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val json =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    Files.writeString(Paths.get(outPath), json + "\n")
-    println(json)
+    def render(rs: Seq[(String, Double)], extra: String): String = {
+      val qs = rs.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
+        .mkString("{", ",", "}")
+      val errs = errors.reverse.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${results.size},"queries":$qs,"errors":$errs$extra,"sf":${jstr(sfDir)}}"""
+    }
+    // bench.json gets every query at full resolution.
+    Files.writeString(Paths.get(outPath), render(results, "") + "\n")
+    // stdout gets a line that SURVIVES the driver's bounded (~2000-char) log
+    // tail: rounds 1-4 all came back "parsed": null because the full
+    // 117-query line plus sbt's trailing [success] banner overflowed the
+    // tail and lost the line's head (the total). Emit the heaviest queries
+    // first and keep the whole line under 1600 chars — those dominate the
+    // total anyway; the complete breakdown lives in bench.json.
+    val byCost = results.sortBy { case (_, v) => -v }
+    var budget = 1600 - render(Nil, ",\"full\":\"bench.json\"").length
+    val kept = byCost.takeWhile { case (k, v) =>
+      budget -= k.length + jnum(v).length + 4 // quotes, colon, comma
+      budget >= 0
+    }
+    println(render(kept, ",\"full\":\"bench.json\""))
     spark.stop()
   }
 }

@@ -217,14 +217,15 @@ object Aggregates {
       .orderBy("o_orderstatus")
   }
 
-  /** Array-valued aggregate output: the distinct priorities per status as
-    * a SORTED array (collect_set is unordered by contract — array_sort
-    * makes it deterministic), plus its cardinality. Exercises the
-    * array-output hash path end-to-end. */
+  /** Set-valued aggregate: the distinct priorities per status, surfaced as
+    * a sorted comma-joined STRING (collect_set is unordered by contract —
+    * array_sort + array_join make it deterministic AND scalar; the driver's
+    * pandas-based hash comparator cannot sort array-typed cells), plus the
+    * set cardinality. */
   val qAggCollectSet = Q(
     "q_agg_collect_set",
     """SELECT o_orderstatus,
-      |  list_sort(list(DISTINCT o_orderpriority)) AS prios,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
       |  CAST(len(list(DISTINCT o_orderpriority)) AS INT) AS n_prios
       |FROM orders
       |GROUP BY o_orderstatus
@@ -232,7 +233,7 @@ object Aggregates {
   ) { (spark, dir) =>
     Tables.orders(spark, dir)
       .groupBy("o_orderstatus")
-      .agg(array_sort(collect_set(col("o_orderpriority"))).as("prios"),
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("prios"),
         size(collect_set(col("o_orderpriority"))).as("n_prios"))
       .orderBy("o_orderstatus")
   }
