@@ -145,4 +145,38 @@ class DedupSpec extends SparkTestBase {
       assert(got === expected, s"seed $seed: labels diverge from union-find")
     }
   }
+
+  test("connected components merge across partitions (local union-find is partial)") {
+    // One long chain spread over 8 partitions: each partition's local
+    // union-find sees at most a couple of edges, so the global answer can
+    // only come from the large-star/small-star phase. 0-1-2-...-19 is one
+    // component rooted at 0.
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      .repartition(8)
+    val cc = graft.operators.SketchDedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size === 20)
+    assert((0L to 19L).forall(cc(_) == 0L))
+  }
+
+  test("reliable-checkpoint knob yields identical labels to localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L), (100L, 101L))
+      .toDF("a_id", "b_id").repartition(6)
+    val local = graft.operators.SketchDedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = graft.operators.SketchDedup.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(reliable === local)
+      assert(Seq(10L, 20L, 30L, 40L).forall(reliable(_) == 10L))
+      // the knob actually engaged: checkpoint files landed in the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint wrote no files — knob not engaged")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
 }
