@@ -169,6 +169,40 @@ object OlapExtras {
       .orderBy("o_orderstatus")
   }
 
+  /** CDC / SCD type-2 interval construction — the other half of real CDC
+    * compaction (q_cdc_compact is latest-wins; warehouses ALSO need the
+    * full validity-interval history). Each change event (here: a
+    * customer's order, keyed o_custkey, effective o_orderdate) becomes a
+    * versioned row [valid_from, valid_to) where valid_to is the next
+    * change's timestamp and NULL marks the open (current) version.
+    *
+    * One window shuffle on the key, one pass, no self-join — lead() gives
+    * the interval end directly, so at 100 TB the cost is exactly one
+    * exchange of the change log plus a per-key sort, the same shape as
+    * any merge-on-read compaction. Ties on the effective date are broken
+    * by o_orderkey so the interval chain is deterministic cross-engine. */
+  val qCdcScd2 = Q(
+    "q_cdc_scd2",
+    """SELECT o_custkey, o_orderkey, o_orderstatus,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  CAST(CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) IS NULL THEN 1 ELSE 0 END AS INT)
+      |    AS is_current
+      |FROM orders
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val nextChange = lead(col("o_orderdate"), 1).over(w)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"),
+        nextChange.as("valid_to"),
+        when(nextChange.isNull, 1).otherwise(0).cast("int").as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
   /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
     * orders ⋈ lineitem, revenue per order, top 10. The canonical
     * selective-dim → big-fact plan: both date filters push to the scans,
@@ -381,5 +415,6 @@ object OlapExtras {
   }
 
   def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode, qCdcCompact,
-    qOlapShipPriority, qOlapLocalSupp, qOlapPromoRatio, qOlapEwma, qOlapRfm)
+    qCdcScd2, qOlapShipPriority, qOlapLocalSupp, qOlapPromoRatio, qOlapEwma,
+    qOlapRfm)
 }

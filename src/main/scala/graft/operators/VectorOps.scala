@@ -139,20 +139,26 @@ object VectorOps {
   // formula and embedded as IDENTICAL array literals in the Spark
   // expression and the DuckDB oracle — so bucket assignment is
   // bit-identical cross-engine. sign(h·v) per hyperplane → an 8-bit bucket.
+  // Hash TABLE t uses planes 8t..8t+7, so table 0 is the original
+  // single-table index and tables 1-3 are the OR-amplification extras —
+  // q_vec_lsh_multi's candidate set is a strict superset of table 0's,
+  // which makes its recall@3 ≥ the single-table value by construction
+  // (VectorAndApproxSpec asserts it).
   private val nPlanes = 8
+  private val nTables = 4
   private val dim = 64
   private def plane(j: Int): IndexedSeq[Int] =
     (0 until dim).map(i => ((1103515245L * (j + 1) + 12345L * (i + 1)) % 1997L).toInt - 998)
 
-  private def bucketExprSpark: String =
+  private def bucketExprSpark(t: Int = 0): String =
     (0 until nPlanes).map { j =>
-      val arr = plane(j).mkString("array(", ", ", ")")
+      val arr = plane(nPlanes * t + j).mkString("array(", ", ", ")")
       s"IF(aggregate(zip_with(embedding, $arr, (x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0, ${1 << j}, 0)"
     }.mkString("(", " + ", ")")
 
-  private def bucketExprDuck: String =
+  private def bucketExprDuck(t: Int = 0): String =
     (0 until nPlanes).map { j =>
-      val arr = plane(j).mkString("[", ", ", "]")
+      val arr = plane(nPlanes * t + j).mkString("[", ", ", "]")
       s"CASE WHEN list_sum(list_transform(list_zip(embedding, $arr), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
@@ -164,7 +170,7 @@ object VectorOps {
     * a plain shuffle join at any scale. */
   val qVecLshBucketed = Q(
     "q_vec_lsh_bucketed",
-    s"""WITH t AS (SELECT vec_id, embedding, CAST($bucketExprDuck AS INT) AS bucket
+    s"""WITH t AS (SELECT vec_id, embedding, CAST(${bucketExprDuck()} AS INT) AS bucket
        |           FROM embeddings)
        |SELECT a_id, b_id, bucket, sim, rk FROM (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
@@ -181,7 +187,7 @@ object VectorOps {
     // persist: both join sides re-derive the bucket (8 hyperplane dot
     // products per row) — cache the bucketed table once
     val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", expr(bucketExprSpark).cast("int"))
+      .withColumn("bucket", expr(bucketExprSpark()).cast("int"))
       .persist()
     val a = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_vec"))
@@ -205,7 +211,7 @@ object VectorOps {
     * it) — the documented tradeoff of every LSH dedup. */
   val qVecLshNearDup = Q(
     "q_vec_lsh_neardup",
-    s"""WITH t AS (SELECT vec_id, embedding, CAST($bucketExprDuck AS INT) AS bucket
+    s"""WITH t AS (SELECT vec_id, embedding, CAST(${bucketExprDuck()} AS INT) AS bucket
        |           FROM embeddings)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
        |  round($sqlDot, 6) AS sim
@@ -216,7 +222,7 @@ object VectorOps {
     // persist: the bucketed table feeds both sides of the self-join (8
     // hyperplane dot products per row otherwise computed twice)
     val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", expr(bucketExprSpark).cast("int"))
+      .withColumn("bucket", expr(bucketExprSpark()).cast("int"))
       .persist()
     val a = e.select(col("vec_id").as("a_id"), col("bucket"),
       col("embedding").as("a_vec"))
@@ -228,6 +234,74 @@ object VectorOps {
       .select(col("a_id"), col("b_id"), col("bucket"),
         round(col("sim_raw"), 6).as("sim"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** OR-amplified multi-table LSH ANN: 4 independent 8-plane hyperplane
+    * tables; a pair is a candidate if ANY table buckets it together
+    * (probability 1-(1-p^8)^4 vs the single table's p^8 — the standard
+    * recall lever), then exact-dot re-rank to top-3 per query vector.
+    *
+    * Scale shape: the signature table is LONG FORM (vec_id, tbl, bucket) —
+    * 4 small rows per vector, no embedding payload — so candidate
+    * generation is one equi-join on (tbl, bucket) whose shuffle carries
+    * ids+ints only; the 64-float vectors travel only in the final re-rank
+    * join against the distinct candidate pairs. That ordering (sketch
+    * join first, payload join last) is what keeps the plan viable when
+    * the corpus is 100 TB of embeddings. Table 0 is exactly
+    * q_vec_lsh_bucketed's index, so this candidate set is a superset of
+    * the single-table one and recall@3 can only improve (asserted in
+    * VectorAndApproxSpec). */
+  val qVecLshMulti = Q(
+    "q_vec_lsh_multi",
+    s"""WITH s AS (SELECT vec_id,
+       |    ${(0 until nTables).map(t => s"CAST(${bucketExprDuck(t)} AS INT) AS b$t").mkString(", ")}
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, t.tbl,
+       |    CASE t.tbl ${(0 until nTables).map(t => s"WHEN $t THEN b$t").mkString(" ")} END AS bucket
+       |  FROM s, (VALUES (0), (1), (2), (3)) AS t(tbl)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sig a JOIN sig b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 50)
+       |SELECT a_id, b_id, sim, rk FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    round($sqlDot, 6) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY c.a_id
+       |      ORDER BY round($sqlDot, 6) DESC, c.b_id) AS INT) AS rk
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.a_id
+       |  JOIN embeddings b ON b.vec_id = c.b_id)
+       |WHERE rk <= 3
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    // long-form signatures: 4 (tbl, bucket) rows per vector, ids only —
+    // persisted because both sides of the candidate self-join read it
+    val sig = e
+      .select(col("vec_id") +:
+        (0 until nTables).map(t => expr(bucketExprSpark(t)).cast("int").as(s"b$t")): _*)
+      .selectExpr("vec_id",
+        s"stack($nTables, ${(0 until nTables).map(t => s"$t, b$t").mkString(", ")}) AS (tbl, bucket)")
+      .persist()
+    val cand = sig.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
+      .join(sig.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val av = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val bv = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    cand.join(av, "a_id").join(bv, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("a_id", "b_id", "sim", "rk")
+      .orderBy("a_id", "rk")
   }
 
   /** Int8 quantization of the embedding column — the storage/bandwidth
@@ -408,7 +482,7 @@ object VectorOps {
     * how production recall monitoring bounds the quadratic cost. */
   val qVecRecallEval = Q(
     "q_vec_recall_eval",
-    s"""WITH t AS (SELECT vec_id, embedding, CAST($bucketExprDuck AS INT) AS bucket
+    s"""WITH t AS (SELECT vec_id, embedding, CAST(${bucketExprDuck()} AS INT) AS bucket
        |           FROM embeddings),
        |truth AS (
        |  SELECT a_id, b_id FROM (
@@ -436,7 +510,7 @@ object VectorOps {
        |ORDER BY tr.a_id""".stripMargin
   ) { (spark, dir) =>
     val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", expr(bucketExprSpark).cast("int"))
+      .withColumn("bucket", expr(bucketExprSpark()).cast("int"))
       .persist() // query panel + both candidate sides
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_vec"))
@@ -461,5 +535,6 @@ object VectorOps {
   }
 
   def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
-    qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2, qVecRecallEval)
+    qVecLshMulti, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
+    qVecRecallEval)
 }

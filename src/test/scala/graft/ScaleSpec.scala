@@ -100,4 +100,34 @@ class ScaleSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted === plain)
   }
+
+  test("heavy dedup queries survive a constrained spill-pressure session") {
+    // The 100 TB claim implicitly assumes the sort/hash-agg FALLBACK paths
+    // produce the same rows as the in-memory fast path — prove it instead.
+    // spark.memory.fraction is static per-context, so the in-JVM proxy is:
+    // 2 shuffle partitions (each task owns half the corpus), no broadcast
+    // joins, and HashAggregate's test hook forcing the sort-based fallback
+    // + spill after 100 rows per operator instance.
+    val dir = sf()
+    val constrained = spark.newSession()
+    constrained.conf.set("spark.sql.shuffle.partitions", "2")
+    constrained.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    constrained.conf.set("spark.sql.TungstenAggregate.testFallbackStartsAt", "100, 200")
+    try {
+      for (q <- Seq(graft.operators.TextExtras.qDedupNgram,
+          graft.operators.SketchDedup.qDedupMinhash)) {
+        // constrained runs FIRST on a cold cache: the CacheManager is
+        // shared across sessions, so running the fast path first would let
+        // the constrained plan silently reuse its persisted sub-DAGs and
+        // dodge the fallback it is supposed to prove.
+        spark.catalog.clearCache()
+        val got = q.fn(constrained, dir).collect().map(_.toString).toSeq
+        spark.catalog.clearCache()
+        val expected = q.fn(spark, dir).collect().map(_.toString).toSeq
+        assert(got === expected, s"${q.name} diverged under spill pressure")
+      }
+    } finally {
+      spark.catalog.clearCache() // drop frames persisted by either session
+    }
+  }
 }

@@ -76,4 +76,36 @@ class VectorAndApproxSpec extends SparkTestBase {
       }
     }
   }
+
+  test("OR-amplified multi-table LSH recall@3 >= single-table recall@3") {
+    // Table 0 of q_vec_lsh_multi IS q_vec_lsh_bucketed's index, so the
+    // multi-table candidate set is a superset and recall vs brute-force
+    // ground truth can only improve — verify the implementation preserves
+    // that construction instead of assuming it.
+    val dir = sf()
+    def pairs(q: graft.Q): Set[(Long, Long)] =
+      q.fn(spark, dir).select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = { // exact top-3 per query vector over the full corpus
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val a = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+      a.join(b, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(VecExprs.dot(spark, col("a_vec"), col("b_vec")), 6).as("sim"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val single = pairs(graft.operators.VectorOps.qVecLshBucketed)
+    val multi = pairs(graft.operators.VectorOps.qVecLshMulti)
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    assert(rMulti >= rSingle,
+      s"multi-table recall $rMulti < single-table recall $rSingle")
+    assert(rMulti > 0.0)
+  }
 }
