@@ -250,9 +250,10 @@ object VectorOps {
     * the corpus is 100 TB of embeddings. Table 0 is exactly
     * q_vec_lsh_bucketed's index, so this candidate set is a superset of
     * the single-table one and recall@3 can only improve (asserted in
-    * VectorAndApproxSpec). */
-  val qVecLshMulti = Q(
-    "q_vec_lsh_multi",
+    * VectorAndApproxSpec, reported by q_vec_recall_multi). */
+  // Shared CTE prefix: multi-table signatures -> distinct candidate pairs
+  // -> exact top-3 re-rank, used by q_vec_lsh_multi and q_vec_recall_multi.
+  private def multiTop3Duck: String =
     s"""WITH s AS (SELECT vec_id,
        |    ${(0 until nTables).map(t => s"CAST(${bucketExprDuck(t)} AS INT) AS b$t").mkString(", ")}
        |  FROM embeddings),
@@ -264,18 +265,21 @@ object VectorOps {
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM sig a JOIN sig b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
-       |  WHERE a.vec_id < 50)
-       |SELECT a_id, b_id, sim, rk FROM (
-       |  SELECT c.a_id, c.b_id,
-       |    round($sqlDot, 6) AS sim,
-       |    CAST(row_number() OVER (PARTITION BY c.a_id
-       |      ORDER BY round($sqlDot, 6) DESC, c.b_id) AS INT) AS rk
-       |  FROM cand c
-       |  JOIN embeddings a ON a.vec_id = c.a_id
-       |  JOIN embeddings b ON b.vec_id = c.b_id)
-       |WHERE rk <= 3
-       |ORDER BY a_id, rk""".stripMargin
-  ) { (spark, dir) =>
+       |  WHERE a.vec_id < 50),
+       |multi3 AS (
+       |  SELECT a_id, b_id, sim, rk FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      round($sqlDot, 6) AS sim,
+       |      CAST(row_number() OVER (PARTITION BY c.a_id
+       |        ORDER BY round($sqlDot, 6) DESC, c.b_id) AS INT) AS rk
+       |    FROM cand c
+       |    JOIN embeddings a ON a.vec_id = c.a_id
+       |    JOIN embeddings b ON b.vec_id = c.b_id)
+       |  WHERE rk <= 3)""".stripMargin
+
+  /** Spark side of the shared pipeline: exact top-3 per query vector over
+    * the OR'd multi-table candidate set (columns a_id, b_id, sim, rk). */
+  private def multiTop3(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // long-form signatures: 4 (tbl, bucket) rows per vector, ids only —
     // persisted because both sides of the candidate self-join read it
@@ -301,7 +305,59 @@ object VectorOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("a_id", "b_id", "sim", "rk")
-      .orderBy("a_id", "rk")
+  }
+
+  val qVecLshMulti = Q(
+    "q_vec_lsh_multi",
+    s"""$multiTop3Duck
+       |SELECT a_id, b_id, sim, rk FROM multi3
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    multiTop3(spark, dir).orderBy("a_id", "rk")
+  }
+
+  /** Recall@3 of the multi-table index vs brute-force ground truth — the
+    * monitoring query for the OR-amplification lever (q_vec_recall_eval
+    * is the same readout for the single-table index; comparing the two
+    * columns is how an operator decides whether another hash table is
+    * worth its storage). Same bounded query panel (vec_id < 50). */
+  val qVecRecallMulti = Q(
+    "q_vec_recall_multi",
+    s"""$multiTop3Duck,
+       |truth AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 50)
+       |  WHERE rk <= 3)
+       |SELECT tr.a_id,
+       |  CAST(COUNT(m.b_id) AS INT) AS n_hit,
+       |  round(COUNT(m.b_id) / 3.0, 6) AS recall_at_3
+       |FROM truth tr LEFT JOIN multi3 m
+       |  ON tr.a_id = m.a_id AND tr.b_id = m.b_id
+       |GROUP BY tr.a_id
+       |ORDER BY tr.a_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    val truth = q.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("a_id", "b_id")
+    truth.join(multiTop3(spark, dir).select("a_id", "b_id")
+        .withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg(count(col("hit")).cast("int").as("n_hit"),
+        round(count(col("hit")) / 3.0, 6).as("recall_at_3"))
+      .orderBy("a_id")
   }
 
   /** Int8 quantization of the embedding column — the storage/bandwidth
@@ -536,5 +592,5 @@ object VectorOps {
 
   def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
-    qVecRecallEval)
+    qVecRecallEval, qVecRecallMulti)
 }
