@@ -198,6 +198,35 @@ object Streams {
       .orderBy("window_start", "rk")
   }
 
+  /** Batch twin of the keyed streaming dedup ([[dedupKeyStream]]):
+    * earliest-wins per (user_id, event_type) — the first event of each
+    * kind a user ever fired, with ties broken by event_id so the survivor
+    * is deterministic cross-engine. The rank-1 window plans a pre-shuffle
+    * WindowGroupLimit (one candidate per key per task crosses the wire),
+    * and the streaming stage holds one state row per open key under the
+    * watermark — both sides are bounded at 100 TB. */
+  val qStreamDedup = Q(
+    "q_stream_dedup",
+    """SELECT user_id, event_type, ts AS first_ts,
+      |  event_id AS first_event_id, value AS first_value
+      |FROM (
+      |  SELECT user_id, event_type, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts").as("first_ts"),
+        col("event_id").as("first_event_id"), col("value").as("first_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Streaming stage of the windowed top-k: the incremental per-(window,
     * user) aggregation under a 10-minute watermark. State is one row per
     * open (window, user) — watermark-bounded. */
@@ -223,6 +252,14 @@ object Streams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Keyed streaming dedup: exactly-once per (user_id, event_type) within
+    * the watermark horizon — the streaming half of q_stream_dedup's batch
+    * twin (with an in-event-time-order feed, "first arriving" is the batch
+    * twin's earliest-ts row; StreamingSpec asserts the equivalence). */
+  def dedupKeyStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   // ---- Arbitrary stateful processing (flatMapGroupsWithState) ------------
 
@@ -251,5 +288,5 @@ object Streams {
       }
   }
 
-  def all: Seq[Q] = Seq(q35, q36, q37, qStreamJoin, qStreamTopk)
+  def all: Seq[Q] = Seq(q35, q36, q37, qStreamJoin, qStreamTopk, qStreamDedup)
 }

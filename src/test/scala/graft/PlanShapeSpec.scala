@@ -92,7 +92,8 @@ class PlanShapeSpec extends SparkTestBase {
     // the exchange (each task keeps its local top-k), not just the final
     // one after — that pre-shuffle prune is what keeps a 100 TB per-group
     // top-k from shuffling the whole fact table.
-    Seq("q_win_topk", "q_doc_topk_quality", "q_cdc_compact").foreach { name =>
+    Seq("q_win_topk", "q_doc_topk_quality", "q_cdc_compact",
+        "q_stream_dedup").foreach { name =>
       val plan = finalPlan(name)
       assert(plan.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
         s"$name should carry partial (pre-shuffle) + final WindowGroupLimit")
@@ -147,5 +148,38 @@ class PlanShapeSpec extends SparkTestBase {
     val leaves = queries("q_pivot")(spark, dir)
       .queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.size == 1, s"q_pivot should scan lineitem exactly once, saw ${leaves.size}")
+  }
+
+  test("multi-table LSH: candidate generation is an equi-join, no corpus hints") {
+    // The whole point of the long-form signature table is that candidates
+    // come from a plain (tbl, bucket) equi-join — a cartesian or a
+    // corpus-sized broadcast hint here is the 100 TB failure mode.
+    for (name <- Seq("q_vec_lsh_multi", "q_vec_recall_multi")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a CartesianProduct in the candidate path")
+      assert(hintedSideOutputs(name).isEmpty,
+        s"$name carries a static broadcast hint (corpus-sized at scale)")
+    }
+    // recall_multi's brute-force truth side is the sanctioned exception:
+    // a BNLJ over the bounded query panel, same as q_vec_knn. The ANN
+    // query itself must not have one.
+    assert(!finalPlan("q_vec_lsh_multi").contains("BroadcastNestedLoopJoin"),
+      "q_vec_lsh_multi degraded to BroadcastNestedLoopJoin")
+  }
+
+  test("SCD2 intervals plan exactly one window pass and one key shuffle") {
+    // lead() over (key, ts) needs one hash exchange on the key and one
+    // WindowExec — a second window or exchange means the interval build
+    // re-shuffles the change log (the merge-on-read cost model breaks).
+    // Count only the AQE-final tree (the formatted string repeats nodes
+    // in its Initial Plan section), allowing the presentation-sort range
+    // exchange for the query's total ORDER BY.
+    val finalSection = finalPlan("q_cdc_scd2").split("== Initial Plan ==").head
+    val windows = finalSection.split('\n').count(_.contains("Window ("))
+    assert(windows == 1, s"expected exactly 1 Window op, saw $windows:\n$finalSection")
+    val exchanges = finalSection.split('\n').count(_.contains("Exchange ("))
+    assert(exchanges <= 2, // key shuffle + final ORDER BY range exchange
+      s"interval build must shuffle the change log once, saw $exchanges:\n$finalSection")
   }
 }

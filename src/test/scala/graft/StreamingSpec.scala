@@ -100,6 +100,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("keyed streaming dedup matches the q_stream_dedup batch twin") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    // in-event-time-order feed: first-arriving == earliest-ts, which is
+    // exactly the batch twin's rank-1 survivor rule
+    val rows = Seq(
+      ev(10, "2024-01-01 10:00:00", user = 1, typ = "click", v = 1.0),
+      ev(11, "2024-01-01 10:00:30", user = 1, typ = "click", v = 2.0), // dup key
+      ev(12, "2024-01-01 10:01:00", user = 1, typ = "view", v = 3.0),
+      ev(13, "2024-01-01 10:02:00", user = 2, typ = "click", v = 4.0),
+      ev(14, "2024-01-01 10:03:00", user = 2, typ = "click", v = 5.0), // dup key
+      ev(15, "2024-01-01 10:04:00", user = 1, typ = "click", v = 6.0)) // dup key
+    val input = MemoryStream[Ev]
+    val q = Streams.dedupKeyStream(input.toDF())
+      .selectExpr("user_id", "event_type", "event_id")
+      .writeStream.format("memory").queryName("dedup_key_wm")
+      .outputMode("append").start()
+    withQuery(q) {
+      rows.foreach { r => input.addData(r); q.processAllAvailable() }
+      val streamed = spk.table("dedup_key_wm").as[(Long, String, Long)]
+        .collect().toSet
+      // batch twin semantics on the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val batch = rows.toDF()
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(org.apache.spark.sql.functions.col("rn") === 1)
+        .select("user_id", "event_type", "event_id")
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, "click", 10L), (1L, "view", 12L),
+        (2L, "click", 13L)))
+    }
+  }
+
   test("session windows merge within the gap and emit after watermark passes") {
     val spk = spark
     import spk.implicits._
