@@ -461,8 +461,10 @@ object VectorOps {
     * single-probe plan, 2x the candidate volume, measurably higher
     * recall. Every ranking key is rounded to 6 dp before comparison, so
     * the cell choice and the final top-3 cut are identical cross-engine. */
-  val qVecIvfProbe2 = Q(
-    "q_vec_ivf_probe2",
+  // Shared CTE prefix: exact-unit cell centroids -> 2-nearest-cell probes
+  // -> exact top-3 re-rank (ivf3), used by q_vec_ivf_probe2 and
+  // q_vec_recall_ivf.
+  private def ivfTop3Duck: String =
     s"""WITH cent AS (
        |  SELECT label, i - 1 AS pos,
        |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
@@ -484,14 +486,26 @@ object VectorOps {
        |    round($sqlDot, 6) AS sim
        |  FROM probes p
        |  JOIN q a ON a.vec_id = p.vec_id
-       |  JOIN embeddings b ON b.label = p.label AND b.vec_id <> p.vec_id)
-       |SELECT a_id, b_id, sim, rk FROM (
-       |  SELECT a_id, b_id, sim,
-       |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS INT) AS rk
-       |  FROM cand)
-       |WHERE rk <= 3
+       |  JOIN embeddings b ON b.label = p.label AND b.vec_id <> p.vec_id),
+       |ivf3 AS (
+       |  SELECT a_id, b_id, sim, rk FROM (
+       |    SELECT a_id, b_id, sim,
+       |      CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS INT) AS rk
+       |    FROM cand)
+       |  WHERE rk <= 3)""".stripMargin
+
+  val qVecIvfProbe2 = Q(
+    "q_vec_ivf_probe2",
+    s"""$ivfTop3Duck
+       |SELECT a_id, b_id, sim, rk FROM ivf3
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
+    ivfTop3(spark, dir).orderBy("a_id", "rk")
+  }
+
+  /** Spark side of the shared IVF pipeline: exact top-3 per query vector
+    * across its 2 probed cells (columns a_id, b_id, sim, rk). */
+  private def ivfTop3(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // k×64 centroid table from exact integer-unit sums (q_vec_centroid's
     // arithmetic), reassembled into an ordered double array per cell
@@ -524,7 +538,51 @@ object VectorOps {
         round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
       .withColumn("rk", row_number().over(topW))
       .filter(col("rk") <= 3)
-      .orderBy("a_id", "rk")
+      .select("a_id", "b_id", "sim", "rk")
+  }
+
+  /** Recall@3 of the 2-probe IVF index vs brute-force ground truth —
+    * completes the monitoring row for all three ANN variants (label
+    * buckets via q_vec_recall_eval's LSH readout, multi-table LSH via
+    * q_vec_recall_multi, IVF here): every index the engine serves has an
+    * observable quality number. Same bounded query panel (vec_id < 50). */
+  val qVecRecallIvf = Q(
+    "q_vec_recall_ivf",
+    s"""$ivfTop3Duck,
+       |truth AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 50)
+       |  WHERE rk <= 3)
+       |SELECT tr.a_id,
+       |  CAST(COUNT(i.b_id) AS INT) AS n_hit,
+       |  round(COUNT(i.b_id) / 3.0, 6) AS recall_at_3
+       |FROM truth tr LEFT JOIN ivf3 i
+       |  ON tr.a_id = i.a_id AND tr.b_id = i.b_id
+       |GROUP BY tr.a_id
+       |ORDER BY tr.a_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    val truth = q.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("a_id", "b_id")
+    truth.join(ivfTop3(spark, dir).select("a_id", "b_id")
+        .withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg(count(col("hit")).cast("int").as("n_hit"),
+        round(count(col("hit")) / 3.0, 6).as("recall_at_3"))
+      .orderBy("a_id")
   }
 
   /** ANN quality evaluation: recall@3 of the hyperplane-LSH index against
@@ -592,5 +650,5 @@ object VectorOps {
 
   def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
-    qVecRecallEval, qVecRecallMulti)
+    qVecRecallEval, qVecRecallMulti, qVecRecallIvf)
 }

@@ -158,4 +158,40 @@ class InvariantSpec extends SparkTestBase with Matchers {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("SCD2 intervals chain without gaps and close exactly once per key") {
+    val dir = sf()
+    val scd = graft.operators.OlapExtras.qCdcScd2.fn(spark, dir)
+    val orders = graft.sources.Tables.orders(spark, dir)
+    // every change event becomes exactly one versioned row
+    assert(scd.count() === orders.count())
+    // exactly one open (is_current) version per key, and it is the only
+    // row with a NULL valid_to
+    val perKey = scd.groupBy("o_custkey")
+      .agg(sum("is_current").as("n_open"),
+        sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_null_to"))
+    assert(perKey.filter(col("n_open") =!= 1 || col("n_null_to") =!= 1)
+      .count() === 0)
+    // the chain is gapless: row k's valid_to == row k+1's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    val gaps = scd
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from"))
+    assert(gaps.count() === 0, "interval chain has a gap or overlap")
+  }
+
+  test("stream-dedup survivors are exactly one earliest row per key") {
+    val dir = sf()
+    val out = graft.streaming.Streams.qStreamDedup.fn(spark, dir)
+    val events = graft.sources.Tables.events(spark, dir)
+    assert(out.count() ===
+      events.select("user_id", "event_type").distinct().count())
+    // each survivor carries its key's minimum timestamp
+    val mins = events.groupBy("user_id", "event_type")
+      .agg(min("ts").as("min_ts"))
+    assert(out.join(mins, Seq("user_id", "event_type"))
+      .filter(col("first_ts") =!= col("min_ts")).count() === 0)
+  }
 }
