@@ -226,6 +226,44 @@ object PipelineOps {
       .orderBy("lang", "bin")
   }
 
+  /** Overlapping-window document chunking — the pre-embedding step of a
+    * RAG / retrieval pipeline: 64-token windows at stride 48 (16-token
+    * overlap so no phrase is ever split across a boundary without also
+    * appearing whole in a neighbor). Output is one row per chunk with its
+    * content digest — what downstream embedding jobs consume and dedup on.
+    *
+    * Per-row generator (sequence → transform → posexplode), zero shuffles
+    * until the final presentation sort: chunking 100 TB is embarrassingly
+    * parallel and this plan keeps it that way. Trailing chunks shorter
+    * than the overlap are retained (start grid = sequence(0, n-1, 48)) —
+    * a deterministic rule both engines express identically, rather than a
+    * "skip if fully covered" heuristic that differs per implementation. */
+  val qDocChunk = Q(
+    "q_doc_chunk",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents)
+      |SELECT doc_id, CAST(s AS INT) AS chunk_id,
+      |  CAST(len(list_slice(tk, s * 48 + 1, s * 48 + 64)) AS INT) AS n_tok,
+      |  md5(array_to_string(list_slice(tk, s * 48 + 1, s * 48 + 64), ' '))
+      |    AS chunk_md5
+      |FROM t, UNNEST(range(0, (n - 1) // 48 + 1)) AS u(s)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, greatest(n - 1, 0), 48), s -> slice(tk, s + 1, 64))"))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("int"),
+        size(col("chunk")).as("n_tok"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Bigram language-model scoring: per-document average negative
     * log-likelihood under corpus MLE bigram statistics −
     * the perplexity-style fluency filter a pre-training pipeline runs
@@ -311,5 +349,6 @@ object PipelineOps {
   }
 
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
-    qTimeResample, qWinStreaks, qDocPack, qTextNgramLm, qDocPackContent)
+    qTimeResample, qWinStreaks, qDocPack, qDocChunk, qTextNgramLm,
+    qDocPackContent)
 }

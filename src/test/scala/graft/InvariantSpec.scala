@@ -182,6 +182,29 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(gaps.count() === 0, "interval chain has a gap or overlap")
   }
 
+  test("doc chunks tile the token stream: count and sizes match the grid") {
+    // start grid = 0, 48, 96, ... <= n-1; chunk c holds min(64, n - 48c)
+    // tokens. With stride < window every token is covered by >= 1 chunk.
+    val dir = sf()
+    val expected = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("size(split(text, ' '))").as("n"))
+      .select(col("doc_id"), col("n"),
+        (floor((col("n") - 1) / 48) + 1).cast("int").as("exp_chunks"))
+    val got = graft.operators.PipelineOps.qDocChunk.fn(spark, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        max("n_tok").as("max_tok"), min("n_tok").as("min_tok"))
+    val joined = got.join(expected, "doc_id")
+    assert(joined.filter(col("n_chunks") =!= col("exp_chunks")).count() === 0)
+    assert(joined.filter(col("max_tok") > 64 || col("min_tok") < 1).count() === 0)
+    // per-chunk size formula: n_tok(c) == least(64, n - 48c), every chunk
+    val sized = graft.operators.PipelineOps.qDocChunk.fn(spark, dir)
+      .join(expected.select("doc_id", "n"), "doc_id")
+      .filter(col("n_tok") =!=
+        least(lit(64), col("n") - col("chunk_id") * 48))
+    assert(sized.count() === 0)
+  }
+
   test("stream-dedup survivors are exactly one earliest row per key") {
     val dir = sf()
     val out = graft.streaming.Streams.qStreamDedup.fn(spark, dir)
