@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -238,19 +239,23 @@ object PipelineOps {
     * than the overlap are retained (start grid = sequence(0, n-1, 48)) —
     * a deterministic rule both engines express identically, rather than a
     * "skip if fully covered" heuristic that differs per implementation. */
-  val qDocChunk = Q(
-    "q_doc_chunk",
+  // Shared CTE: the chunk table (doc_id, chunk_id, n_tok, chunk_md5),
+  // used by q_doc_chunk and q_doc_chunk_dedup.
+  private val chunkDuck =
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk,
       |    len(string_split(text, ' ')) AS n
-      |  FROM documents)
-      |SELECT doc_id, CAST(s AS INT) AS chunk_id,
-      |  CAST(len(list_slice(tk, s * 48 + 1, s * 48 + 64)) AS INT) AS n_tok,
-      |  md5(array_to_string(list_slice(tk, s * 48 + 1, s * 48 + 64), ' '))
-      |    AS chunk_md5
-      |FROM t, UNNEST(range(0, (n - 1) // 48 + 1)) AS u(s)
-      |ORDER BY doc_id, chunk_id""".stripMargin
-  ) { (spark, dir) =>
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST(s AS INT) AS chunk_id,
+      |    CAST(len(list_slice(tk, s * 48 + 1, s * 48 + 64)) AS INT) AS n_tok,
+      |    md5(array_to_string(list_slice(tk, s * 48 + 1, s * 48 + 64), ' '))
+      |      AS chunk_md5
+      |  FROM t, UNNEST(range(0, (n - 1) // 48 + 1)) AS u(s))""".stripMargin
+
+  /** Spark side of the shared chunk pipeline (doc_id, chunk_id, n_tok,
+    * chunk_md5), unordered. */
+  private def chunks(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .withColumn("n", size(col("tk")))
@@ -261,7 +266,45 @@ object PipelineOps {
       .select(col("doc_id"), col("chunk_id").cast("int"),
         size(col("chunk")).as("n_tok"),
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_id")
+
+  val qDocChunk = Q(
+    "q_doc_chunk",
+    s"""$chunkDuck
+       |SELECT doc_id, chunk_id, n_tok, chunk_md5 FROM chunks
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (spark, dir) =>
+    chunks(spark, dir).orderBy("doc_id", "chunk_id")
+  }
+
+  /** Chunk-level dedup profile — the measurement a pipeline takes before
+    * embedding: how many chunk digests repeat, and how many chunk rows
+    * (and tokens) a digest-level dedup would drop. Boilerplate
+    * (headers/footers shared across documents) shows up here even when
+    * whole-document dedup finds nothing. One groupBy on the digest — the
+    * same shuffle shape as exact doc dedup, corpus-linear at any scale. */
+  val qDocChunkDedup = Q(
+    "q_doc_chunk_dedup",
+    s"""$chunkDuck,
+       |g AS (
+       |  SELECT chunk_md5, COUNT(*) AS n_copies,
+       |    CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+       |    CAST(MAX(n_tok) AS BIGINT) AS tok_keep
+       |  FROM chunks GROUP BY chunk_md5)
+       |SELECT CAST(n_copies AS INT) AS n_copies,
+       |  COUNT(*) AS n_digests,
+       |  CAST(SUM(tok_total - tok_keep) AS BIGINT) AS tokens_dropped
+       |FROM g GROUP BY n_copies
+       |ORDER BY n_copies""".stripMargin
+  ) { (spark, dir) =>
+    chunks(spark, dir)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        sum(col("n_tok").cast("bigint")).as("tok_total"),
+        max(col("n_tok")).cast("bigint").as("tok_keep"))
+      .groupBy(col("n_copies").cast("int").as("n_copies"))
+      .agg(count(lit(1)).as("n_digests"),
+        sum(col("tok_total") - col("tok_keep")).cast("bigint").as("tokens_dropped"))
+      .orderBy("n_copies")
   }
 
   /** Bigram language-model scoring: per-document average negative
@@ -349,6 +392,6 @@ object PipelineOps {
   }
 
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
-    qTimeResample, qWinStreaks, qDocPack, qDocChunk, qTextNgramLm,
-    qDocPackContent)
+    qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
+    qTextNgramLm, qDocPackContent)
 }
