@@ -574,8 +574,51 @@ object TextExtras {
       .orderBy("lang")
   }
 
+  /** Intra-document repetition ratio — the duplicate-3-gram fraction, a
+    * standard pretraining junk filter (template/boilerplate text repeats
+    * its own phrases; prose doesn't). Per doc: 1 − distinct/total shingles
+    * in exact 1e-6 integer units (so the per-lang average is an exact
+    * integer sum divided once — partition-order independent); docs with
+    * < 3 tokens score 0. Pure per-row compute until the 5-row lang
+    * rollup: zero shuffles of the corpus at any scale. */
+  val qTextRepetition = Q(
+    "q_text_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(tk) >= 3 THEN
+      |      CAST(round((1 - CAST(len(list_distinct(list_transform(
+      |          range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))))
+      |        AS DOUBLE) / (len(tk) - 2)) * 1000000) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS rep_u
+      |  FROM t)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(rep_u) AS BIGINT) / 1000000.0 / COUNT(*) AS avg_repetition,
+      |  CAST(SUM(CASE WHEN rep_u >= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged
+      |FROM r GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .withColumn("rep_u", expr(
+        """CASE WHEN size(tk) >= 3 THEN
+          |  CAST(round((1 - CAST(size(array_distinct(transform(
+          |      sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))))
+          |    AS DOUBLE) / (size(tk) - 2)) * 1000000) AS BIGINT)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("rep_u").cast("bigint").cast("double") / 1000000.0 / count(lit(1)))
+          .as("avg_repetition"),
+        sum(when(col("rep_u") >= 100000, 1).otherwise(0)).cast("bigint")
+          .as("n_flagged"))
+      .orderBy("lang")
+  }
+
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qTokenBpe, qMultimodalMeta, qMultimodalFrames,
     qTextCooccur, qTextTfidf, qDocTopkQuality, qPipelineFilter, qTextSearch,
-    qTextPhrase, qMultimodalResize, qDecontaminate)
+    qTextPhrase, qMultimodalResize, qDecontaminate, qTextRepetition)
 }
