@@ -27,7 +27,10 @@ object PlanAudit {
       "q_vec_knn", "q_stream_tumbling",
       // round-4 additions
       "q_join_bloom", "q_join_skew_salt", "q_vec_ivf_probe2",
-      "q_time_resample", "q_text_ngram_lm", "q_cdc_compact")
+      "q_time_resample", "q_text_ngram_lm", "q_cdc_compact",
+      // round-7 additions
+      "q_vec_lsh_multi", "q_cdc_scd2", "q_stream_dedup", "q_doc_chunk",
+      "q_text_repetition")
     val queries = graft.SparkEntry.queries
     val sb = new StringBuilder
     audited.foreach { name =>
