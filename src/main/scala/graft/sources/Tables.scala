@@ -27,6 +27,13 @@ object Tables {
   @volatile private var cached: Map[(String, String), DataFrame] = Map.empty
 
   def warmCache(spark: SparkSession, sfDir: String): Unit = synchronized {
+    // Evict entries for OTHER fixture dirs first: a session that re-warms
+    // at a new scale factor must not keep the old tables' blocks pinned
+    // (MEMORY_AND_DISK grows unbounded otherwise).
+    cached.foreach { case ((dir, _), df) =>
+      if (dir != sfDir) df.unpersist(blocking = false)
+    }
+    cached = cached.filter { case ((dir, _), _) => dir == sfDir }
     names.foreach { n =>
       val key = (sfDir, n)
       if (!cached.get(key).exists(_.sparkSession eq spark)) {
@@ -36,6 +43,13 @@ object Tables {
         cached += key -> df
       }
     }
+  }
+
+  /** Drop every warm entry (unpersist + forget) — the session-level cache
+    * invalidation surface; subsequent loads read cold parquet again. */
+  def clearWarmCache(): Unit = synchronized {
+    cached.values.foreach(_.unpersist(blocking = false))
+    cached = Map.empty
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

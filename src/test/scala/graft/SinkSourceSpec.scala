@@ -88,4 +88,25 @@ class SinkSourceSpec extends SparkTestBase {
     val total = viaSql.agg(sum("c")).head().getLong(0)
     assert(total === spark.table("orders_udf_t").count())
   }
+
+  test("warm table cache serves cached frames and evicts on scale switch") {
+    import org.apache.spark.storage.StorageLevel
+    val spk = spark
+    graft.sources.Tables.warmCache(spk, sf())
+    val warmed = graft.sources.Tables.orders(spk, sf())
+    assert(warmed.storageLevel != StorageLevel.NONE,
+      "warmed table must be persisted")
+    // repeated loads return the same cached frame (plan identity)
+    assert(graft.sources.Tables.orders(spk, sf()) eq warmed)
+    // warming another fixture dir evicts the old dir's blocks
+    graft.sources.Tables.warmCache(spk, sf("sf0.01"))
+    assert(warmed.storageLevel == StorageLevel.NONE,
+      "old scale factor's tables must be unpersisted after a switch")
+    val rewarmed = graft.sources.Tables.orders(spk, sf("sf0.01"))
+    assert(rewarmed.storageLevel != StorageLevel.NONE)
+    // cleanup: drop the warm cache so later suites see cold loads
+    graft.sources.Tables.clearWarmCache()
+    assert(rewarmed.storageLevel == StorageLevel.NONE)
+    assert(!(graft.sources.Tables.orders(spk, sf("sf0.01")) eq rewarmed))
+  }
 }
