@@ -19,6 +19,40 @@ class StreamingSpec extends SparkTestBase {
   private def withQuery[T](q: StreamingQuery)(body: => T): T =
     try body finally q.stop()
 
+  test("file source -> parquet sink incremental run resumes from its checkpoint") {
+    // The production batch-incremental shape: a file-backed readStream
+    // processed with Trigger.AvailableNow into a parquet sink, then NEW
+    // files land and a SECOND run (same checkpointLocation) processes
+    // ONLY them — exactly-once offsets across restarts, no reprocessing.
+    val spk = spark
+    import spk.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_inc")
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def run(): Unit = {
+      val q = spk.readStream
+        .schema("event_id LONG, user_id LONG, value DOUBLE")
+        .parquet(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // part files land flat in `in` (the streaming file source lists one
+    // directory level); append-mode adds the second batch's files
+    Seq((1L, 10L, 1.0), (2L, 11L, 2.0)).toDF("event_id", "user_id", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(spk.read.parquet(out).count() === 2)
+    Seq((3L, 12L, 3.0)).toDF("event_id", "user_id", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    run()
+    val rows = spk.read.parquet(out)
+    // second run appended only the new file's rows — no duplicates
+    assert(rows.count() === 3)
+    assert(rows.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("tumbling window + watermark drops late data in append mode") {
     val spk = spark
     import spk.implicits._
