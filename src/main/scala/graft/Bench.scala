@@ -48,11 +48,11 @@ object Bench {
       "graft_dot(array(cast(id as float)), array(cast(id as float))) AS d")
       .collect()
     // Warm table cache: read each fixture once, persist, materialize.
-    // Snapshot the cached RDD ids so per-query cleanup can drop ONLY the
-    // frames a query persisted itself (shared sub-DAGs in the dedup/vector
-    // queries) without evicting the tables.
-    graft.sources.Tables.warmCache(spark, sfDir)
-    val warmIds = spark.sparkContext.getPersistentRDDs.keySet
+    // Query-scoped caches are released per query through the Scratch
+    // registry below, which never touches these entries.
+    // SPARK_GRAFT_NO_WARM=1 benches cold parquet reads instead (A/B knob).
+    if (!sys.env.get("SPARK_GRAFT_NO_WARM").contains("1"))
+      graft.sources.Tables.warmCache(spark, sfDir)
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.allQ.map(_.name)
@@ -68,13 +68,16 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Queries are independent; drop any frames the query persisted so a
-      // 117-query session doesn't accumulate cached blocks (memory pressure
-      // there showed up as 3-8x outliers on the later dedup/knn queries).
-      // The warm fixture tables (warmIds) stay.
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!warmIds.contains(id)) rdd.unpersist(blocking = false)
-      }
+      // Queries are independent; release everything the query persisted so
+      // a 126-query session doesn't accumulate cached blocks (memory
+      // pressure there showed up as 3-8x outliers on the later dedup/knn
+      // queries). Scratch.releaseAll() calls Dataset.unpersist, dropping
+      // blocks AND the CacheManager's plan entries — unpersisting the RDDs
+      // directly left stale entries that hijacked later canonically-
+      // identical plans (their own persist became a no-op and the shared
+      // sub-DAG silently recomputed per reference). The warm fixture
+      // tables are not in the scratch registry, so they stay.
+      graft.sources.Scratch.releaseAll()
       name -> (if (ok) dt else -1.0)
     }
     // bench.json gets every query at full resolution.

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.sources.Scratch.PersistSyntax
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,8 +52,8 @@ object TokenBits {
     // the encode shuffles), but at 100 TB three corpus passes vs one is
     // the difference that matters; the cache is the (doc, token)
     // incidence list a production pipeline materializes anyway.
-    val exploded = df.select(col(keyCol), explode(col(setCol)).as("__t")).persist()
-    val terms = exploded.select("__t").distinct().persist()
+    val exploded = df.select(col(keyCol), explode(col(setCol)).as("__t")).persistScratch()
+    val terms = exploded.select("__t").distinct().persistScratch()
     val vocab = terms.count() // driver-side scalar: bitmap width config
     val nWords = if (vocab == 0) 1 else ((vocab - 1) / 64 + 1).toInt
     val small = vocab <= SmallVocab

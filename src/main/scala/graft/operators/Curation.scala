@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Scratch.PersistSyntax
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
@@ -296,7 +297,7 @@ object Curation {
     val du = Tables.events(spark, dir)
       .select(to_date(date_trunc("day", col("ts"))).as("d"), col("user_id"))
       .distinct()
-      .persist() // anchors, DAU and the lookback join all read it
+      .persistScratch() // anchors, DAU and the lookback join all read it
     val days = du.select(col("d")).distinct()
     val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
     val wau = days.select(col("d").as("anchor"))

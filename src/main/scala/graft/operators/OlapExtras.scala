@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Scratch.PersistSyntax
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -344,7 +345,7 @@ object OlapExtras {
       .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
       .agg(sum(Det.units(col("o_totalprice"), 100)).as("cents"))
       .withColumn("ep", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
-      .persist() // both sides of the bounded lookback join
+      .persistScratch() // both sides of the bounded lookback join
     val a = d.select(col("day"), col("ep"))
     val b = d.select(col("ep").as("bep"), col("cents"))
     a.join(b, col("bep").between(col("ep") - 15, col("ep")))

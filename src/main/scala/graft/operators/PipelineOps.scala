@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Scratch.PersistSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -145,7 +146,7 @@ object PipelineOps {
         sum(round(col("value") * 100).cast("bigint")).as("sv"))
       // feeds the bounds aggregate AND the grid join — one row per
       // (user, active hour), far smaller than the event table
-      .persist()
+      .persistScratch()
     val grid = hourly.groupBy("user_id")
       .agg(min("hr").as("mn"), max("hr").as("mx"))
       .select(col("user_id"),
@@ -339,7 +340,7 @@ object PipelineOps {
       .filter(col("w2").isNotNull)
       .select("doc_id", "w1", "w2")
       // feeds both count aggregates AND the scoring join
-      .persist()
+      .persistScratch()
     val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
     bigrams.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Scratch.PersistSyntax
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
@@ -149,7 +150,7 @@ object TextExtras {
       .dropDuplicates("doc_id", "s")
       // persist: the incidence list feeds both sides of the inverted-index
       // join AND the per-doc size aggregate — three executions otherwise
-      .persist()
+      .persistScratch()
     val sz = inc.groupBy("doc_id", "lang").agg(count(lit(1)).cast("int").as("sz"))
     val inter = inc.select(col("doc_id").as("a_id"), col("lang"), col("s"))
       .join(inc.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
@@ -284,7 +285,7 @@ object TextExtras {
     val docs = Tables.documents(spark, dir)
     val inc = docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-      .persist() // feeds both sides of the self-join + the token counts
+      .persistScratch() // feeds both sides of the self-join + the token counts
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
     val ca = inc.groupBy("t").agg(count(lit(1)).as("c"))
     val pairs = inc.select(col("doc_id"), col("t").as("ta"))
@@ -329,7 +330,7 @@ object TextExtras {
     val inc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .persist() // feeds the df aggregate AND the scored join
+      .persistScratch() // feeds the df aggregate AND the scored join
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
     val dfreq = inc.groupBy("t").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("t"))
@@ -558,7 +559,7 @@ object TextExtras {
       .select(col("doc_id"), col("source"), col("lang"),
         concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3"), col("t4")).as("s"))
       .dropDuplicates("doc_id", "s")
-      .persist() // eval shingle set + training incidences
+      .persistScratch() // eval shingle set + training incidences
     val e = sh.filter(col("source") === "src0").select("s").distinct()
     val h = sh.filter(col("source") =!= "src0")
       .join(e, "s")

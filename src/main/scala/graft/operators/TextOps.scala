@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Scratch.PersistSyntax
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
@@ -126,7 +127,7 @@ object TextOps {
           array_distinct(toks(col("text"))).as("tk"))
         .withColumn("sz", size(col("tk"))),
       "doc_id", "tk", "bits")
-      .persist()
+      .persistScratch()
     val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
       col("bits").as("a_bits"), col("sz").as("a_sz"))
       .withColumn("a_salt", pmod(hash(col("a_id")), lit(R)))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Scratch.PersistSyntax
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -188,7 +189,7 @@ object VectorOps {
     // products per row) — cache the bucketed table once
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", expr(bucketExprSpark()).cast("int"))
-      .persist()
+      .persistScratch()
     val a = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_vec"))
     val b = e.select(col("vec_id").as("b_id"), col("bucket").as("b_bucket"),
@@ -223,7 +224,7 @@ object VectorOps {
     // hyperplane dot products per row otherwise computed twice)
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", expr(bucketExprSpark()).cast("int"))
-      .persist()
+      .persistScratch()
     val a = e.select(col("vec_id").as("a_id"), col("bucket"),
       col("embedding").as("a_vec"))
     val b = e.select(col("vec_id").as("b_id"), col("bucket").as("b_bucket"),
@@ -288,7 +289,7 @@ object VectorOps {
         (0 until nTables).map(t => expr(bucketExprSpark(t)).cast("int").as(s"b$t")): _*)
       .selectExpr("vec_id",
         s"stack($nTables, ${(0 until nTables).map(t => s"$t, b$t").mkString(", ")}) AS (tbl, bucket)")
-      .persist()
+      .persistScratch()
     val cand = sig.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
       .join(sig.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),
@@ -625,7 +626,7 @@ object VectorOps {
   ) { (spark, dir) =>
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", expr(bucketExprSpark()).cast("int"))
-      .persist() // query panel + both candidate sides
+      .persistScratch() // query panel + both candidate sides
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_vec"))
     val b = e.select(col("vec_id").as("b_id"), col("bucket").as("b_bucket"),

@@ -16,14 +16,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Tables worth holding in the warm cache: the narrow/primitive-column
+    * relations, where a columnar in-memory scan beats a parquet re-read.
+    * `documents` (multi-KB text strings) and `embeddings` (float arrays)
+    * are deliberately excluded — building and repeatedly decompressing
+    * columnar batches for wide array/string payloads measured SLOWER than
+    * parquet scans with column pruning (3x on the minhash/CC family), so
+    * those stay on cold reads where the scan prunes to the columns asked
+    * for. */
+  val warmNames: Seq[String] = names.filterNot(
+    Set("documents", "embeddings"))
+
   /** Session-scoped warm table cache, keyed (sfDir, table). Opt-in via
     * [[warmCache]]: the benchmark (and any long-lived engine session)
     * reads each fixture once, persists MEMORY_AND_DISK, and every
     * subsequent loader call serves the cached frame — modelling a
     * production warm table cache, where hot tables live in the storage
-    * layer instead of being re-scanned per query. Verify and the tests
-    * never warm it, so the correctness gate always exercises cold parquet
-    * reads. Entries are served only to the session that built them. */
+    * layer instead of being re-scanned per query. Persist (not
+    * localCheckpoint): the InMemoryRelation keeps real size statistics,
+    * so Catalyst still auto-broadcasts small warm tables — a
+    * checkpointed LogicalRDD reports unknown size and silently demotes
+    * every join over it to sort-merge (measured 1.6x on the full bench).
+    *
+    * Query-scoped caches are kept separable from the warm tables via
+    * [[Scratch]]: operators persist shared sub-DAGs through the scratch
+    * registry, and a harness releases them per query with
+    * `Scratch.releaseAll()` — never `spark.catalog.clearCache()`, which
+    * would evict the warm tables too.
+    *
+    * Verify and the tests never warm it, so the correctness gate always
+    * exercises cold parquet reads. Entries are served only to the session
+    * that built them. */
   @volatile private var cached: Map[(String, String), DataFrame] = Map.empty
 
   def warmCache(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -34,9 +57,14 @@ object Tables {
       if (dir != sfDir) df.unpersist(blocking = false)
     }
     cached = cached.filter { case ((dir, _), _) => dir == sfDir }
-    names.foreach { n =>
+    warmNames.foreach { n =>
       val key = (sfDir, n)
-      if (!cached.get(key).exists(_.sparkSession eq spark)) {
+      val existing = cached.get(key)
+      if (!existing.exists(_.sparkSession eq spark)) {
+        // Replacing an entry built by another session on the same
+        // SparkContext: unpersist its blocks first or they stay pinned in
+        // the shared block manager with no remaining handle.
+        existing.foreach(_.unpersist(blocking = false))
         val df = cold(spark, sfDir, n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count() // materialize now, not inside the first timed query
@@ -51,6 +79,14 @@ object Tables {
     cached.values.foreach(_.unpersist(blocking = false))
     cached = Map.empty
   }
+
+  /** True iff (sfDir, name) is warm for this session AND its cache entry
+    * still holds blocks — the invariant the warm-cache tests pin. */
+  def isWarm(spark: SparkSession, sfDir: String, name: String): Boolean =
+    cached.get((sfDir, name)).exists { df =>
+      (df.sparkSession eq spark) &&
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached.get((sfDir, name)) match {

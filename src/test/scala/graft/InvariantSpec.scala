@@ -172,13 +172,16 @@ class InvariantSpec extends SparkTestBase with Matchers {
         sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_null_to"))
     assert(perKey.filter(col("n_open") =!= 1 || col("n_null_to") =!= 1)
       .count() === 0)
-    // the chain is gapless: row k's valid_to == row k+1's valid_from
+    // the chain is gapless: row k's valid_to == row k+1's valid_from.
+    // Null-SAFE comparison: a plain =!= is null-valued (row dropped) when
+    // valid_to is NULL mid-chain — exactly the open-interval-in-the-middle
+    // bug class this check exists to catch.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
     val gaps = scd
       .withColumn("next_from", lead(col("valid_from"), 1).over(w))
       .filter(col("next_from").isNotNull &&
-        col("valid_to") =!= col("next_from"))
+        !(col("valid_to") <=> col("next_from")))
     assert(gaps.count() === 0, "interval chain has a gap or overlap")
   }
 

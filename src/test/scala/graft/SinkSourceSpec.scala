@@ -90,23 +90,51 @@ class SinkSourceSpec extends SparkTestBase {
   }
 
   test("warm table cache serves cached frames and evicts on scale switch") {
-    import org.apache.spark.storage.StorageLevel
+    // try/finally: this test mutates process-global state (the warm table
+    // cache on the shared test session); a mid-test assertion failure must
+    // not leave later suites running against warmed tables.
     val spk = spark
-    graft.sources.Tables.warmCache(spk, sf())
-    val warmed = graft.sources.Tables.orders(spk, sf())
-    assert(warmed.storageLevel != StorageLevel.NONE,
-      "warmed table must be persisted")
-    // repeated loads return the same cached frame (plan identity)
-    assert(graft.sources.Tables.orders(spk, sf()) eq warmed)
-    // warming another fixture dir evicts the old dir's blocks
-    graft.sources.Tables.warmCache(spk, sf("sf0.01"))
-    assert(warmed.storageLevel == StorageLevel.NONE,
-      "old scale factor's tables must be unpersisted after a switch")
-    val rewarmed = graft.sources.Tables.orders(spk, sf("sf0.01"))
-    assert(rewarmed.storageLevel != StorageLevel.NONE)
-    // cleanup: drop the warm cache so later suites see cold loads
-    graft.sources.Tables.clearWarmCache()
-    assert(rewarmed.storageLevel == StorageLevel.NONE)
-    assert(!(graft.sources.Tables.orders(spk, sf("sf0.01")) eq rewarmed))
+    try {
+      graft.sources.Tables.warmCache(spk, sf())
+      val warmed = graft.sources.Tables.orders(spk, sf())
+      assert(graft.sources.Tables.isWarm(spk, sf(), "orders"),
+        "warmed table must have live checkpoint blocks")
+      // repeated loads return the same cached frame (plan identity)
+      assert(graft.sources.Tables.orders(spk, sf()) eq warmed)
+      // query-scoped scratch caches release independently of the warm
+      // tables (the bench relies on this): Scratch.releaseAll must drop
+      // a scratch frame's blocks AND its CacheManager entry — so a
+      // re-persist of the same plan works — without evicting the tables
+      import graft.sources.Scratch.PersistSyntax
+      import org.apache.spark.storage.StorageLevel
+      val scratch = warmed.groupBy("o_orderstatus").count().persistScratch()
+      assert(scratch.count() > 0)
+      assert(scratch.storageLevel != StorageLevel.NONE)
+      graft.sources.Scratch.releaseAll()
+      assert(scratch.storageLevel == StorageLevel.NONE,
+        "released scratch frame must be uncached")
+      assert(graft.sources.Tables.isWarm(spk, sf(), "orders"),
+        "scratch release must not evict warm tables")
+      // the CacheManager entry is gone too: an identical plan re-persists
+      // for real (the stale-entry bug made this a silent no-op)
+      val again = warmed.groupBy("o_orderstatus").count().persistScratch()
+      again.count()
+      assert(again.storageLevel != StorageLevel.NONE,
+        "re-persist after release must create a live cache entry")
+      graft.sources.Scratch.releaseAll()
+      // warming another fixture dir evicts the old dir's blocks
+      graft.sources.Tables.warmCache(spk, sf("sf0.01"))
+      assert(!graft.sources.Tables.isWarm(spk, sf(), "orders"),
+        "old scale factor's tables must be released after a switch")
+      val rewarmed = graft.sources.Tables.orders(spk, sf("sf0.01"))
+      assert(graft.sources.Tables.isWarm(spk, sf("sf0.01"), "orders"))
+      // dropping the cache releases blocks and forgets the frames
+      graft.sources.Tables.clearWarmCache()
+      assert(!graft.sources.Tables.isWarm(spk, sf("sf0.01"), "orders"))
+      assert(!(graft.sources.Tables.orders(spk, sf("sf0.01")) eq rewarmed))
+    } finally {
+      graft.sources.Scratch.releaseAll()
+      graft.sources.Tables.clearWarmCache()
+    }
   }
 }
