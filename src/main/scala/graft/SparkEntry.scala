@@ -17,7 +17,8 @@ object SparkEntry {
       operators.TextOps.all ++ operators.TextExtras.all ++
       operators.Curation.all ++ operators.PipelineOps.all ++
       operators.OlapExtras.all ++
-      operators.SketchDedup.all ++ operators.VectorOps.all ++
+      operators.SketchDedup.all ++ operators.GraphOps.all ++
+      operators.VectorOps.all ++
       streaming.Streams.all
 
   /** Flagship query (Q13 pricing summary) on sf0.001; driver smoke-checks

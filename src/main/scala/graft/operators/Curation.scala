@@ -273,6 +273,58 @@ object Curation {
       .orderBy("user_id")
   }
 
+  /** Gap-based batch sessionization: a new session starts when a user is
+    * idle > 30 min; per-session event count and exact µs duration. The
+    * batch twin of q_stream_session's session windows, as behavioral
+    * pipelines run it over history: two window passes (lag → boundary
+    * flag, running sum → session index) and the rollup, ALL on one
+    * user_id partitioning — one exchange end to end, no self-join.
+    * Timestamps stay in integer epoch-µs (`unix_micros`/`epoch_us`) so
+    * every boundary decision and duration is exact in both engines; ties
+    * on ts break on event_id for a deterministic event order. Restricted
+    * to user_id < 200: the output is one row per session and the graded
+    * artifact stays bounded while exercising the full operator. */
+  val qEventsSessionize = Q(
+    "q_events_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |  WHERE user_id < 200),
+      |f AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |              > 1800000000
+      |           OR LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |              IS NULL
+      |         THEN 1 ELSE 0 END AS new_s,
+      |    event_id
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM f)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag("us", 1).over(w) > 1800000000L ||
+          lag("us", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        (max("us") - min("us")).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
 
   /** DAU / trailing-7-day WAU: daily active users plus the rolling
     * 7-day distinct-user count. Rolling DISTINCT cannot ride a window
@@ -488,6 +540,7 @@ object Curation {
   }
 
   def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
-    qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap, qEventsWau,
-    qEventsAnomaly, qFeatureBin, qEventsMarkov, qOrdersPareto, qEventsAbLift)
+    qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap,
+    qEventsSessionize, qEventsWau, qEventsAnomaly, qFeatureBin,
+    qEventsMarkov, qOrdersPareto, qEventsAbLift)
 }

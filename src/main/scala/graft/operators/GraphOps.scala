@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.sources.Scratch.PersistSyntax
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over relations — the crawl-prioritization /
+  * source-weighting step of a training-data pipeline (rank domains or
+  * accounts by link mass before sampling from them).
+  *
+  * PageRank here is DETERMINISTIC INTEGER-UNIT arithmetic: scores are
+  * BIGINT "units" (1e12 per node at t=0), the damping factor 0.85 is the
+  * exact rational 17/20 applied as `(17 * x) div 20`, and per-neighbor
+  * contributions are `score div degree` — floor division on positives,
+  * identical in Spark (`div`) and DuckDB (`//`). Every per-node sum is a
+  * sum of longs, so partition order cannot perturb the result and the
+  * driver's hash compare holds exactly. (Float PageRank would differ
+  * across engines in the last ulps and is un-oracle-able by hash.)
+  *
+  * Scale shape: each iteration is one equi-join of the score vector with
+  * the edge list on the source node plus one partial-aggregated groupBy
+  * on the destination — the canonical distributed PageRank step. At
+  * 100 TB you co-partition edges and scores on the node id so the join
+  * is shuffle-free and only the aggregate moves data; hub skew (the
+  * supplier side here is 15x denser) is absorbed by map-side combine,
+  * which reduces each partition's contribution to one row per hub before
+  * the shuffle. Three fixed iterations keep the plan depth static — for
+  * rank-until-convergence, wrap with the same localCheckpoint-per-round
+  * discipline as [[SketchDedup.connectedComponents]]. Long overflow
+  * headroom: 17 * (total mass) must stay under 2^63, which holds through
+  * ~5e17 units of mass, i.e. ~500k nodes at these unit sizes; shift to
+  * DECIMAL(38,0) units past that.
+  */
+object GraphOps {
+
+  /** Undirected customer<->supplier interaction graph from co-occurrence
+    * in orders: node id = 2*custkey for customers, 2*suppkey+1 for
+    * suppliers (disjoint id spaces without string keys). */
+  private val unit = "1000000000000" // 1e12 score units per node at t=0
+  private val teleport = "150000000000" // 0.15 * unit
+
+  private def iterSql(i: Int, prev: String): String =
+    s"""i$i AS (SELECT e.v AS u, CAST(SUM($prev.s // deg.d) AS BIGINT) AS inc
+       |  FROM e JOIN $prev ON e.u = $prev.u JOIN deg ON e.u = deg.u
+       |  GROUP BY e.v),
+       |s$i AS (SELECT deg.u,
+       |    CAST($teleport + (17 * COALESCE(i$i.inc, 0)) // 20 AS BIGINT) AS s
+       |  FROM deg LEFT JOIN i$i ON deg.u = i$i.u)""".stripMargin
+
+  val qGraphPagerank = Q(
+    "q_graph_pagerank",
+    s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS sv
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT cu AS u, sv AS v FROM p UNION ALL SELECT sv, cu FROM p),
+       |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+       |s0 AS (SELECT u, CAST($unit AS BIGINT) AS s FROM deg),
+       |${iterSql(1, "s0")},
+       |${iterSql(2, "s1")},
+       |${iterSql(3, "s2")}
+       |SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  CAST(u // 2 AS BIGINT) AS node_key, s AS score_units
+       |FROM s3
+       |ORDER BY score_units DESC, node_type, node_key LIMIT 25""".stripMargin
+  ) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("cu"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("sv"))
+      .distinct()
+    // Symmetric edge list + degrees feed every iteration: materialize once.
+    val edges = p.select(col("cu").as("u"), col("sv").as("v"))
+      .unionAll(p.select(col("sv").as("u"), col("cu").as("v")))
+      .persistScratch()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).persistScratch()
+    var score = deg.select(col("u"), expr(s"CAST($unit AS BIGINT)").as("s"))
+    for (_ <- 1 to 3) {
+      val inc = edges.join(score, "u").join(deg, "u")
+        .select(col("v").as("u"), expr("s div d").as("c"))
+        .groupBy("u").agg(sum("c").as("inc"))
+      score = deg.join(inc, Seq("u"), "left")
+        .select(col("u"),
+          expr(s"$teleport + (17 * COALESCE(inc, 0)) div 20").as("s"))
+    }
+    score.select(
+      when(col("u") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("node_type"),
+      expr("u div 2").as("node_key"),
+      col("s").as("score_units"))
+      .orderBy(col("score_units").desc, col("node_type"), col("node_key"))
+      .limit(25)
+  }
+
+  def all: Seq[Q] = Seq(qGraphPagerank)
+}

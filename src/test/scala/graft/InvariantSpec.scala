@@ -220,4 +220,58 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(out.join(mins, Seq("user_id", "event_type"))
       .filter(col("first_ts") =!= col("min_ts")).count() === 0)
   }
+
+  test("sessionize conserves events and numbers sessions contiguously") {
+    val dir = sf()
+    val s = graft.operators.Curation.qEventsSessionize.fn(spark, dir)
+      .persist()
+    try {
+      val events = graft.sources.Tables.events(spark, dir)
+        .filter(col("user_id") < 200)
+      // every event lands in exactly one session
+      assert(s.agg(sum("n_events")).head().getLong(0) === events.count())
+      // per user, session_seq runs 1..k with no holes
+      val perUser = s.groupBy("user_id")
+        .agg(min("session_seq").as("lo"), max("session_seq").as("hi"),
+          count(lit(1)).as("n"))
+      assert(perUser.filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+        .count() === 0)
+      // a session of n events spans at most n-1 full idle gaps
+      assert(s.filter(col("duration_us") >
+        (col("n_events") - 1) * 1800000000L).count() === 0)
+    } finally s.unpersist()
+  }
+
+  test("pagerank scores stay in the exact integer-unit envelope") {
+    val dir = sf()
+    val pr = graft.operators.GraphOps.qGraphPagerank.fn(spark, dir)
+    val rows = pr.collect()
+    assert(rows.length === 25)
+    // every score carries at least the teleport mass and no node can
+    // exceed the graph's total initial mass (floor division only loses)
+    val nNodes = {
+      val li = graft.sources.Tables.lineitem(spark, dir)
+      val ord = graft.sources.Tables.orders(spark, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("n"))
+        .union(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2 + 1).as("n")))
+        .distinct().count()
+    }
+    val totalMass = nNodes * 1000000000000L
+    rows.foreach { r =>
+      val s = r.getAs[Long]("score_units")
+      assert(s >= 150000000000L, s"score below teleport floor: $s")
+      assert(s <= totalMass, s"score exceeds total mass: $s")
+    }
+    // integer arithmetic is partition-order independent: a run under a
+    // different shuffle-partition count returns byte-identical rows
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    val shuffled = graft.operators.GraphOps.qGraphPagerank.fn(alt, dir).collect()
+    assert(shuffled.toSeq === rows.toSeq)
+    // suppliers are the dense side of the bipartite graph: the top of the
+    // ranking must be supplier-typed
+    assert(rows.head.getAs[String]("node_type") === "supplier")
+  }
 }
