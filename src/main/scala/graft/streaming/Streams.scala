@@ -159,6 +159,49 @@ object Streams {
       purchases(purchaseEvents).withWatermark("p_ts", "10 minutes"),
       clicks(clickEvents).withWatermark("c_ts", "1 hour"))
 
+  /** LEFT OUTER stream-stream interval join (batch twin): every purchase
+    * appears, with its count of same-user clicks in the preceding 30
+    * minutes — zero when none. The outer side is what attribution
+    * pipelines actually need (unattributed conversions are the signal);
+    * in streaming it exercises the distinct append-mode contract that
+    * null-padded rows are withheld until BOTH watermarks clear the join
+    * range (purchaseClickLeftJoinStream + StreamingSpec). Same plan as
+    * the inner twin — one interval join, one purchase-keyed rollup. */
+  val qStreamJoinLeft = Q(
+    "q_stream_join_left",
+    """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+      |  CAST(COUNT(c.user_id) AS BIGINT) AS n_clicks
+      |FROM events p LEFT JOIN events c
+      |  ON c.event_type = 'click'
+      | AND c.user_id = p.user_id
+      | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1, 2, 3
+      |ORDER BY p_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    purchases(ev).join(clicks(ev),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+      .groupBy(col("p_id"), col("p_user").as("user_id"), col("p_ts"))
+      .agg(count(col("c_user")).as("n_clicks"))
+      .orderBy("p_id")
+  }
+
+  /** Streaming half of the left-outer interval join: unmatched purchases
+    * are emitted null-padded only after the click-side watermark passes
+    * p_ts (the engine can then prove no matching click can still
+    * arrive) — the state-correctness semantics StreamingSpec pins. */
+  def purchaseClickLeftJoinStream(purchaseEvents: DataFrame, clickEvents: DataFrame): DataFrame =
+    purchases(purchaseEvents).withWatermark("p_ts", "10 minutes")
+      .join(clicks(clickEvents).withWatermark("c_ts", "1 hour"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+
   /** Windowed per-user agg core, shared by the top-k batch twin and the
     * streaming builder. */
   private def userWindowAgg(events: DataFrame): DataFrame =
@@ -288,5 +331,6 @@ object Streams {
       }
   }
 
-  def all: Seq[Q] = Seq(q35, q36, q37, qStreamJoin, qStreamTopk, qStreamDedup)
+  def all: Seq[Q] = Seq(q35, q36, q37, qStreamJoin, qStreamJoinLeft,
+    qStreamTopk, qStreamDedup)
 }

@@ -244,6 +244,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("left-outer stream-stream join emits null-padded rows after watermark") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = Streams.purchaseClickLeftJoinStream(purchases.toDF(), clicks.toDF())
+      .selectExpr("p_id", "c_ts")
+      .writeStream.format("memory").queryName("ss_join_left")
+      .outputMode("append").start()
+    withQuery(q) {
+      clicks.addData(
+        ev(11, "2024-01-01 09:40:00", typ = "click")) // matches p1 only
+      purchases.addData(
+        ev(1, "2024-01-01 10:00:00", typ = "purchase", v = 9.99),
+        ev(2, "2024-01-01 10:00:00", user = 2, typ = "purchase")) // no clicks
+      q.processAllAvailable()
+      // matched row may emit immediately; the UNMATCHED purchase must be
+      // withheld until the click watermark proves no match can arrive
+      val early = spk.table("ss_join_left").as[(Long, Option[Timestamp])]
+        .collect().toSeq
+      assert(!early.contains((2L, None)),
+        "null-padded row must not emit before the watermark passes")
+      clicks.addData(ev(15, "2024-01-01 12:00:00", typ = "click"))
+      purchases.addData(ev(3, "2024-01-01 12:00:00", typ = "purchase"))
+      q.processAllAvailable()
+      val joined = spk.table("ss_join_left").as[(Long, Option[Timestamp])]
+        .collect().toSeq.sortBy(_._1)
+      assert(joined.contains((1L, Some(ts("2024-01-01 09:40:00")))),
+        "matched purchase joins its in-range click")
+      assert(joined.contains((2L, None)),
+        "unmatched purchase emits null-padded once the watermark clears it")
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     val spk = spark
     import spk.implicits._
