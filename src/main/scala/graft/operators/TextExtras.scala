@@ -173,6 +173,65 @@ object TextExtras {
       .orderBy("a_id", "b_id")
   }
 
+  /** Directed CONTAINMENT near-dup: C(A→B) = |A∩B| / |A| over 3-token
+    * shingles — the asymmetric companion to q_dedup_ngram's Jaccard.
+    * Containment is what catches quotation/inclusion duplicates (a short
+    * doc embedded verbatim in a long one): Jaccard dilutes by the big
+    * doc's size and misses them, C(small→big) stays ~1. Same
+    * inverted-index join as q_dedup_ngram (cost ∝ Σ|∩|, shuffle key =
+    * the high-cardinality shingle); the a<b intersection counts fan out
+    * to BOTH directions afterwards — one row per (contained, container)
+    * passing the exact integer threshold 5·|∩| ≥ 4·|A| (C ≥ 0.8). */
+  val qDedupContainment = Q(
+    "q_dedup_containment",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+      |    AS containment
+      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+      |WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
+      |ORDER BY contained_id, container_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val inc = toks
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
+      .dropDuplicates("doc_id", "s")
+      .persistScratch() // both join sides + the size aggregate
+    val sz = inc.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    // intersections once per unordered pair, then both directions
+    val inter = inc.select(col("doc_id").as("a_id"), col("lang"), col("s"))
+      .join(inc.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("s").as("b_s")),
+        col("lang") === col("b_lang") && col("s") === col("b_s") &&
+        col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("int").as("inter"))
+    val directed = inter
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        col("inter"))
+      .unionAll(inter.select(col("b_id").as("contained_id"),
+        col("a_id").as("container_id"), col("inter")))
+    directed
+      .join(sz.select(col("doc_id").as("contained_id"), col("sz")),
+        "contained_id")
+      .filter(col("inter") * 5 >= col("sz") * 4)
+      .select(col("contained_id"), col("container_id"),
+        round(col("inter").cast("double") / col("sz"), 6).as("containment"))
+      .orderBy("contained_id", "container_id")
+  }
+
   /** Regex (BPE-ish) tokenization: alpha runs and digit runs as separate
     * tokens, counted per language — the cheap token-budget estimator a
     * training pipeline runs before the real tokenizer. */
@@ -619,7 +678,8 @@ object TextExtras {
   }
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
-    qDedupNgram, qTokenBpe, qMultimodalMeta, qMultimodalFrames,
-    qTextCooccur, qTextTfidf, qDocTopkQuality, qPipelineFilter, qTextSearch,
-    qTextPhrase, qMultimodalResize, qDecontaminate, qTextRepetition)
+    qDedupNgram, qDedupContainment, qTokenBpe, qMultimodalMeta,
+    qMultimodalFrames, qTextCooccur, qTextTfidf, qDocTopkQuality,
+    qPipelineFilter, qTextSearch, qTextPhrase, qMultimodalResize,
+    qDecontaminate, qTextRepetition)
 }

@@ -49,6 +49,27 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("containment flags a quoted-subset pair that Jaccard misses") {
+    val spk = spark
+    import spk.implicits._
+    // doc 1 is verbatim-contained in doc 2 (20 of 80 tokens): C(1->2)=1.0
+    // but Jaccard = 18/78 ~ 0.23 — below q_dedup_ngram's 0.5 bar
+    val small = (1 to 20).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (1 to 60).map(i => s"x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    Seq((1L, small, "en"), (2L, big, "en"), (3L, "alpha beta gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val contained = graft.operators.TextExtras.qDedupContainment.fn(spk, dir)
+      .select("contained_id", "container_id", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(contained === Seq((1L, 2L, 1.0)),
+      "exactly the quoted-subset direction must pass the containment bar")
+    val jaccard = graft.operators.TextExtras.qDedupNgram.fn(spk, dir)
+    assert(jaccard.count() === 0,
+      "the same pair must stay under the symmetric Jaccard threshold")
+  }
+
   test("TokenBits dense-id remap (vocab > 64k) matches exact intersections; empty sets survive") {
     val spk = spark
     // 3500 docs x 40 terms: 20 from a small shared pool (real overlap) +
