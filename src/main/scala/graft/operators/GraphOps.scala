@@ -65,23 +65,37 @@ object GraphOps {
   ) { (spark, dir) =>
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("cu"),
         (col("l_suppkey") * 2 + 1).cast("long").as("sv"))
-      .distinct()
-    // Symmetric edge list + degrees feed every iteration: materialize once.
-    val edges = p.select(col("cu").as("u"), col("sv").as("v"))
-      .unionAll(p.select(col("sv").as("u"), col("cu").as("v")))
+    // Symmetric edge list feeds every iteration: materialize once,
+    // PRE-PARTITIONED on the join key — the cached partitioning satisfies
+    // each iteration's join requirement, so only the (node-cardinality)
+    // score side shuffles per round, never the edge list. This is the
+    // 100 TB co-partitioning discipline in local form. Dedup AFTER the
+    // one repartition: HashPartitioning(u) already clusters (u, v), so
+    // dropDuplicates aggregates partition-locally — symmetrize-then-
+    // repartition-then-dedup is ONE shuffle where distinct-then-
+    // repartition would be two.
+    val edges = raw.select(col("cu").as("u"), col("sv").as("v"))
+      .unionAll(raw.select(col("sv").as("u"), col("cu").as("v")))
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
       .persistScratch()
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).persistScratch()
-    var score = deg.select(col("u"), expr(s"CAST($unit AS BIGINT)").as("s"))
+    // The score vector CARRIES its node's degree, so an iteration is one
+    // edges⋈contributions equi-join + one destination-keyed aggregate —
+    // not a second degree join.
+    var score = deg.select(col("u"), expr(s"CAST($unit AS BIGINT)").as("s"),
+      col("d"))
     for (_ <- 1 to 3) {
-      val inc = edges.join(score, "u").join(deg, "u")
-        .select(col("v").as("u"), expr("s div d").as("c"))
-        .groupBy("u").agg(sum("c").as("inc"))
+      val contrib = score.select(col("u"), expr("s div d").as("c"))
+      val inc = edges.join(contrib, "u")
+        .groupBy(col("v").as("u")).agg(sum("c").as("inc"))
       score = deg.join(inc, Seq("u"), "left")
         .select(col("u"),
-          expr(s"$teleport + (17 * COALESCE(inc, 0)) div 20").as("s"))
+          expr(s"$teleport + (17 * COALESCE(inc, 0)) div 20").as("s"),
+          col("d"))
     }
     score.select(
       when(col("u") % 2 === 0, lit("customer")).otherwise(lit("supplier"))

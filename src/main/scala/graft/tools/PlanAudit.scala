@@ -30,7 +30,10 @@ object PlanAudit {
       "q_time_resample", "q_text_ngram_lm", "q_cdc_compact",
       // round-7 additions
       "q_vec_lsh_multi", "q_cdc_scd2", "q_stream_dedup", "q_doc_chunk",
-      "q_text_repetition")
+      "q_text_repetition",
+      // round-8 additions
+      "q_graph_pagerank", "q_events_sessionize", "q_dedup_containment",
+      "q_stream_join_left")
     val queries = graft.SparkEntry.queries
     val sb = new StringBuilder
     audited.foreach { name =>
