@@ -326,6 +326,62 @@ object Curation {
   }
 
 
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent PRIOR non-purchase event within a 7-day lookback, else
+    * 'direct' — the conversion-credit readout behavioral pipelines join
+    * against spend. One window pass over one user_id partitioning: two
+    * last(..., ignoreNulls) columns over the same ROWS frame (they
+    * resolve to the same predecessor row, so type and timestamp stay
+    * consistent), then a purchase-filtered rollup. Exact integer cents
+    * and epoch-µs arithmetic; ties on ts break on event_id. */
+  val qEventsAttribution = Q(
+    "q_events_attribution",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS v_c
+      |  FROM events),
+      |t AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN us END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_us
+      |  FROM e)
+      |SELECT
+      |  CASE WHEN lt_us IS NOT NULL AND us - lt_us <= 604800000000
+      |       THEN lt_type ELSE 'direct' END AS channel,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(v_c) AS BIGINT) AS revenue_cents
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("bigint").as("v_c"))
+      .withColumn("lt_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")), true)
+          .over(w))
+      .withColumn("lt_us",
+        last(when(col("event_type") =!= "purchase", col("us")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lt_us").isNotNull &&
+          col("us") - col("lt_us") <= 604800000000L, col("lt_type"))
+          .otherwise("direct").as("channel"),
+        col("v_c"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("v_c").as("revenue_cents"))
+      .orderBy("channel")
+  }
+
   /** DAU / trailing-7-day WAU: daily active users plus the rolling
     * 7-day distinct-user count. Rolling DISTINCT cannot ride a window
     * frame (distinct doesn't decompose), so the scale shape is: dedup to
@@ -541,6 +597,6 @@ object Curation {
 
   def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
     qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap,
-    qEventsSessionize, qEventsWau, qEventsAnomaly, qFeatureBin,
-    qEventsMarkov, qOrdersPareto, qEventsAbLift)
+    qEventsSessionize, qEventsAttribution, qEventsWau, qEventsAnomaly,
+    qFeatureBin, qEventsMarkov, qOrdersPareto, qEventsAbLift)
 }

@@ -242,6 +242,24 @@ class InvariantSpec extends SparkTestBase with Matchers {
     } finally s.unpersist()
   }
 
+  test("attribution partitions purchases exactly across channels") {
+    val dir = sf()
+    val at = graft.operators.Curation.qEventsAttribution.fn(spark, dir)
+    val events = graft.sources.Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+    // every purchase is credited exactly once
+    assert(at.agg(sum("n_purchases")).head().getLong(0) === purchases.count())
+    // revenue conserves in exact cents
+    assert(at.agg(sum("revenue_cents")).head().getLong(0) ===
+      purchases.agg(sum(round(col("value") * 100).cast("bigint")))
+        .head().getLong(0))
+    // channels are only event types (or 'direct'), never 'purchase' itself
+    val channels = at.select("channel").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(!channels.contains("purchase"))
+    assert(channels.subsetOf(Set("click", "view", "signup", "error", "direct")))
+  }
+
   test("pagerank scores stay in the exact integer-unit envelope") {
     val dir = sf()
     val pr = graft.operators.GraphOps.qGraphPagerank.fn(spark, dir)
