@@ -262,6 +262,51 @@ object Joins {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Correlated PREDICATE subqueries (TPC-H Q17 shape): small-quantity
+    * orders for one brand, where "small" compares each row against its
+    * part's aggregate — `qty·5·cnt < sum` is the exact-integer form of
+    * `qty < 0.2·avg` (quantities are integral doubles `[VER]`), so the
+    * boundary can't flip between engines. Catalyst decorrelates both
+    * scalar subqueries into aggregate + join (and MergeScalarSubqueries
+    * can fuse them: same correlation key, same relation) — per-row
+    * re-execution never survives planning, which is what makes the shape
+    * usable at 100 TB. */
+  val qSubqueryCorr = Q(
+    "q_subquery_corr",
+    """SELECT p_brand,
+      |  CAST(COUNT(*) AS BIGINT) AS n_small,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand IN ('Brand#11', 'Brand#12')
+      |  AND CAST(l_quantity AS BIGINT) * 5
+      |      * (SELECT COUNT(*) FROM lineitem l2
+      |         WHERE l2.l_partkey = part.p_partkey)
+      |      < (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |         FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir).createOrReplaceTempView("sq2_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("sq2_part")
+    spark.sql(
+      """SELECT p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM sq2_lineitem, sq2_part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand IN ('Brand#11', 'Brand#12')
+        |  AND CAST(l_quantity AS BIGINT) * 5
+        |      * (SELECT COUNT(*) FROM sq2_lineitem l2
+        |         WHERE l2.l_partkey = sq2_part.p_partkey)
+        |      < (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |         FROM sq2_lineitem l2 WHERE l2.l_partkey = sq2_part.p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
   /** Full outer join — the reconciliation audit: every customer and every
     * order key appears exactly once, bucketed into matched / customer-only
     * / order-only (order-only is empty here by referential integrity, and
@@ -294,5 +339,5 @@ object Joins {
   }
 
   def all: Seq[Q] = Seq(q05, q06, q07, q08, q09, q10, q11, q12,
-    qJoinAsofFwd, qSubqueryScalar, qJoinFull)
+    qJoinAsofFwd, qSubqueryScalar, qSubqueryCorr, qJoinFull)
 }
