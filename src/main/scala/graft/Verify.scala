@@ -30,6 +30,9 @@ object Verify {
         }
         // Queries are independent: drop persisted tables between them so the
         // 100+-query dump doesn't accumulate cached blocks in the driver heap.
+        // releaseAll also frees checkpoint-RDD blocks (CC/rank loops), which
+        // clearCache cannot see; clearCache then catches any bare persist().
+        graft.sources.Scratch.releaseAll()
         spark.catalog.clearCache()
       }
     }

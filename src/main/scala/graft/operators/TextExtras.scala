@@ -193,7 +193,8 @@ object TextExtras {
       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
       |    AS containment
       |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-      |WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
+      |WHERE len(a.sh) > 0
+      |  AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
       |ORDER BY contained_id, container_id""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window

@@ -200,4 +200,22 @@ class DedupSpec extends SparkTestBase {
       spark.conf.unset("spark.graft.checkpointDir")
     }
   }
+
+  test("Scratch.releaseAll frees the CC loop's checkpoint blocks") {
+    // localCheckpoint blocks bypass the CacheManager, so neither
+    // Dataset.unpersist nor clearCache can release them — the Scratch
+    // ckpt registry must, or a long-lived session (the bench) leaks one
+    // frame per CC round and later queries run under memory pressure.
+    graft.sources.Scratch.releaseAll() // clean slate from earlier tests
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L), (100L, 101L))
+      .toDF("a_id", "b_id").repartition(6)
+    graft.operators.SketchDedup.connectedComponents(edges).count()
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "CC run must leave checkpoint blocks to release")
+    graft.sources.Scratch.releaseAll()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"releaseAll left ${after.size} persistent RDDs (ids $after) pinned")
+  }
 }
