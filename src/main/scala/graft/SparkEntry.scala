@@ -16,7 +16,7 @@ object SparkEntry {
       operators.SortSet.all ++ functions.Scalars.all ++
       operators.TextOps.all ++ operators.TextExtras.all ++
       operators.Curation.all ++ operators.PipelineOps.all ++
-      operators.OlapExtras.all ++
+      operators.OlapExtras.all ++ operators.OlapClassics.all ++
       operators.SketchDedup.all ++ operators.GraphOps.all ++
       operators.VectorOps.all ++
       streaming.Streams.all

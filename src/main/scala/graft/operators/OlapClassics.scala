@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Det
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Classic warehouse report shapes not yet covered by the core operators:
+  * distribution-of-group-sizes, HAVING-as-semijoin, disjunctive predicate
+  * pushdown, conditional-share ratios, argmax-over-aggregate, and an
+  * anti-join against a global threshold. (The fixture schema lacks
+  * partsupp / shipmode / commitdate, so the classic TPC-H formulations are
+  * ADAPTED to the columns that exist — see FIXTURES.md — never copied.)
+  *
+  * All revenue math follows the Det discipline: exact integer cents
+  * through every shuffle, one double division at the end, so results are
+  * partitioning-independent and hash-comparable cross-engine.
+  */
+object OlapClassics {
+
+  /** Orders-per-customer distribution (TPC-H Q13 shape): LEFT join so
+    * zero-order customers land in bucket 0, then a second aggregation
+    * over the group sizes. Scale: the first aggregate is keyed by the
+    * join key itself (custkey), so AQE plans join + count in one
+    * exchange; the second aggregate's domain is order-count buckets —
+    * tiny, map-side combinable. */
+  val qOlapCustDist = Q(
+    "q_olap_cust_dist",
+    """WITH co AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT CAST(c_count AS BIGINT) AS c_count,
+      |  CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+  ) { (spark, dir) =>
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): the HAVING aggregate acts as
+    * a semi-join filter on the fact table, then enriches survivors with
+    * customer attributes. Scale: the heavy aggregate runs FIRST and
+    * reduces 600k line items to the few thousand qualifying orders; the
+    * enrichment joins move only survivors. Quantities are integral
+    * doubles, so the BIGINT sum threshold is exact on both engines. */
+  val qOlapBigOrders = Q(
+    "q_olap_big_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 185)
+      |SELECT c_name, o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  o_totalprice, sum_qty
+      |FROM big JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 185)
+    big
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Disjunctive multi-column predicates (TPC-H Q19 shape): revenue from
+    * three OR'd brand/size/quantity bands. The point at scale is predicate
+    * placement: the l_quantity bounds (OR over all branches: [1, 30])
+    * and p_size bounds ([1, 15]) are implied per-table ranges — Catalyst
+    * cannot derive them from the cross-table OR, so the implementation
+    * states the implied single-table envelopes explicitly and they reach
+    * the parquet scans as PushedFilters; the exact OR evaluates post-join
+    * on the pre-filtered rows. The oracle needs no such hints (single
+    * process), and the envelopes don't change the result. */
+  val qOlapDisjunct = Q(
+    "q_olap_disjunct",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |    AS BIGINT) AS rev_units
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+  ) { (spark, dir) =>
+    // Implied single-table envelopes, stated so they push to the scans:
+    // lineitem reads only qty ∈ [1,30] rows, part only size ∈ [1,15] of
+    // the three brands — the join then sees a fraction of either table.
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").between(1, 30))
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_size").between(1, 15) &&
+        col("p_brand").isin("Brand#12", "Brand#23", "Brand#24"))
+    val branch =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(pt, col("p_partkey") === col("l_partkey"))
+      .filter(branch)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Det.units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+          .cast("decimal(38,0)")).cast("long").as("rev_units"))
+  }
+
+  /** Per-year national market share inside one region (TPC-H Q8 shape):
+    * a conditional-sum ratio over a star join. Scale: dims broadcast,
+    * the fact scans once, and the share is numerator/denominator of two
+    * exact integer sums in ONE aggregate pass — never two scans. */
+  val qOlapMktShare = Q(
+    "q_olap_mkt_share",
+    """WITH rev AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, n_name,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS units
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN units ELSE 0 END) AS BIGINT)
+      |    AS nation_units,
+      |  CAST(SUM(units) AS BIGINT) AS total_units,
+      |  round(CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN units ELSE 0 END) AS DOUBLE)
+      |    / SUM(units), 6) AS share
+      |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
+  ) { (spark, dir) =>
+    val units = Det.units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), units.as("units"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(year(col("o_orderdate")).cast("int").as("o_year"),
+        col("n_name"), col("units"))
+    val natUnits = sum(when(col("n_name") === "NATION_7", col("units"))
+      .otherwise(0L).cast("decimal(38,0)"))
+    rev.groupBy("o_year")
+      .agg(natUnits.cast("long").as("nation_units"),
+        sum(col("units").cast("decimal(38,0)")).cast("long").as("total_units"),
+        round(natUnits.cast("double") /
+          sum(col("units").cast("decimal(38,0)")), 6).as("share"))
+      .orderBy("o_year")
+  }
+
+  /** Top supplier by quarterly revenue (TPC-H Q15 shape):
+    * argmax-over-aggregate via a one-row max frame joined back — never a
+    * global sort. Scale: the aggregate reduces the fact table to one row
+    * per supplier first; the max is a one-row frame (AQE broadcasts it),
+    * and ties surface as multiple rows (deterministic, ordered). */
+  val qOlapTopSupplier = Q(
+    "q_olap_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |      AS BIGINT) AS rev_units
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, rev_units
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE rev_units = (SELECT MAX(rev_units) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+  ) { (spark, dir) =>
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(Det.units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+        .cast("decimal(38,0)")).cast("long").as("rev_units"))
+    val mx = rev.agg(max("rev_units").as("mx"))
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(mx) // one-row frame
+      .filter(col("rev_units") === col("mx"))
+      .select("s_suppkey", "s_name", "rev_units")
+      .orderBy("s_suppkey")
+  }
+
+  /** Lapsed high-balance customers per nation (TPC-H Q22 shape): an
+    * anti-join against recent orders, gated on a global mean threshold.
+    * The mean comparison is EXACT — `cents·n > Σcents` over positive
+    * balances — so the boundary cannot flip on a last-ulp AVG difference
+    * between engines. Scale: the threshold is a one-row aggregate; the
+    * anti-join's right side is pre-filtered to recent orders only. */
+  val qOlapLapsedRich = Q(
+    "q_olap_lapsed_rich",
+    """WITH st AS (
+      |  SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+      |    COUNT(*) AS n
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey, st
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * st.n > st.s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY n_name
+      |ORDER BY nation""".stripMargin
+  ) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        Det.units(col("c_acctbal"), 100).as("cents"))
+    val st = cust.filter(col("cents") > 0)
+      .agg(sum(col("cents").cast("decimal(38,0)")).cast("long").as("s"),
+        count(lit(1)).as("n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(st) // one-row threshold frame
+      .filter(col("cents") * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents").cast("decimal(38,0)")).cast("long").as("bal_cents"))
+      .orderBy("nation")
+  }
+
+  def all: Seq[Q] = Seq(qOlapCustDist, qOlapBigOrders, qOlapDisjunct,
+    qOlapMktShare, qOlapTopSupplier, qOlapLapsedRich)
+}
