@@ -41,6 +41,44 @@ object Curation {
       .orderBy("l_returnflag")
   }
 
+  /** Weighted sampling without replacement, per language stratum —
+    * Sequential Poisson Sampling (Ohlsson): priority ξ = u / w with u a
+    * deterministic per-doc uniform and w = n_chars, keep the k smallest ξ
+    * per stratum, so longer documents are proportionally more likely.
+    * u derives from the portable md5 hash ((h + 0.5) / 2^32), NOT engine
+    * RNG: the sample is bit-reproducible across engines, runs, AND task
+    * retries — the lineage property a training-data pipeline needs from
+    * its sampler. ξ is one exact IEEE division of exact inputs, so the
+    * cross-engine ranking cannot flip; doc_id breaks (impossible-in-
+    * practice) ties. Plan shape: one scan + per-stratum top-k, which
+    * plans a pre-shuffle WindowGroupLimit — each task keeps k rows per
+    * stratum before the exchange, never the corpus. */
+  val qSampleWeighted = Q(
+    "q_sample_weighted",
+    s"""WITH s AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    (${graft.functions.PortableHash.duck("CAST(doc_id AS VARCHAR)")} + 0.5)
+       |      / 4294967296.0 / n_chars AS xi
+       |  FROM documents)
+       |SELECT lang, CAST(rk AS INT) AS rk, doc_id, n_chars
+       |FROM (SELECT lang, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY lang ORDER BY xi, doc_id) AS rk
+       |      FROM s)
+       |WHERE rk <= 5
+       |ORDER BY lang, rk""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val xi = (expr(graft.functions.PortableHash.spark("cast(doc_id as string)"))
+      + lit(0.5)) / lit(4294967296.0) / col("n_chars")
+    val w = Window.partitionBy("lang").orderBy(col("xi"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"), xi.as("xi"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "doc_id", "n_chars")
+      .orderBy("lang", "rk")
+  }
+
   /** Ordered funnel with a 48 h conversion window: first view → first
     * click within 48 h of it → first purchase within 48 h of that click.
     * Three conditional-min aggregations keyed on user_id, left-joined on
@@ -595,7 +633,7 @@ object Curation {
       .orderBy("arm")
   }
 
-  def all: Seq[Q] = Seq(qSampleHash, qEventsFunnel, qTextRedact,
+  def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qEventsFunnel, qTextRedact,
     qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap,
     qEventsSessionize, qEventsAttribution, qEventsWau, qEventsAnomaly,
     qFeatureBin, qEventsMarkov, qOrdersPareto, qEventsAbLift)

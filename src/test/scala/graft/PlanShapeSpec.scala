@@ -93,7 +93,7 @@ class PlanShapeSpec extends SparkTestBase {
     // one after — that pre-shuffle prune is what keeps a 100 TB per-group
     // top-k from shuffling the whole fact table.
     Seq("q_win_topk", "q_doc_topk_quality", "q_cdc_compact",
-        "q_stream_dedup").foreach { name =>
+        "q_stream_dedup", "q_sample_weighted").foreach { name =>
       val plan = finalPlan(name)
       assert(plan.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
         s"$name should carry partial (pre-shuffle) + final WindowGroupLimit")
@@ -166,6 +166,53 @@ class PlanShapeSpec extends SparkTestBase {
     // query itself must not have one.
     assert(!finalPlan("q_vec_lsh_multi").contains("BroadcastNestedLoopJoin"),
       "q_vec_lsh_multi degraded to BroadcastNestedLoopJoin")
+  }
+
+  test("disjunctive predicates: implied envelopes reach both parquet scans") {
+    // The OR-of-ANDs itself can't push across tables; the stated
+    // single-table envelopes must — lineitem reads only qty ∈ [1,30],
+    // part only the three brands with size ≤ 15. Losing either turns the
+    // join input back into a full table scan at 100 TB.
+    val plan = finalPlan("q_olap_disjunct")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      plan.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "q_olap_disjunct lost the lineitem quantity envelope pushdown")
+    assert(plan.contains("In(p_brand") &&
+      plan.contains("LessThanOrEqual(p_size,15)"),
+      "q_olap_disjunct lost the part brand/size envelope pushdown")
+  }
+
+  test("lapsed-rich customers plan an anti-join, never a per-row subquery") {
+    val plan = finalPlan("q_olap_lapsed_rich")
+    assert(plan.contains("LeftAnti"),
+      "q_olap_lapsed_rich lost its anti-join against recent orders")
+    // the date filter prunes the orders scan before the anti-join
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "q_olap_lapsed_rich no longer pushes the recency filter to the scan")
+  }
+
+  test("big-orders HAVING aggregates the fact table before any join") {
+    // The qualifying-orders aggregate must run on the lineitem scan
+    // directly (semi-join shape): an aggregate AFTER the customer join
+    // would shuffle the full fact join output at 100 TB.
+    val plan = queries("q_olap_big_orders")(spark, dir).queryExecution.optimizedPlan
+    val aggBelowJoin = plan.collect { case j: Join => j }.forall { j =>
+      Seq(j.left, j.right).exists(side =>
+        side.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.nonEmpty)
+    }
+    assert(aggBelowJoin,
+      "q_olap_big_orders joins before aggregating — the HAVING filter no longer prunes the fact table first")
+  }
+
+  test("incremental dedup: candidate gen is an equi-join probing the band index") {
+    val plan = finalPlan("q_dedup_incremental")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "q_dedup_incremental degraded to an all-pairs plan")
+    hintedSideOutputs("q_dedup_incremental").foreach { out =>
+      assert(out.exists(c => c == "__id" || c == "__off"),
+        s"q_dedup_incremental has a non-dictionary broadcast hint (cols: ${out.mkString(", ")})")
+    }
   }
 
   test("SCD2 intervals plan exactly one window pass and one key shuffle") {
