@@ -77,8 +77,15 @@ object GraphOps {
     // dropDuplicates aggregates partition-locally — symmetrize-then-
     // repartition-then-dedup is ONE shuffle where distinct-then-
     // repartition would be two.
-    val edges = raw.select(col("cu").as("u"), col("sv").as("v"))
-      .unionAll(raw.select(col("sv").as("u"), col("cu").as("v")))
+    // Symmetrize with ONE pass over the join output: a union of two
+    // selects over `raw` would plan the lineitem⋈orders join as two
+    // duplicated sub-DAGs (Spark shares no CTEs) and execute it twice;
+    // exploding both directions per row keeps it to one execution.
+    val edges = raw
+      .select(explode(array(
+        struct(col("cu").as("u"), col("sv").as("v")),
+        struct(col("sv").as("u"), col("cu").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("u"))
       .dropDuplicates("u", "v")
       .persistScratch()
