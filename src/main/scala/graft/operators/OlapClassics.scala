@@ -244,6 +244,97 @@ object OlapClassics {
       .orderBy("nation")
   }
 
+  /** Two-nation trade volume (TPC-H Q7 shape): revenue flowing between a
+    * customer nation and a supplier nation, both directions, per ship
+    * year. Scale: both nation filters resolve on broadcast dims BEFORE
+    * the fact join, so the lineitem scan output is pre-pruned to the two
+    * trading pairs; one aggregate pass, exact cents. */
+  val qOlapVolumeShip = Q(
+    "q_olap_volume_ship",
+    """SELECT supp_nation, cust_nation, o_year,
+      |  CAST(SUM(units) AS BIGINT) AS rev_units
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS o_year,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS units
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+      |     OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      |GROUP BY supp_nation, cust_nation, o_year
+      |ORDER BY supp_nation, cust_nation, o_year""".stripMargin
+  ) { (spark, dir) =>
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        Det.units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+          .as("units"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+        (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("o_year"))
+      .agg(sum(col("units").cast("decimal(38,0)")).cast("long").as("rev_units"))
+      .select("supp_nation", "cust_nation", "o_year", "rev_units")
+      .orderBy("supp_nation", "cust_nation", "o_year")
+  }
+
+  /** Returned-item revenue ranking (TPC-H Q10 shape): top 10 customers by
+    * revenue lost to returns in one quarter. Scale: date + returnflag
+    * prune the two fact scans before the join; the ranking input is one
+    * row per customer after aggregation, and the top-10 is a
+    * TakeOrderedAndProject, never a global sort. Ties break on custkey. */
+  val qOlapReturned = Q(
+    "q_olap_returned",
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |    AS BIGINT) AS rev_units
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY rev_units DESC, c_custkey
+      |LIMIT 10""".stripMargin
+  ) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        Det.units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+          .as("units"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(col("units").cast("decimal(38,0)")).cast("long").as("rev_units"))
+      .orderBy(desc("rev_units"), asc("c_custkey"))
+      .limit(10)
+  }
+
   def all: Seq[Q] = Seq(qOlapCustDist, qOlapBigOrders, qOlapDisjunct,
-    qOlapMktShare, qOlapTopSupplier, qOlapLapsedRich)
+    qOlapMktShare, qOlapTopSupplier, qOlapLapsedRich, qOlapVolumeShip,
+    qOlapReturned)
 }

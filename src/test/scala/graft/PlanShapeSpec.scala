@@ -215,6 +215,21 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("returned-items ranking prunes scans and takes the top-10 without a global sort") {
+    val plan = finalPlan("q_olap_returned")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "q_olap_returned's LIMIT no longer plans as TakeOrderedAndProject")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      "q_olap_returned lost the returnflag pushdown on the lineitem scan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "q_olap_returned lost the order-date pushdown on the orders scan")
+  }
+
+  test("two-nation volume flow never degrades to a nested loop") {
+    assert(!finalPlan("q_olap_volume_ship").contains("BroadcastNestedLoopJoin"),
+      "q_olap_volume_ship degraded to BroadcastNestedLoopJoin")
+  }
+
   test("SCD2 intervals plan exactly one window pass and one key shuffle") {
     // lead() over (key, ts) needs one hash exchange on the key and one
     // WindowExec — a second window or exchange means the interval build
