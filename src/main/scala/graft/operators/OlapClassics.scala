@@ -334,7 +334,41 @@ object OlapClassics {
       .limit(10)
   }
 
+  /** Order-priority service check (TPC-H Q4 shape): per priority, how
+    * many orders in a quarter had at least one line item shipped more
+    * than 90 days after ordering. The EXISTS is a LEFT SEMI join with an
+    * equi key (orderkey) plus a non-equi residual (the lateness
+    * comparison) — Catalyst keeps the shuffle keyed on the equi part and
+    * evaluates the residual inside the join, so the plan distributes;
+    * each order contributes at most one row regardless of how many lines
+    * are late. */
+  val qOlapOrderPriority = Q(
+    "q_olap_order_priority",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   def all: Seq[Q] = Seq(qOlapCustDist, qOlapBigOrders, qOlapDisjunct,
     qOlapMktShare, qOlapTopSupplier, qOlapLapsedRich, qOlapVolumeShip,
-    qOlapReturned)
+    qOlapReturned, qOlapOrderPriority)
 }

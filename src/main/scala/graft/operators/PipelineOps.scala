@@ -392,7 +392,53 @@ object PipelineOps {
       .orderBy("lang", "bin")
   }
 
+  /** Numeric column profiler — the first query any pipeline runs against
+    * a new table: per column, non-null count, exact distinct count, min,
+    * max (plus the table's row count). ONE scan: all stats compute in a
+    * single wide aggregate (the multi-distinct plans one Expand, same as
+    * q_agg_multi_distinct), and the per-column rows come from stack() over
+    * the one aggregate row — never four scans. Exact distincts here
+    * because the oracle demands determinism; the sketch variant is
+    * q_agg_approx. */
+  val qProfileNumeric = Q(
+    "q_profile_numeric",
+    """WITH s AS (SELECT
+      |    COUNT(*) AS n,
+      |    COUNT(l_quantity) AS nn1, COUNT(DISTINCT l_quantity) AS nd1,
+      |      MIN(l_quantity) AS mn1, MAX(l_quantity) AS mx1,
+      |    COUNT(l_extendedprice) AS nn2, COUNT(DISTINCT l_extendedprice) AS nd2,
+      |      MIN(l_extendedprice) AS mn2, MAX(l_extendedprice) AS mx2,
+      |    COUNT(l_discount) AS nn3, COUNT(DISTINCT l_discount) AS nd3,
+      |      MIN(l_discount) AS mn3, MAX(l_discount) AS mx3,
+      |    COUNT(l_tax) AS nn4, COUNT(DISTINCT l_tax) AS nd4,
+      |      MIN(l_tax) AS mn4, MAX(l_tax) AS mx4
+      |  FROM lineitem)
+      |SELECT col, n AS n_rows, n_nonnull, n_distinct, min_val, max_val FROM (
+      |  SELECT 'l_quantity' AS col, n, nn1 AS n_nonnull, nd1 AS n_distinct,
+      |    mn1 AS min_val, mx1 AS max_val FROM s
+      |  UNION ALL SELECT 'l_extendedprice', n, nn2, nd2, mn2, mx2 FROM s
+      |  UNION ALL SELECT 'l_discount', n, nn3, nd3, mn3, mx3 FROM s
+      |  UNION ALL SELECT 'l_tax', n, nn4, nd4, mn4, mx4 FROM s)
+      |ORDER BY col""".stripMargin
+  ) { (spark, dir) =>
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"nn$i"), countDistinct(col(c)).as(s"nd$i"),
+      min(col(c)).as(s"mn$i"), max(col(c)).as(s"mx$i"))
+    }
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', nn$i, nd$i, mn$i, mx$i"
+    }.mkString(", ")
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("n"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (col, n_nonnull, n_distinct, min_val, max_val)"))
+      .select(col("col"), col("n").as("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("col")
+  }
+
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
-    qTextNgramLm, qDocPackContent)
+    qTextNgramLm, qDocPackContent, qProfileNumeric)
 }

@@ -33,4 +33,25 @@ object Sinks {
   /** Plain parquet sink (dims that don't warrant partitioning). */
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
+
+  /** One micro-batch of the exactly-once streaming parquet sink: each
+    * batch owns the directory `batch=<id>` and OVERWRITES it whole. A
+    * failure-replay of the same batch id (Structured Streaming's
+    * at-least-once foreachBatch contract) rewrites identical contents
+    * instead of appending duplicates — idempotence comes from the
+    * overwrite-per-batch-directory discipline, and readers see the batch
+    * id as a partition column (write lineage for free). */
+  def writeBatch(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+
+  /** Exactly-once streaming parquet sink via foreachBatch — the seam a
+    * production pipeline uses when the sink needs transactional behavior
+    * plain file append can't give (upserts, dedup against the target,
+    * multi-table fan-out all live here). */
+  def foreachBatchParquet(stream: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatch(batch.toDF(), path, batchId)
+    }
 }

@@ -53,6 +53,38 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("foreachBatch parquet sink is idempotent under micro-batch replay") {
+    // foreachBatch is AT-LEAST-ONCE: after a crash the last batch replays
+    // with the SAME batch id. The sink owns batch=<id> and overwrites it
+    // whole, so a replay rewrites identical contents instead of appending
+    // duplicates — asserted by re-running a batch by hand and comparing.
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_febatch_ck").toString
+    val input = MemoryStream[Ev]
+    val q = graft.sources.Sinks.foreachBatchParquet(input.toDF(), out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 11L, "click", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val once = spk.read.parquet(out)
+    assert(once.count() === 2)
+    // batch lineage is a partition column readers can prune on
+    assert(once.columns.contains("batch"))
+    // crash-replay of batch 1: same id, same rows -> same final contents
+    graft.sources.Sinks.writeBatch(
+      Seq(Ev(2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 11L, "click", 2.0))
+        .toDF(), out, 1L)
+    val replayed = spk.read.parquet(out)
+    assert(replayed.count() === 2, "replaying a batch id must not append duplicates")
+    assert(replayed.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("tumbling window + watermark drops late data in append mode") {
     val spk = spark
     import spk.implicits._
