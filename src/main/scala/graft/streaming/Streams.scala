@@ -270,6 +270,40 @@ object Streams {
       .orderBy("user_id", "event_type")
   }
 
+  /** Batch twin of the STREAM-STATIC enrichment join ([[enrichStream]]):
+    * attach the customer's market segment to each event (user_id is a
+    * custkey in the fixtures) and aggregate per (segment, event_type).
+    * At scale the static dim broadcasts — the stream side never
+    * shuffles and the join holds no state (unlike stream-stream joins,
+    * a static side needs no watermark). */
+  val qStreamEnrich = Q(
+    "q_stream_enrich",
+    """SELECT c_mktsegment AS segment, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY segment, event_type
+      |ORDER BY segment, event_type""".stripMargin
+  ) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("segment", "event_type")
+  }
+
+  /** Streaming half of [[qStreamEnrich]] minus the aggregate: per-event
+    * enrichment against a STATIC dim — stateless, append-mode, the
+    * static side is planned as a broadcast against every micro-batch. */
+  def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers.select("c_custkey", "c_mktsegment")),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment").as("segment"))
+
   /** Streaming stage of the windowed top-k: the incremental per-(window,
     * user) aggregation under a 10-minute watermark. State is one row per
     * open (window, user) — watermark-bounded. */
@@ -332,5 +366,5 @@ object Streams {
   }
 
   def all: Seq[Q] = Seq(q35, q36, q37, qStreamJoin, qStreamJoinLeft,
-    qStreamTopk, qStreamDedup)
+    qStreamTopk, qStreamDedup, qStreamEnrich)
 }

@@ -33,7 +33,13 @@ object PlanAudit {
       "q_text_repetition",
       // round-8 additions
       "q_graph_pagerank", "q_events_sessionize", "q_dedup_containment",
-      "q_stream_join_left")
+      "q_stream_join_left",
+      // round-9 additions
+      "q_olap_cust_dist", "q_olap_big_orders", "q_olap_disjunct",
+      "q_olap_mkt_share", "q_olap_top_supplier", "q_olap_lapsed_rich",
+      "q_olap_volume_ship", "q_olap_returned", "q_olap_order_priority",
+      "q_dedup_incremental", "q_dedup_recall", "q_sample_weighted",
+      "q_profile_numeric")
     val queries = graft.SparkEntry.queries
     val sb = new StringBuilder
     audited.foreach { name =>

@@ -85,6 +85,31 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    // Stateless stream-static join: no watermark required, the static
+    // side broadcasts per micro-batch, and every event is enriched with
+    // its dim attributes — the streaming half of q_stream_enrich.
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val dim = Seq((10L, "BUILDING"), (11L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Ev]
+    val q = graft.streaming.Streams.enrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out").start()
+    try {
+      input.addData(
+        Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "view", 1.0),
+        Ev(2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 11L, "click", 2.0),
+        Ev(3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 99L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spk.sql("SELECT event_id, segment FROM enrich_out")
+        .as[(Long, String)].collect().toMap
+      // inner join: the unknown user (99) is dropped, the others enrich
+      assert(rows === Map(1L -> "BUILDING", 2L -> "MACHINERY"))
+    } finally q.stop()
+  }
+
   test("tumbling window + watermark drops late data in append mode") {
     val spk = spark
     import spk.implicits._
