@@ -268,9 +268,17 @@ object OlapClassics {
       |GROUP BY supp_nation, cust_nation, o_year
       |ORDER BY supp_nation, cust_nation, o_year""".stripMargin
   ) { (spark, dir) =>
+    // Implied single-side envelope (same technique as q_olap_disjunct):
+    // the cross-side OR can't push below either nation join, but each
+    // side independently must be one of the two trading nations — stating
+    // that prunes supplier/customer rows AT the broadcast joins, so the
+    // fact rows of the other 23 nations never survive to the filter.
+    val trading = Seq("NATION_3", "NATION_8")
     val n1 = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin(trading: _*))
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
     val n2 = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin(trading: _*))
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),

@@ -83,7 +83,17 @@ object Scratch {
   }
 
   /** Unpersist (blocks + CacheManager entries) every registered frame and
-    * every registered checkpoint RDD. */
+    * every registered checkpoint RDD.
+    *
+    * ASYMMETRY to be aware of: released cache entries degrade gracefully
+    * (a later action on the same Dataset recomputes from lineage), but a
+    * released localCheckpoint RDD is DESTROYED — its lineage was
+    * truncated, so the persisted blocks were the only copy, and a
+    * DataFrame still referencing it (e.g. a held connectedComponents
+    * result) fails any further action with "Checkpoint block not found".
+    * Call this only at a point where the query's results have been fully
+    * consumed (the bench does so after each query's count; Verify after
+    * each query's parquet dump). */
   def releaseAll(): Unit = synchronized {
     tracked.foreach { ds =>
       if (!ds.sparkSession.sparkContext.isStopped)
