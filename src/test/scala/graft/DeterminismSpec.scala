@@ -17,7 +17,10 @@ class DeterminismSpec extends SparkTestBase {
     "q_text_ngram_lm", "q_stream_session", "q_dedup_minhash", "q_dedup_cc",
     "q_udaf_geomean", "q_text_entropy", "q_vec_kmeans", "q_doc_mix_budget",
     "q_clip_outliers", "q_events_twap", "q_events_anomaly",
-    "q_vec_recall_eval", "q_win_range_frame")
+    "q_vec_recall_eval", "q_win_range_frame",
+    // round-9: money ratios, weighted-priority ranking, LSH recall ratio
+    "q_olap_mkt_share", "q_sample_weighted", "q_dedup_recall",
+    "q_graph_pagerank")
 
   test("float-sensitive queries return identical rows under 3 vs 17 shuffle partitions") {
     val dir = sf()
