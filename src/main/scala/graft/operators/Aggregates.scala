@@ -238,6 +238,55 @@ object Aggregates {
       .orderBy("o_orderstatus")
   }
 
+  /** Per-group simple linear regression (price vs quantity) from EXACT
+    * integer moments: n, Σx, Σy, Σxy, Σx² accumulate as DECIMAL(38,0)
+    * over cent units (per-row products ≤ 5e10, fit a long; group moments
+    * at 1e11 rows reach ~1e26 — inside 38 digits, where a BIGINT
+    * accumulator would have wrapped). slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)
+    * and intercept = (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²) are each ONE double
+    * division of two exact integers — identical cross-engine, unlike
+    * float regr_slope/regr_intercept whose accumulation order leaks.
+    * One scan, one aggregate pass for both coefficients. */
+  val qAggRegression = Q(
+    "q_agg_regression",
+    """WITH m AS (SELECT l_returnflag,
+      |    COUNT(*) AS n,
+      |    SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+      |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+      |    SUM(CAST(round(l_quantity * 100) AS BIGINT)
+      |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+      |    SUM(CAST(round(l_quantity * 100) AS BIGINT)
+      |        * CAST(round(l_quantity * 100) AS BIGINT)) AS sx2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope,
+      |  round(CAST(sy * sx2 - sx * sxy AS DOUBLE)
+      |    / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS intercept
+      |FROM m ORDER BY l_returnflag""".stripMargin
+  ) { (spark, dir) =>
+    import graft.functions.Det
+    val dec = "decimal(38,0)"
+    val x = Det.units(col("l_quantity"), 100)
+    val y = Det.units(col("l_extendedprice"), 100)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sx2"))
+      .select(col("l_returnflag"), col("n").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sx2") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy") * col("sx2") - col("sx") * col("sxy")).cast("double")
+          / (col("n") * col("sx2") - col("sx") * col("sx")).cast("double"), 6)
+          .as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   def all: Seq[Q] = Seq(q13, q14, q15, q16, q17, qAggApproxQuantile, q18,
-    qAggMultiDistinct, qAggCollectSet)
+    qAggMultiDistinct, qAggCollectSet, qAggRegression)
 }

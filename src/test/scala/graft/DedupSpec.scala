@@ -201,6 +201,27 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup finds a planted cross-split near-dup and only that") {
+    // doc_id % 5 == 4 plays the new batch. Plant one batch doc (id 9)
+    // that is a near-dup of a corpus doc (id 3) and one batch doc (id 14)
+    // with unrelated content: the decision record must flag exactly id 9
+    // against corpus id 3. Exercises the corpus-bands x batch-bands join
+    // direction (NOT the a<b self-join) on a synthetic fixture.
+    val common = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (3L, s"$common alpha", "en"),      // corpus
+      (7L, "totally different words here completely unrelated content", "en"), // corpus
+      (9L, s"$common beta", "en"),       // batch: near-dup of 3 (J = 40/42)
+      (14L, "nothing in common with anything else at all whatsoever", "en") // batch: clean
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.SketchDedup.qDedupIncremental.fn(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((9L, 1L, 3L)),
+      s"expected exactly (new=9, n_dups=1, first_dup=3), got ${out.toSeq}")
+  }
+
   test("Scratch.releaseAll frees the CC loop's checkpoint blocks") {
     // localCheckpoint blocks bypass the CacheManager, so neither
     // Dataset.unpersist nor clearCache can release them — the Scratch

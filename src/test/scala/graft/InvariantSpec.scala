@@ -10,6 +10,33 @@ import org.scalatest.matchers.should.Matchers
   * for the pure helper arithmetic. */
 class InvariantSpec extends SparkTestBase with Matchers {
 
+  test("weighted sampler selects exactly the k smallest u/w priorities per stratum") {
+    // Recompute the Sequential-Poisson selection driver-side from the raw
+    // table with independent Scala code (MessageDigest md5, BigInt parse)
+    // and assert the query returns exactly that set — proving the sampler
+    // is a pure function of the data, not of partitioning or RNG state.
+    val dir = sf()
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("lang", "doc_id", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def u(docId: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.toSeq.map { case (_, id, w) => (id, u(id) / w) }
+        .sortBy { case (id, xi) => (xi, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (lang, i + 1, id) }
+    }.toSet
+    val got = SparkEntry.queries("q_sample_weighted")(spark, dir)
+      .select("lang", "rk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("windowed counts conserve events: tumbling=1x, sliding=2x, session=1x") {
     val n = graft.sources.Tables.events(spark, sf()).count()
     val dir = sf()
