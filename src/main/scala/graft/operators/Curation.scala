@@ -58,7 +58,7 @@ object Curation {
     s"""WITH s AS (
        |  SELECT lang, doc_id, n_chars,
        |    (${graft.functions.PortableHash.duck("CAST(doc_id AS VARCHAR)")} + 0.5)
-       |      / 4294967296.0 / n_chars AS xi
+       |      / 4294967296.0 / greatest(n_chars, 1) AS xi
        |  FROM documents)
        |SELECT lang, CAST(rk AS INT) AS rk, doc_id, n_chars
        |FROM (SELECT lang, doc_id, n_chars,
@@ -68,8 +68,11 @@ object Curation {
        |ORDER BY lang, rk""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // greatest(w, 1): an empty doc (n_chars = 0) stays sampleable at unit
+    // weight instead of dividing by zero — one poison row would otherwise
+    // kill the job under ANSI mode (RobustnessSpec).
     val xi = (expr(graft.functions.PortableHash.spark("cast(doc_id as string)"))
-      + lit(0.5)) / lit(4294967296.0) / col("n_chars")
+      + lit(0.5)) / lit(4294967296.0) / greatest(col("n_chars"), lit(1L))
     val w = Window.partitionBy("lang").orderBy(col("xi"), col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"), col("n_chars"), xi.as("xi"))

@@ -61,7 +61,9 @@ object TextExtras {
     """SELECT lang, predicted, COUNT(*) AS n_docs
       |FROM (
       |  SELECT lang,
-      |    CASE WHEN CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+      |    CASE WHEN length(regexp_replace(text, '[^a-z]', '', 'g')) = 0
+      |         THEN 'consonant-heavy'
+      |         WHEN CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
       |              / length(regexp_replace(text, '[^a-z]', '', 'g')) >= 0.4
       |         THEN 'vowel-heavy'
       |         WHEN CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
@@ -75,9 +77,13 @@ object TextExtras {
     val vowels = length(regexp_replace(col("text"), "[^aeiou]", ""))
     val letters = length(regexp_replace(col("text"), "[^a-z]", ""))
     val ratio = vowels.cast("double") / letters
+    // zero-letter guard FIRST: CASE branches evaluate lazily, so the
+    // division never runs on a letterless doc — one poison row would
+    // otherwise kill the whole job under ANSI mode (RobustnessSpec).
     Tables.documents(spark, dir)
       .select(col("lang"),
-        when(ratio >= 0.4, "vowel-heavy")
+        when(letters === 0, "consonant-heavy")
+          .when(ratio >= 0.4, "vowel-heavy")
           .when(ratio >= 0.3, "balanced")
           .otherwise("consonant-heavy").as("predicted"))
       .groupBy("lang", "predicted")

@@ -26,7 +26,7 @@ class InvariantSpec extends SparkTestBase with Matchers {
       (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
     }
     val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
-      rows.toSeq.map { case (_, id, w) => (id, u(id) / w) }
+      rows.toSeq.map { case (_, id, w) => (id, u(id) / math.max(w, 1L)) }
         .sortBy { case (id, xi) => (xi, id) }
         .take(5).zipWithIndex
         .map { case ((id, _), i) => (lang, i + 1, id) }
