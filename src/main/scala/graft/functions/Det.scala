@@ -39,12 +39,23 @@ object Det {
   def exactAvg(c: Column, scale: Long): Column =
     sum(units(c, scale).cast("decimal(38,0)")) / lit(scale.toDouble) / count(lit(1))
 
+  /** exactSum for UNBOUNDED metric columns (events.value): the per-row
+    * units go straight into DECIMAL(38,0) with no BIGINT intermediate —
+    * a single outlier row beyond ±9.2e18 units would otherwise kill the
+    * job with an ANSI CAST_OVERFLOW (money columns are domain-bounded
+    * 2dp, so [[units]]' long intermediate is safe there). Identical
+    * result for in-range data. */
+  def exactSumWide(c: Column, scale: Long): Column =
+    sum(round(c * scale).cast("decimal(38,0)")) / lit(scale.toDouble)
+
   /** Matching DuckDB SQL fragments (kept adjacent so the two sides never
     * drift). DuckDB SUM(BIGINT) returns HUGEINT (128-bit) natively. */
   def sqlUnits(e: String, scale: Long): String =
     s"CAST(round(($e) * $scale) AS BIGINT)"
   def sqlExactSum(e: String, scale: Long): String =
     s"SUM(${sqlUnits(e, scale)}) / $scale.0"
+  def sqlExactSumWide(e: String, scale: Long): String =
+    s"SUM(CAST(round(($e) * $scale) AS HUGEINT)) / $scale.0"
   def sqlExactAvg(e: String, scale: Long): String =
     s"SUM(${sqlUnits(e, scale)}) / $scale.0 / COUNT(*)"
 }

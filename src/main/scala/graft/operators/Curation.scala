@@ -288,7 +288,7 @@ object Curation {
     "q_events_twap",
     """WITH g AS (
       |  SELECT user_id,
-      |    CAST(round(value * 100) AS BIGINT) AS v_c,
+      |    CAST(round(value * 100) AS HUGEINT) AS v_c,
       |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
       |      - epoch_us(ts) AS dt_us
       |  FROM events WHERE user_id < 100)
@@ -297,6 +297,7 @@ object Curation {
       |  CAST(SUM(v_c * dt_us) AS DOUBLE) / SUM(dt_us) / 100.0 AS twap
       |FROM g WHERE dt_us IS NOT NULL
       |GROUP BY user_id
+      |HAVING SUM(dt_us) > 0
       |ORDER BY user_id""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -304,13 +305,19 @@ object Curation {
     Tables.events(spark, dir)
       .filter(col("user_id") < 100)
       .select(col("user_id"),
-        round(col("value") * 100).cast("bigint").as("v_c"),
+        round(col("value") * 100).cast("decimal(38,0)").as("v_c"),
         (unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts"))).as("dt_us"))
       .filter(col("dt_us").isNotNull)
       .groupBy("user_id")
       .agg(count(col("dt_us")).as("n_intervals"),
-        (sum((col("v_c") * col("dt_us")).cast("decimal(38,0)")).cast("double")
-          / sum(col("dt_us")) / lit(100.0)).as("twap"))
+        sum((col("v_c") * col("dt_us")).cast("decimal(38,0)")).as("num"),
+        sum(col("dt_us")).as("span_us"))
+      // a user whose whole observed span is zero (every event at the same
+      // instant) has no time-weighted average — excluded on BOTH engines
+      // rather than dividing by zero (job-killing under ANSI mode).
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        (col("num").cast("double") / col("span_us") / lit(100.0)).as("twap"))
       .orderBy("user_id")
   }
 
@@ -379,7 +386,7 @@ object Curation {
     "q_events_attribution",
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-      |    CAST(round(value * 100) AS BIGINT) AS v_c
+      |    CAST(round(value * 100) AS HUGEINT) AS v_c
       |  FROM events),
       |t AS (
       |  SELECT *,
@@ -406,7 +413,7 @@ object Curation {
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"),
-        round(col("value") * 100).cast("bigint").as("v_c"))
+        round(col("value") * 100).cast("decimal(38,0)").as("v_c"))
       .withColumn("lt_type",
         last(when(col("event_type") =!= "purchase", col("event_type")), true)
           .over(w))
@@ -419,7 +426,8 @@ object Curation {
           .otherwise("direct").as("channel"),
         col("v_c"))
       .groupBy("channel")
-      .agg(count(lit(1)).as("n_purchases"), sum("v_c").as("revenue_cents"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("v_c").cast("long").as("revenue_cents"))
       .orderBy("channel")
   }
 

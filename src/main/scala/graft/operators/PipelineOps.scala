@@ -128,7 +128,7 @@ object PipelineOps {
     "q_time_resample",
     """WITH h AS (
       |  SELECT user_id, date_trunc('hour', ts) AS hr, COUNT(*) AS n,
-      |    SUM(CAST(round(value * 100) AS BIGINT)) AS sv
+      |    SUM(CAST(round(value * 100) AS HUGEINT)) AS sv
       |  FROM events WHERE user_id % 50 = 0 GROUP BY user_id, date_trunc('hour', ts)),
       |b AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY user_id),
       |g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b),
@@ -143,7 +143,7 @@ object PipelineOps {
       .filter(col("user_id") % 50 === 0)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("bigint")).as("sv"))
+        sum(round(col("value") * 100).cast("decimal(38,0)")).as("sv"))
       // feeds the bounds aggregate AND the grid join — one row per
       // (user, active hour), far smaller than the event table
       .persistScratch()
@@ -156,7 +156,7 @@ object PipelineOps {
     grid.join(hourly, Seq("user_id", "hr"), "left")
       .select(col("user_id"), col("hr"),
         coalesce(col("n"), lit(0L)).as("n_events"),
-        last("sv", ignoreNulls = true).over(w).as("filled_cents"))
+        last("sv", ignoreNulls = true).over(w).cast("long").as("filled_cents"))
       .orderBy("user_id", "hr")
   }
 

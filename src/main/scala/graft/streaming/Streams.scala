@@ -25,14 +25,14 @@ object Streams {
   private def tumblingAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), exactSum(col("value"), 1000000).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), exactSumWide(col("value"), 1000000).as("sum_value"))
 
   /** Q35 — tumbling 1-hour window per event_type (batch twin). */
   val q35 = Q(
     "q_stream_tumbling",
     s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
        |  COUNT(*) AS cnt,
-       |  ${sqlExactSum("value", 1000000)} AS sum_value
+       |  ${sqlExactSumWide("value", 1000000)} AS sum_value
        |FROM events
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
@@ -72,7 +72,7 @@ object Streams {
   private def sessionAgg(events: DataFrame): DataFrame =
     events
       .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), exactSum(col("value"), 1000000).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), exactSumWide(col("value"), 1000000).as("sum_value"))
 
   /** Q37 — session windows (batch twin). Spark's session end = last event
     * + gap, so duration = (end - start) - gap. The oracle is the standard
@@ -93,7 +93,7 @@ object Streams {
        |SELECT user_id, min(ts) AS session_start,
        |  COUNT(*) AS n_events,
        |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_secs,
-       |  ${sqlExactSum("value", 1000000)} AS sum_value
+       |  ${sqlExactSumWide("value", 1000000)} AS sum_value
        |FROM sessions
        |GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
@@ -207,7 +207,7 @@ object Streams {
   private def userWindowAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("cnt"), exactSum(col("value"), 1000000).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), exactSumWide(col("value"), 1000000).as("sum_value"))
 
   /** Windowed top-k: the 3 highest-value users per hour — the trending/
     * leaderboard query. Batch twin ranks the windowed agg directly; in
@@ -221,7 +221,7 @@ object Streams {
     "q_stream_topk",
     s"""WITH h AS (
        |  SELECT date_trunc('hour', ts) AS ws, user_id,
-       |    ${sqlExactSum("value", 1000000)} AS sum_value
+       |    ${sqlExactSumWide("value", 1000000)} AS sum_value
        |  FROM events GROUP BY 1, 2)
        |SELECT ws AS window_start, rk, user_id, sum_value FROM (
        |  SELECT ws, user_id, sum_value,
@@ -280,7 +280,7 @@ object Streams {
     "q_stream_enrich",
     """SELECT c_mktsegment AS segment, event_type,
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
-      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |  CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS BIGINT) AS value_cents
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY segment, event_type
       |ORDER BY segment, event_type""".stripMargin
@@ -291,7 +291,7 @@ object Streams {
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long").cast("decimal(38,0)"))
+        sum(round(col("value") * 100).cast("decimal(38,0)"))
           .cast("long").as("value_cents"))
       .orderBy("segment", "event_type")
   }

@@ -23,6 +23,45 @@ class RobustnessSpec extends SparkTestBase {
     "q_sample_weighted", "q_multimodal_meta", "q_multimodal_frames",
     "q_multimodal_resize")
 
+  // Graded queries whose only input is the events table.
+  private val eventsOnly = Seq(
+    "q_json_props", "q_events_funnel", "q_events_retention", "q_events_twap",
+    "q_events_sessionize", "q_events_attribution", "q_events_wau",
+    "q_events_anomaly", "q_events_markov", "q_events_ab_lift",
+    "q_time_resample", "q_stream_tumbling", "q_stream_sliding",
+    "q_stream_session", "q_stream_topk", "q_stream_dedup", "q_stream_join",
+    "q_stream_join_left")
+
+  test("events-only queries survive a degenerate event log") {
+    // Zero-length spans (all of one user's events at the same instant),
+    // a single-event user (no transitions, zero variance), malformed and
+    // empty JSON props, value = 0 and negative, duplicate event_ids.
+    // ts is written as epoch-NANOS longs, matching the fixture's physical
+    // type (Tables.events floor-divides by 1000 before timestamp_micros).
+    val spk = spark
+    import spk.implicits._
+    val base = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in nanos
+    val rows = Seq(
+      (1L, base, 0L, "view", 1.0, """{"k": 5}"""),
+      (2L, base, 0L, "click", 0.0, """{"k": 5}"""),     // same instant as 1
+      (3L, base, 0L, "purchase", -2.5, """not json"""), // malformed props
+      (3L, base, 0L, "purchase", -2.5, """not json"""), // duplicate event_id
+      (4L, base + 3600L * 1000000000L, 1L, "view", 0.0, "{}"), // single-event user, no k
+      (5L, base + 2 * 3600L * 1000000000L, 2L, "error", 1e18, """{"k": 0}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_ev").toString
+    rows.write.parquet(s"$dir/events.parquet")
+    val queries = SparkEntry.queries
+    eventsOnly.foreach { name =>
+      try {
+        queries(name)(spk, dir).collect()
+      } catch {
+        case e: Throwable =>
+          fail(s"$name threw on the degenerate event log: ${e.getMessage}", e)
+      } finally graft.sources.Scratch.releaseAll()
+    }
+  }
+
   test("documents-only queries survive a degenerate corpus") {
     val spk = spark
     import spk.implicits._
