@@ -23,6 +23,27 @@ class RobustnessSpec extends SparkTestBase {
     "q_sample_weighted", "q_multimodal_meta", "q_multimodal_frames",
     "q_multimodal_resize")
 
+  test("documents-only queries survive an EMPTY corpus (zero-doc ingest day)") {
+    // An incremental pipeline's quiet day: zero input rows. Every doc
+    // query must return an empty (or all-zero) result, not throw — the
+    // TokenBits empty-set handling and the aggregates' null discipline
+    // are what this pins.
+    val spk = spark
+    import spk.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val queries = SparkEntry.queries
+    docOnly.foreach { name =>
+      try queries(name)(spk, dir).collect()
+      catch {
+        case e: Throwable =>
+          fail(s"$name threw on an empty corpus: ${e.getMessage}", e)
+      } finally graft.sources.Scratch.releaseAll()
+    }
+  }
+
   // Graded queries whose only input is the events table.
   private val eventsOnly = Seq(
     "q_json_props", "q_events_funnel", "q_events_retention", "q_events_twap",
