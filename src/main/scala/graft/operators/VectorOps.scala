@@ -34,6 +34,49 @@ object VectorOps {
   private val sqlDot =
     "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 
+  /** The documented embedding contract: dim = 64 and every component in
+    * [-1, 1] (the fixture vectors are L2-normalized). `abs(x) <= 1` is
+    * also the finiteness gate — NaN and Inf fail the comparison on both
+    * engines — so the NUMERIC-ACCUMULATING operators (integer-unit
+    * centroid sums, the quantizer grid) can't overflow their
+    * DECIMAL(38,0) on one junk row (RobustnessSpec). Out-of-contract
+    * rows are counted by [[qVecValidate]] — the pipeline gate — never
+    * silently lost: the validator is graded precisely so exclusions are
+    * observable. */
+  private val Dim = 64
+  private def cleanEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === Dim &&
+        expr("forall(embedding, x -> abs(x) <= 1.0d)"))
+  private val sqlClean =
+    s"len(embedding) = $Dim AND len(list_filter(embedding, x -> abs(x) <= 1.0)) = $Dim"
+
+  /** Embedding-contract validator — the hygiene gate a pipeline runs
+    * before the vector operators: per label, how many vectors violate
+    * the dimension, the component range (which also catches NaN/Inf),
+    * or are all-zero (cosine-undefined). One scan, pure per-row
+    * expressions, a label-cardinality shuffle. */
+  val qVecValidate = Q(
+    "q_vec_validate",
+    s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(COUNT(*) FILTER (WHERE len(embedding) <> $Dim) AS BIGINT) AS n_bad_dim,
+       |  CAST(COUNT(*) FILTER (WHERE len(list_filter(embedding, x -> abs(x) <= 1.0))
+       |       <> len(embedding)) AS BIGINT) AS n_bad_component,
+       |  CAST(COUNT(*) FILTER (WHERE len(embedding) = $Dim
+       |       AND len(list_filter(embedding, x -> x = 0)) = $Dim) AS BIGINT) AS n_zero
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  ) { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(size(col("embedding")) =!= Dim, 1)).as("n_bad_dim"),
+        count(when(not(expr("forall(embedding, x -> abs(x) <= 1.0d)")), 1))
+          .as("n_bad_component"),
+        count(when(size(col("embedding")) === Dim &&
+          expr("forall(embedding, x -> x = 0.0d)"), 1)).as("n_zero"))
+      .orderBy("label")
+  }
+
   /** Q33 — brute-force cosine top-10 pairs (a_id < b_id). */
   val q33 = Q(
     "q_vec_knn",
@@ -62,15 +105,16 @@ object VectorOps {
     * needed widening; both engines then divide the exact sum as DOUBLE. */
   val q34 = Q(
     "q_vec_centroid",
-    """SELECT label, CAST(i - 1 AS INT) AS pos,
+    s"""SELECT label, CAST(i - 1 AS INT) AS pos,
       |  SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
       |    / 1000000000.0 / COUNT(*) AS c,
       |  COUNT(*) AS n
       |FROM embeddings, range(1, 65) t(i)
+      |WHERE ${sqlClean}
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
   ) { (spark, dir) =>
-    Tables.embeddings(spark, dir)
+    cleanEmbeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(
@@ -341,7 +385,7 @@ object VectorOps {
        |GROUP BY tr.a_id
        |ORDER BY tr.a_id""".stripMargin
   ) { (spark, dir) =>
-    val e = Tables.embeddings(spark, dir)
+    val e = cleanEmbeddings(spark, dir)
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
@@ -370,14 +414,14 @@ object VectorOps {
     * therefore the rounded error metric — are bit-identical. */
   val qVecQuantize = Q(
     "q_vec_quantize",
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT vec_id, embedding,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mxa
-      |  FROM embeddings),
+      |  FROM embeddings WHERE $sqlClean),
       |q AS (
       |  SELECT vec_id, mxa, embedding,
       |    list_transform(embedding,
-      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mxa + 0.5) AS INT)) AS qv
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / greatest(mxa, 1e-30) + 0.5) AS INT)) AS qv
       |  FROM t)
       |SELECT vec_id, qv[1] AS q1, qv[2] AS q2, qv[3] AS q3, qv[4] AS q4,
       |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS INT) AS sabs,
@@ -387,11 +431,13 @@ object VectorOps {
       |FROM q
       |ORDER BY vec_id""".stripMargin
   ) { (spark, dir) =>
-    Tables.embeddings(spark, dir)
+    cleanEmbeddings(spark, dir)
       .withColumn("mxa",
         expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
       .withColumn("qv",
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mxa + 0.5d) AS INT))"))
+        // greatest(mxa, 1e-30): a zero vector has no grid scale — its
+        // components quantize to 0 instead of dividing by zero (ANSI).
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / greatest(mxa, 1e-30d) + 0.5d) AS INT))"))
       .select(col("vec_id"),
         element_at(col("qv"), 1).as("q1"),
         element_at(col("qv"), 2).as("q2"),
@@ -417,8 +463,9 @@ object VectorOps {
     * because the dot product is the same left-assoc double fold. */
   val qVecKmeans = Q(
     "q_vec_kmeans",
-    s"""WITH s AS (SELECT vec_id AS cid, embedding AS cvec
-       |           FROM embeddings WHERE vec_id < 4),
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+       |s AS (SELECT vec_id AS cid, embedding AS cvec
+       |           FROM emb WHERE vec_id < 4),
        |asg AS (
        |  SELECT e.vec_id, s.cid,
        |    round(list_sum(list_transform(list_zip(e.embedding, s.cvec),
@@ -427,14 +474,14 @@ object VectorOps {
        |      ORDER BY round(list_sum(list_transform(list_zip(e.embedding, s.cvec),
        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) DESC,
        |        s.cid) AS INT) AS rk
-       |  FROM embeddings e CROSS JOIN s)
+       |  FROM emb e CROSS JOIN s)
        |SELECT cid, count(*) AS n,
        |  round(SUM(CAST(round(sim * 1000000) AS BIGINT)) / 1000000.0
        |        / count(*), 6) AS avg_sim
        |FROM asg WHERE rk = 1
        |GROUP BY cid ORDER BY cid""".stripMargin
   ) { (spark, dir) =>
-    val e = Tables.embeddings(spark, dir)
+    val e = cleanEmbeddings(spark, dir)
     val seeds = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
@@ -466,14 +513,15 @@ object VectorOps {
   // -> exact top-3 re-rank (ivf3), used by q_vec_ivf_probe2 and
   // q_vec_recall_ivf.
   private def ivfTop3Duck: String =
-    s"""WITH cent AS (
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+       |cent AS (
        |  SELECT label, i - 1 AS pos,
        |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
        |      / 1000000000.0 / COUNT(*) AS c
-       |  FROM embeddings, range(1, 65) t(i)
+       |  FROM emb, range(1, 65) t(i)
        |  GROUP BY label, pos),
        |cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
-       |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+       |q AS (SELECT vec_id, embedding FROM emb WHERE vec_id < 50),
        |probes AS (
        |  SELECT vec_id, label FROM (
        |    SELECT q.vec_id, cvec.label,
@@ -487,7 +535,7 @@ object VectorOps {
        |    round($sqlDot, 6) AS sim
        |  FROM probes p
        |  JOIN q a ON a.vec_id = p.vec_id
-       |  JOIN embeddings b ON b.label = p.label AND b.vec_id <> p.vec_id),
+       |  JOIN emb b ON b.label = p.label AND b.vec_id <> p.vec_id),
        |ivf3 AS (
        |  SELECT a_id, b_id, sim, rk FROM (
        |    SELECT a_id, b_id, sim,
@@ -507,7 +555,7 @@ object VectorOps {
   /** Spark side of the shared IVF pipeline: exact top-3 per query vector
     * across its 2 probed cells (columns a_id, b_id, sim, rk). */
   private def ivfTop3(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = cleanEmbeddings(spark, dir)
     // k×64 centroid table from exact integer-unit sums (q_vec_centroid's
     // arithmetic), reassembled into an ordered double array per cell
     val cvec = e
@@ -555,7 +603,7 @@ object VectorOps {
        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |      CAST(row_number() OVER (PARTITION BY a.vec_id
        |        ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
-       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
        |    WHERE a.vec_id < 50)
        |  WHERE rk <= 3)
        |SELECT tr.a_id,
@@ -566,7 +614,7 @@ object VectorOps {
        |GROUP BY tr.a_id
        |ORDER BY tr.a_id""".stripMargin
   ) { (spark, dir) =>
-    val e = Tables.embeddings(spark, dir)
+    val e = cleanEmbeddings(spark, dir)
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
@@ -649,7 +697,7 @@ object VectorOps {
       .orderBy("a_id")
   }
 
-  def all: Seq[Q] = Seq(q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
+  def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
     qVecRecallEval, qVecRecallMulti, qVecRecallIvf)
 }

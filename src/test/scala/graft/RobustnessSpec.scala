@@ -83,6 +83,56 @@ class RobustnessSpec extends SparkTestBase {
     }
   }
 
+  // Graded queries whose only input is the embeddings table.
+  private val embeddingsOnly = Seq(
+    "q_vec_validate", "q_vec_knn", "q_vec_centroid", "q_vec_kmeans",
+    "q_vec_quantize", "q_vec_neardup", "q_vec_ann_bucketed",
+    "q_vec_lsh_bucketed", "q_vec_lsh_multi", "q_vec_ivf_probe2",
+    "q_vec_lsh_neardup", "q_vec_recall_eval", "q_vec_recall_multi",
+    "q_vec_recall_ivf")
+
+  test("vector queries survive out-of-contract embeddings; the validator counts them") {
+    // Zero vector, EMPTY array, ragged dim, Float.MaxValue junk, exact
+    // duplicate: the numeric-accumulating operators validate the
+    // documented contract (dim = 64, components in [-1,1] — which also
+    // rejects NaN/Inf) instead of overflowing DECIMAL(38,0) on one junk
+    // row, and q_vec_validate is the graded gate that makes the
+    // exclusions observable.
+    val spk = spark
+    import spk.implicits._
+    val dim = 64
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => ((seed * 31 + i) % 7 - 3).toFloat / 10f)
+    val rows = Seq(
+      (0L, v(1), 0),
+      (1L, v(2), 1),
+      (2L, Array.fill(dim)(0f), 2),             // zero vector
+      (3L, Array.empty[Float], 3),              // empty array
+      (4L, Array.fill(8)(1f), 4),               // ragged: dim 8
+      (5L, Array.fill(dim)(Float.MaxValue), 5), // junk magnitude
+      (6L, v(2), 6)                             // exact duplicate of 1
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen_vec").toString
+    rows.write.parquet(s"$dir/embeddings.parquet")
+    val queries = SparkEntry.queries
+    embeddingsOnly.foreach { name =>
+      try queries(name)(spk, dir).collect()
+      catch {
+        case e: Throwable =>
+          fail(s"$name threw on degenerate embeddings: ${e.getMessage}", e)
+      } finally graft.sources.Scratch.releaseAll()
+    }
+    // the validator reports exactly the planted violations
+    val bad = queries("q_vec_validate")(spk, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bad(3) === ((1L, 0L, 0L)), "empty array = bad dim")
+    assert(bad(4) === ((1L, 0L, 0L)), "ragged array = bad dim")
+    assert(bad(5) === ((0L, 1L, 0L)), "junk magnitude = bad component")
+    assert(bad(2) === ((0L, 0L, 1L)), "zero vector flagged")
+    assert(bad(0) === ((0L, 0L, 0L)) && bad(1) === ((0L, 0L, 0L)))
+  }
+
   test("documents-only queries survive a degenerate corpus") {
     val spk = spark
     import spk.implicits._
