@@ -263,7 +263,8 @@ object Aggregates {
       |    / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope,
       |  round(CAST(sy * sx2 - sx * sxy AS DOUBLE)
       |    / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS intercept
-      |FROM m ORDER BY l_returnflag""".stripMargin
+      |FROM m WHERE n * sx2 - sx * sx <> 0
+      |ORDER BY l_returnflag""".stripMargin
   ) { (spark, dir) =>
     import graft.functions.Det
     val dec = "decimal(38,0)"
@@ -277,6 +278,9 @@ object Aggregates {
         sum(col("y").cast(dec)).as("sy"),
         sum((col("x") * col("y")).cast(dec)).as("sxy"),
         sum((col("x") * col("x")).cast(dec)).as("sx2"))
+      // a group with constant x (zero variance — e.g. a single row) has no
+      // defined regression line: excluded on BOTH engines, never a /0.
+      .filter(col("n") * col("sx2") - col("sx") * col("sx") =!= 0)
       .select(col("l_returnflag"), col("n").as("n_rows"),
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
           / (col("n") * col("sx2") - col("sx") * col("sx")).cast("double"), 6)

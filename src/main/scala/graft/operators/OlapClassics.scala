@@ -141,7 +141,9 @@ object OlapClassics {
       |  CAST(SUM(units) AS BIGINT) AS total_units,
       |  round(CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN units ELSE 0 END) AS DOUBLE)
       |    / SUM(units), 6) AS share
-      |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
+      |FROM rev GROUP BY o_year
+      |HAVING SUM(units) <> 0
+      |ORDER BY o_year""".stripMargin
   ) { (spark, dir) =>
     val units = Det.units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
     val rev = Tables.lineitem(spark, dir)
@@ -161,9 +163,14 @@ object OlapClassics {
       .otherwise(0L).cast("decimal(38,0)"))
     rev.groupBy("o_year")
       .agg(natUnits.cast("long").as("nation_units"),
-        sum(col("units").cast("decimal(38,0)")).cast("long").as("total_units"),
-        round(natUnits.cast("double") /
-          sum(col("units").cast("decimal(38,0)")), 6).as("share"))
+        sum(col("units").cast("decimal(38,0)")).as("total_dec"),
+        natUnits.as("nation_dec"))
+      // a year whose revenue units sum to exactly zero has no defined
+      // share: excluded on BOTH engines rather than dividing by zero.
+      .filter(col("total_dec") =!= 0)
+      .select(col("o_year"), col("nation_units"),
+        col("total_dec").cast("long").as("total_units"),
+        round(col("nation_dec").cast("double") / col("total_dec"), 6).as("share"))
       .orderBy("o_year")
   }
 

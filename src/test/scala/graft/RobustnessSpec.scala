@@ -133,6 +133,68 @@ class RobustnessSpec extends SparkTestBase {
     assert(bad(0) === ((0L, 0L, 0L)) && bad(1) === ((0L, 0L, 0L)))
   }
 
+  test("the FULL inventory survives a degenerate mini-warehouse") {
+    // Every graded query against a hostile but well-typed warehouse:
+    // zero/negative/huge balances and prices, 100% discounts, zero
+    // quantities, duplicate part names, same-date orders, customers
+    // without orders, orders without line items, orphan lineitem keys.
+    // Undefined-ratio groups (zero variance, zero revenue years) are
+    // EXCLUDED by the queries on both engines, never a divide-by-zero.
+
+    val spk = spark
+    import spk.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    def w(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.write.parquet(s"$dir/$name.parquet")
+    w("region", Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name"))
+    w("nation", (0 until 25).map(i => (i, s"NATION_$i", i % 5)).toDF("n_nationkey", "n_name", "n_regionkey"))
+    w("customer", Seq(
+      (0L, "Customer#000000000", 0, 0.0, "BUILDING"),       // zero balance
+      (1L, "Customer#000000001", 2, -999.99, "MACHINERY"),  // negative balance
+      (2L, "Customer#000000002", 7, 1.0e15, "AUTOMOBILE")   // huge balance
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    w("supplier", Seq((0L, "Supplier#000000000", 7, 0.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    w("part", Seq(
+      (0L, "cold widget", "Brand#12", "PROMO thing", 1, 0.0),
+      (1L, "cold widget", "Brand#12", "ECONOMY thing", 50, -5.0) // dup name, negative price
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+    w("orders", Seq(
+      // customer 1 has TWO orders same date; customer 2 has none; order 99 has no lineitems
+      (10L, 0L, "F", 0.0, java.sql.Timestamp.valueOf("1995-01-01 00:00:00"), "1-URGENT"),
+      (11L, 1L, "O", -1.0, java.sql.Timestamp.valueOf("2001-08-01 00:00:00"), "5-LOW"),
+      (12L, 1L, "P", 1e9, java.sql.Timestamp.valueOf("2001-08-01 00:00:00"), "3-MEDIUM"),
+      (99L, 0L, "F", 5.0, java.sql.Timestamp.valueOf("1999-06-15 00:00:00"), "2-HIGH")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    w("lineitem", Seq(
+      // order 10: zero qty, zero price; orphan order 77 (not in orders)
+      (10L, 0L, 0L, 1, 0.0, 0.0, 0.0, 0.0, "A", "F", java.sql.Timestamp.valueOf("1995-01-02 00:00:00")),
+      (10L, 1L, 0L, 2, 50.0, 1e7, 1.0, 0.08, "R", "O", java.sql.Timestamp.valueOf("1995-01-02 00:00:00")), // 100% discount
+      (77L, 0L, 0L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", java.sql.Timestamp.valueOf("2001-11-04 00:00:00"))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+    val base = 1704067200L * 1000000000L
+    w("events", Seq(
+      (1L, base, 0L, "view", 1.0, """{"k": 5}"""),
+      (2L, base, 0L, "click", 0.0, """{"k": 5}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    w("documents", Seq(
+      (0L, "the fast key order sort", "en", "src0", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val dim = 64
+    w("embeddings", Seq(
+      (0L, Array.tabulate(dim)(i => (i % 7 - 3).toFloat / 10f), 0),
+      (1L, Array.tabulate(dim)(i => (i % 5 - 2).toFloat / 10f), 1)
+    ).toDF("vec_id", "embedding", "label"))
+    val queries = SparkEntry.queries
+    SparkEntry.allQ.map(_.name).foreach { name =>
+      try queries(name)(spk, dir).collect()
+      catch {
+        case e: Throwable =>
+          fail(s"$name threw on the degenerate warehouse: ${e.getMessage}", e)
+      } finally graft.sources.Scratch.releaseAll()
+    }
+    }
+
   test("documents-only queries survive a degenerate corpus") {
     val spk = spark
     import spk.implicits._
