@@ -39,14 +39,34 @@ object Det {
   def exactAvg(c: Column, scale: Long): Column =
     sum(units(c, scale).cast("decimal(38,0)")) / lit(scale.toDouble) / count(lit(1))
 
-  /** exactSum for UNBOUNDED metric columns (events.value): the per-row
-    * units go straight into DECIMAL(38,0) with no BIGINT intermediate —
-    * a single outlier row beyond ±9.2e18 units would otherwise kill the
-    * job with an ANSI CAST_OVERFLOW (money columns are domain-bounded
-    * 2dp, so [[units]]' long intermediate is safe there). Identical
-    * result for in-range data. */
+  /** Per-row units for UNBOUNDED metric columns (events.value), as
+    * DECIMAL(38,0), crash-free over the whole double range. Conversion
+    * contract: up to ±9e18 the double goes through the BIGINT cast —
+    * exact binary truncation, bit-identical to DuckDB's
+    * CAST(... AS HUGEINT) — so every value the old long path accepted
+    * hashes identically; beyond that (where the old path threw ANSI
+    * CAST_OVERFLOW and a single poison row killed the job) it falls back
+    * to Spark's shortest-decimal double→decimal cast, which may differ
+    * from DuckDB's exact-binary HUGEINT in the last digits — acceptable,
+    * because a double "cent count" past 2^53 never represented exact
+    * cents to begin with; the contract there is survival, not parity.
+    *
+    * Downstream `.cast("long")` at OUTPUT columns (revenue_cents,
+    * filled_cents, ...) is a declared schema bound, not a robustness
+    * gap: a group total past ±2^63 fails identically on both engines
+    * (Spark ANSI CAST_OVERFLOW; DuckDB HUGEINT→BIGINT out of range) —
+    * a loud capacity error, never an engine divergence. Widen the
+    * output schema if a deployment's group totals can exceed it. */
+  def unitsWide(c: Column, scale: Long): Column = {
+    val r = round(c * scale)
+    when(abs(r) <= 9.0e18, r.cast("long").cast("decimal(38,0)"))
+      .otherwise(r.cast("decimal(38,0)"))
+  }
+
+  /** exactSum over [[unitsWide]] — for metric columns with no domain
+    * bound (money columns are bounded 2dp: use [[exactSum]]). */
   def exactSumWide(c: Column, scale: Long): Column =
-    sum(round(c * scale).cast("decimal(38,0)")) / lit(scale.toDouble)
+    sum(unitsWide(c, scale)) / lit(scale.toDouble)
 
   /** Matching DuckDB SQL fragments (kept adjacent so the two sides never
     * drift). DuckDB SUM(BIGINT) returns HUGEINT (128-bit) natively. */

@@ -305,7 +305,7 @@ object Curation {
     Tables.events(spark, dir)
       .filter(col("user_id") < 100)
       .select(col("user_id"),
-        round(col("value") * 100).cast("decimal(38,0)").as("v_c"),
+        graft.functions.Det.unitsWide(col("value"), 100).as("v_c"),
         (unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts"))).as("dt_us"))
       .filter(col("dt_us").isNotNull)
       .groupBy("user_id")
@@ -413,7 +413,7 @@ object Curation {
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"),
-        round(col("value") * 100).cast("decimal(38,0)").as("v_c"))
+        graft.functions.Det.unitsWide(col("value"), 100).as("v_c"))
       .withColumn("lt_type",
         last(when(col("event_type") =!= "purchase", col("event_type")), true)
           .over(w))

@@ -143,7 +143,7 @@ object PipelineOps {
       .filter(col("user_id") % 50 === 0)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("decimal(38,0)")).as("sv"))
+        sum(Det.unitsWide(col("value"), 100)).as("sv"))
       // feeds the bounds aggregate AND the grid join — one row per
       // (user, active hour), far smaller than the event table
       .persistScratch()

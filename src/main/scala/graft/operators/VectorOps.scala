@@ -70,8 +70,11 @@ object VectorOps {
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         count(when(size(col("embedding")) =!= Dim, 1)).as("n_bad_dim"),
-        count(when(not(expr("forall(embedding, x -> abs(x) <= 1.0d)")), 1))
-          .as("n_bad_component"),
+        // coalesce(..., false): a NULL array element makes forall NULL —
+        // such a vector must COUNT as bad (DuckDB's list_filter drops the
+        // null and already counts it), not silently escape the gate.
+        count(when(not(coalesce(expr("forall(embedding, x -> abs(x) <= 1.0d)"),
+          lit(false))), 1)).as("n_bad_component"),
         count(when(size(col("embedding")) === Dim &&
           expr("forall(embedding, x -> x = 0.0d)"), 1)).as("n_zero"))
       .orderBy("label")
@@ -385,7 +388,7 @@ object VectorOps {
        |GROUP BY tr.a_id
        |ORDER BY tr.a_id""".stripMargin
   ) { (spark, dir) =>
-    val e = cleanEmbeddings(spark, dir)
+    val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))

@@ -291,7 +291,7 @@ object Streams {
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("decimal(38,0)"))
+        sum(graft.functions.Det.unitsWide(col("value"), 100))
           .cast("long").as("value_cents"))
       .orderBy("segment", "event_type")
   }
