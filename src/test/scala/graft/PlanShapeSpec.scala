@@ -230,6 +230,20 @@ class PlanShapeSpec extends SparkTestBase {
       "q_olap_volume_ship degraded to BroadcastNestedLoopJoin")
   }
 
+  test("stream-enrich joins the dim by broadcast; the profiler scans once") {
+    // The stream-static enrichment's whole scale story is that the dim
+    // broadcasts (the stream side never shuffles for the join).
+    assert(finalPlan("q_stream_enrich").contains("BroadcastHashJoin"),
+      "q_stream_enrich's customer dim no longer broadcasts")
+    // q_profile_numeric computes all per-column stats in ONE wide
+    // aggregate over ONE scan — a second relation leaf means the profiler
+    // regressed to a scan per column.
+    val leaves = queries("q_profile_numeric")(spark, dir)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1,
+      s"q_profile_numeric should scan lineitem exactly once, saw ${leaves.size}")
+  }
+
   test("SCD2 intervals plan exactly one window pass and one key shuffle") {
     // lead() over (key, ts) needs one hash exchange on the key and one
     // WindowExec — a second window or exchange means the interval build
