@@ -17,6 +17,55 @@ import java.nio.file.{Files, Paths}
   * warm the cache, so graded results always come off cold parquet.
   */
 object Bench {
+
+  /** Captures CacheManager WARNs ("Asked to cache already cached data",
+    * "Asked to uncache …") via a log4j2 appender so the bench can (a)
+    * attribute each warning to the query that was running — a cache
+    * warning in a 148-query run is otherwise unactionable — and (b)
+    * publish the attribution in bench.json, where the round-7 orphaned-
+    * CacheManager-entry class first surfaced as an anonymous tail line. */
+  private[graft] object CacheWarnCapture {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    private val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val appender = new AbstractAppender(
+      "graft-cache-warn", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(org.apache.logging.log4j.Level.WARN))
+          queue.add(e.getMessage.getFormattedMessage)
+    }
+    /** Idempotent: attaching the same started appender twice is a no-op
+      * for log4j2 (keyed by appender name). */
+    def install(): Unit = {
+      appender.start()
+      LogManager.getLogger("org.apache.spark.sql.execution.CacheManager")
+        .asInstanceOf[org.apache.logging.log4j.core.Logger]
+        .addAppender(appender)
+    }
+    /** Messages captured since the last drain. */
+    def drain(): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      var m = queue.poll()
+      while (m != null) { b += m; m = queue.poll() }
+      b.result()
+    }
+  }
+
+  /** Fixed-work contention probe: a codegen'd range sum (CPU + scheduler)
+    * plus a 5-row parquet aggregate (file listing + footer + scan setup).
+    * Identical work at bench start / middle / end, so any BENCH_r* reading
+    * carries its own host-contention estimate — on an idle host the three
+    * numbers agree within noise; a contended stripe (the round-8 2×
+    * inflation class) shows up as a mid/end probe far above start. */
+  private def sentinelProbe(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    spark.range(20000000L).selectExpr("sum(id * 7)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").selectExpr("count(*)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,13 +102,20 @@ object Bench {
     // SPARK_GRAFT_NO_WARM=1 benches cold parquet reads instead (A/B knob).
     if (!sys.env.get("SPARK_GRAFT_NO_WARM").contains("1"))
       graft.sources.Tables.warmCache(spark, sfDir)
+    CacheWarnCapture.install()
+    CacheWarnCapture.drain() // warm-up/warmCache noise is not a query's fault
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.allQ.map(_.name)
       .filter(n => only.forall(_.contains(n)))
     val queries = SparkEntry.queries
     var errors = List.empty[(String, String)]
-    val results = names.map { name =>
+    var cacheWarns = List.empty[(String, Int)]
+    val sentStart = sentinelProbe(spark, sfDir)
+    var sentMid = -1.0
+    val midpoint = names.size / 2
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (i == midpoint) sentMid = sentinelProbe(spark, sfDir)
       val t0 = System.nanoTime()
       val ok =
         try { queries(name)(spark, sfDir).count(); true }
@@ -78,12 +134,19 @@ object Bench {
       // sub-DAG silently recomputed per reference). The warm fixture
       // tables are not in the scratch registry, so they stay.
       graft.sources.Scratch.releaseAll()
+      val warns = CacheWarnCapture.drain()
+      if (warns.nonEmpty) {
+        cacheWarns ::= (name -> warns.size)
+        warns.foreach(w => System.err.println(s"[bench] cache warn during $name: $w"))
+      }
       name -> (if (ok) dt else -1.0)
     }
+    val sentEnd = sentinelProbe(spark, sfDir)
+    val sentinels = Seq("start" -> sentStart, "mid" -> sentMid, "end" -> sentEnd)
     // bench.json gets every query at full resolution.
     Files.writeString(Paths.get(outPath),
-      fullJson(results, errors.reverse, sfDir) + "\n")
-    println(stdoutLine(results, errors.reverse, sfDir))
+      fullJson(results, errors.reverse, sfDir, sentinels, cacheWarns.reverse) + "\n")
+    println(stdoutLine(results, errors.reverse, sfDir, sentinels, cacheWarns.reverse))
     spark.stop()
   }
 
@@ -108,9 +171,23 @@ object Bench {
     s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${all.size},"queries":$qs,"errors":$errs$extra,"sf":${jstr(sfDir)}}"""
   }
 
+  /** `"sentinel"` (fixed-work probe timings) + `"cache_warns"` (per-query
+    * CacheManager warning counts — {} when clean, which is the asserted
+    * norm) as a JSON fragment for [[render]]'s `extra` slot. */
+  private def diagJson(sentinels: Seq[(String, Double)],
+      cacheWarns: Seq[(String, Int)]): String = {
+    val s = sentinels.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
+      .mkString("{", ",", "}")
+    val w = cacheWarns.map { case (k, n) => s"${jstr(k)}:$n" }
+      .mkString("{", ",", "}")
+    s""","sentinel":$s,"cache_warns":$w"""
+  }
+
   private[graft] def fullJson(all: Seq[(String, Double)],
-      errors: Seq[(String, String)], sfDir: String): String =
-    render(all, all, errors, sfDir, "")
+      errors: Seq[(String, String)], sfDir: String,
+      sentinels: Seq[(String, Double)] = Nil,
+      cacheWarns: Seq[(String, Int)] = Nil): String =
+    render(all, all, errors, sfDir, diagJson(sentinels, cacheWarns))
 
   /** The stdout line must SURVIVE the driver's bounded (~2000-char) log
     * tail: rounds 1-4 all came back "parsed": null because the full
@@ -121,8 +198,10 @@ object Bench {
     * BenchLineSpec locks the budget so this grading-loss class can't
     * regress. */
   private[graft] def stdoutLine(all: Seq[(String, Double)],
-      errors: Seq[(String, String)], sfDir: String): String = {
-    val extra = ",\"full\":\"bench.json\""
+      errors: Seq[(String, String)], sfDir: String,
+      sentinels: Seq[(String, Double)] = Nil,
+      cacheWarns: Seq[(String, Int)] = Nil): String = {
+    val extra = ",\"full\":\"bench.json\"" + diagJson(sentinels, cacheWarns)
     val byCost = all.sortBy { case (_, v) => -v }
     var budget = 1600 - render(all, Nil, errors, sfDir, extra).length
     val kept = byCost.takeWhile { case (k, v) =>

@@ -18,7 +18,7 @@ object SparkEntry {
       operators.Curation.all ++ operators.PipelineOps.all ++
       operators.OlapExtras.all ++ operators.OlapClassics.all ++
       operators.SketchDedup.all ++ operators.GraphOps.all ++
-      operators.VectorOps.all ++
+      operators.VectorOps.all ++ operators.SqlSurface.all ++
       streaming.Streams.all
 
   /** Flagship query (Q13 pricing summary) on sf0.001; driver smoke-checks

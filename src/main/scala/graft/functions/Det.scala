@@ -39,17 +39,31 @@ object Det {
   def exactAvg(c: Column, scale: Long): Column =
     sum(units(c, scale).cast("decimal(38,0)")) / lit(scale.toDouble) / count(lit(1))
 
+  /** Largest double strictly below 2^63 (= 2^63 - 1024). Every double with
+    * |x| <= this bound casts to BIGINT without ANSI overflow on Spark and
+    * to HUGEINT exactly on DuckDB, so the exact-long fast path below covers
+    * the FULL range the pre-decimal implementation accepted — no window of
+    * silently-diverging shortest-decimal fallback inside the old domain. */
+  private val MaxLongExactDouble: Double =
+    java.lang.Math.nextDown(9.223372036854775808e18)
+
   /** Per-row units for UNBOUNDED metric columns (events.value), as
-    * DECIMAL(38,0), crash-free over the whole double range. Conversion
-    * contract: up to ±9e18 the double goes through the BIGINT cast —
-    * exact binary truncation, bit-identical to DuckDB's
-    * CAST(... AS HUGEINT) — so every value the old long path accepted
-    * hashes identically; beyond that (where the old path threw ANSI
-    * CAST_OVERFLOW and a single poison row killed the job) it falls back
-    * to Spark's shortest-decimal double→decimal cast, which may differ
-    * from DuckDB's exact-binary HUGEINT in the last digits — acceptable,
-    * because a double "cent count" past 2^53 never represented exact
-    * cents to begin with; the contract there is survival, not parity.
+    * DECIMAL(38,0), crash-free over the whole double range including
+    * NaN/Infinity. Conversion contract, in branch order:
+    *   1. NaN or ±Infinity → NULL (both engines' SUM skips NULL; without
+    *      this branch a single non-finite row throws ANSI
+    *      CAST_INVALID_INPUT — the exact poison-row class this helper
+    *      exists to eliminate). The oracle SQL mirrors the branch.
+    *   2. |round(c*scale)| <= largest-double-below-2^63 → BIGINT cast —
+    *      exact binary truncation, bit-identical to DuckDB's
+    *      CAST(... AS HUGEINT) — so every finite value the old long path
+    *      accepted hashes identically.
+    *   3. Beyond that (where the old path threw ANSI CAST_OVERFLOW and a
+    *      single poison row killed the job) it falls back to Spark's
+    *      shortest-decimal double→decimal cast, which may differ from
+    *      DuckDB's exact-binary HUGEINT in the last digits — acceptable,
+    *      because a double "cent count" past 2^53 never represented exact
+    *      cents to begin with; the contract there is survival, not parity.
     *
     * Downstream `.cast("long")` at OUTPUT columns (revenue_cents,
     * filled_cents, ...) is a declared schema bound, not a robustness
@@ -59,7 +73,8 @@ object Det {
     * output schema if a deployment's group totals can exceed it. */
   def unitsWide(c: Column, scale: Long): Column = {
     val r = round(c * scale)
-    when(abs(r) <= 9.0e18, r.cast("long").cast("decimal(38,0)"))
+    when(isnan(c) || abs(c) === Double.PositiveInfinity, lit(null).cast("decimal(38,0)"))
+      .when(abs(r) <= MaxLongExactDouble, r.cast("long").cast("decimal(38,0)"))
       .otherwise(r.cast("decimal(38,0)"))
   }
 
@@ -75,7 +90,12 @@ object Det {
   def sqlExactSum(e: String, scale: Long): String =
     s"SUM(${sqlUnits(e, scale)}) / $scale.0"
   def sqlExactSumWide(e: String, scale: Long): String =
-    s"SUM(CAST(round(($e) * $scale) AS HUGEINT)) / $scale.0"
+    s"SUM(${sqlUnitsWide(e, scale)}) / $scale.0"
+
+  /** DuckDB twin of [[unitsWide]]'s NaN/Inf→NULL branch (branch 2 vs 3 need
+    * no SQL split: HUGEINT covers both exactly on DuckDB). */
+  def sqlUnitsWide(e: String, scale: Long): String =
+    s"CASE WHEN isnan($e) OR isinf($e) THEN NULL ELSE CAST(round(($e) * $scale) AS HUGEINT) END"
   def sqlExactAvg(e: String, scale: Long): String =
     s"SUM(${sqlUnits(e, scale)}) / $scale.0 / COUNT(*)"
 }

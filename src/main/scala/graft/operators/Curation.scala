@@ -286,9 +286,9 @@ object Curation {
     * user_id partitioning. */
   val qEventsTwap = Q(
     "q_events_twap",
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT user_id,
-      |    CAST(round(value * 100) AS HUGEINT) AS v_c,
+      |    ${graft.functions.Det.sqlUnitsWide("value", 100)} AS v_c,
       |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
       |      - epoch_us(ts) AS dt_us
       |  FROM events WHERE user_id < 100)
@@ -384,9 +384,9 @@ object Curation {
     * and epoch-µs arithmetic; ties on ts break on event_id. */
   val qEventsAttribution = Q(
     "q_events_attribution",
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-      |    CAST(round(value * 100) AS HUGEINT) AS v_c
+      |    ${graft.functions.Det.sqlUnitsWide("value", 100)} AS v_c
       |  FROM events),
       |t AS (
       |  SELECT *,

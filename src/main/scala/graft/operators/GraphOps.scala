@@ -90,18 +90,29 @@ object GraphOps {
       .dropDuplicates("u", "v")
       .persistScratch()
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).persistScratch()
-    // The score vector CARRIES its node's degree, so an iteration is one
-    // edges⋈contributions equi-join + one destination-keyed aggregate —
-    // not a second degree join.
+    // Attach the DESTINATION node's degree to each edge ONCE, so an
+    // iteration is one edges⋈contributions equi-join + one destination-
+    // keyed aggregate whose group key (v, dv) carries the degree into the
+    // next round — NOT a per-round rejoin against deg. This cuts each
+    // iteration from three shuffle-planned joins to join + partial agg
+    // (the r9 weak-point: scores re-exchanged through an extra join every
+    // round). The left-join COALESCE(inc, 0) of the oracle's formulation
+    // is structurally unreachable here: the edge list is symmetric by
+    // construction, so every node in deg has an in-edge and appears in
+    // the aggregate — dropping the dangling-node join is lossless.
+    val edgesDv = edges
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .select("u", "v", "dv")
+      .repartition(col("u"))
+      .persistScratch()
     var score = deg.select(col("u"), expr(s"CAST($unit AS BIGINT)").as("s"),
       col("d"))
     for (_ <- 1 to 3) {
       val contrib = score.select(col("u"), expr("s div d").as("c"))
-      val inc = edges.join(contrib, "u")
-        .groupBy(col("v").as("u")).agg(sum("c").as("inc"))
-      score = deg.join(inc, Seq("u"), "left")
-        .select(col("u"),
-          expr(s"$teleport + (17 * COALESCE(inc, 0)) div 20").as("s"),
+      score = edgesDv.join(contrib, "u")
+        .groupBy(col("v").as("u"), col("dv").as("d"))
+        .agg(sum("c").as("inc"))
+        .select(col("u"), expr(s"$teleport + (17 * inc) div 20").as("s"),
           col("d"))
     }
     score.select(

@@ -49,14 +49,17 @@ object OlapClassics {
     * a semi-join filter on the fact table, then enriches survivors with
     * customer attributes. Scale: the heavy aggregate runs FIRST and
     * reduces 600k line items to the few thousand qualifying orders; the
-    * enrichment joins move only survivors. Quantities are integral
-    * doubles, so the BIGINT sum threshold is exact on both engines. */
+    * enrichment joins move only survivors. Quantities round-to-nearest
+    * before the BIGINT cast on BOTH engines — without the round, Spark's
+    * double→long cast truncates while DuckDB's rounds, so a fractional
+    * quantity would move per-order sums and the >185 HAVING boundary
+    * differently per engine; with it the threshold is exact either way. */
   val qOlapBigOrders = Q(
     "q_olap_big_orders",
     """WITH big AS (
-      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       |  FROM lineitem GROUP BY l_orderkey
-      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 185)
+      |  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 185)
       |SELECT c_name, o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
       |  o_totalprice, sum_qty
       |FROM big JOIN orders ON o_orderkey = l_orderkey
@@ -65,7 +68,7 @@ object OlapClassics {
   ) { (spark, dir) =>
     val big = Tables.lineitem(spark, dir)
       .groupBy("l_orderkey")
-      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
       .filter(col("sum_qty") > 185)
     big
       .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))

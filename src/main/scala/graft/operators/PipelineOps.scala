@@ -126,9 +126,9 @@ object PipelineOps {
     * same user_id partitioning the grid join already established. */
   val qTimeResample = Q(
     "q_time_resample",
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT user_id, date_trunc('hour', ts) AS hr, COUNT(*) AS n,
-      |    SUM(CAST(round(value * 100) AS HUGEINT)) AS sv
+      |    SUM(${Det.sqlUnitsWide("value", 100)}) AS sv
       |  FROM events WHERE user_id % 50 = 0 GROUP BY user_id, date_trunc('hour', ts)),
       |b AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY user_id),
       |g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b),

@@ -326,7 +326,13 @@ object TextExtras {
     * corpus-statistics pass phrase-mining pipelines run. Inverted-index
     * shape: the only big join is the incidence self-join ON doc_id
     * (high-cardinality key), cost ∝ Σ per-doc pair counts — never a
-    * vocab×vocab scan. PMI = ln(c_ab·N / (c_a·c_b)); the ratio is exact
+    * vocab×vocab scan. Before the self-join the incidence list is
+    * prefiltered to tokens with document frequency ≥ 5 — LOSSLESS, since
+    * a pair surviving HAVING c_ab ≥ 5 needs both its tokens in ≥ 5 docs;
+    * the filter removes exactly the long-tail vocabulary (hapax and
+    * near-hapax tokens dominate any real corpus by Zipf) whose per-doc
+    * pair fan-out would explode at 100 TB. Mirrored in the oracle SQL.
+    * PMI = ln(c_ab·N / (c_a·c_b)); the ratio is exact
     * ints → one double division → ln; round6 absorbs the ≤1-ulp libm
     * difference between engines, and the ORDER BY uses the rounded value
     * so the top-10 cut is identical. */
@@ -337,9 +343,11 @@ object TextExtras {
       |  FROM documents),
       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
       |ca AS (SELECT t, COUNT(*) AS c FROM inc GROUP BY t),
+      |incf AS (SELECT inc.doc_id, inc.t FROM inc JOIN ca ON inc.t = ca.t
+      |         WHERE ca.c >= 5),
       |pairs AS (
       |  SELECT a.t AS ta, b.t AS tb, COUNT(*) AS c_ab
-      |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.t < b.t
+      |  FROM incf a JOIN incf b ON a.doc_id = b.doc_id AND a.t < b.t
       |  GROUP BY 1, 2
       |  HAVING COUNT(*) >= 5)
       |SELECT ta, tb, c_ab,
@@ -351,11 +359,14 @@ object TextExtras {
     val docs = Tables.documents(spark, dir)
     val inc = docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-      .persistScratch() // feeds both sides of the self-join + the token counts
+      .persistScratch() // feeds the token counts + (filtered) both join sides
     val nDf = docs.agg(count(lit(1)).as("n_docs"))
-    val ca = inc.groupBy("t").agg(count(lit(1)).as("c"))
-    val pairs = inc.select(col("doc_id"), col("t").as("ta"))
-      .join(inc.select(col("doc_id"), col("t").as("tb")), "doc_id")
+    // vocab-sized; feeds the df>=5 prefilter AND the two final PMI joins
+    val ca = inc.groupBy("t").agg(count(lit(1)).as("c")).persistScratch()
+    val incf = inc.join(ca.filter(col("c") >= 5).select("t"), "t")
+      .select("doc_id", "t")
+    val pairs = incf.select(col("doc_id"), col("t").as("ta"))
+      .join(incf.select(col("doc_id"), col("t").as("tb")), "doc_id")
       .filter(col("ta") < col("tb"))
       .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 5)

@@ -47,8 +47,19 @@ object Scratch {
 
   private def register[T](ds: Dataset[T]): Dataset[T] = synchronized {
     prune()
-    ds.persist()
-    tracked ::= ds
+    // `Dataset.storageLevel` resolves through the CacheManager by
+    // CANONICAL plan, so it also sees a cache entry created via a
+    // different Dataset instance — e.g. two pipeline builders each
+    // deriving the same shared frame (q_dedup_recall builds the token
+    // bitmap table directly AND through minhashPairs). Persisting such a
+    // plan again is a no-op that logs "Asked to cache already cached
+    // data" per call; skip it — the instance that did persist owns the
+    // entry and its release, and later instances still resolve to the
+    // cached representation at plan time.
+    if (ds.storageLevel == StorageLevel.NONE) {
+      ds.persist()
+      tracked ::= ds
+    }
     ds
   }
 

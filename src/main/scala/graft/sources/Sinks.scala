@@ -34,6 +34,33 @@ object Sinks {
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** Declared-schema CSV source — like [[readJson]], inference is never
+    * used in a prod path (CSV inference costs a full extra pass and types
+    * drift between runs; a header row only names columns, it can't type
+    * them). */
+  def readCsv(spark: SparkSession, schema: StructType, path: String,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** CSV sink (interchange exports — parquet stays the analytic format). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.option("header", header.toString).mode(mode).csv(path)
+
+  /** Bucketed parquet table sink: rows are hash-clustered into `buckets`
+    * files per partition on `bucketCols` and each bucket sorted, so a
+    * later join or aggregate keyed on the bucket columns reads the table
+    * already co-partitioned — no shuffle of the big side (ScaleSpec
+    * proves zero exchanges on a bucketed⋈bucketed join). Bucketing
+    * metadata lives in the session catalog, hence `saveAsTable` + a table
+    * name rather than a bare path. */
+  def writeBucketed(df: DataFrame, buckets: Int, bucketCols: Seq[String],
+      table: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode(mode).saveAsTable(table)
+
   /** One micro-batch of the exactly-once streaming parquet sink: each
     * batch owns the directory `batch=<id>` and OVERWRITES it whole. A
     * failure-replay of the same batch id (Structured Streaming's

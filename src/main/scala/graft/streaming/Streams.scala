@@ -273,21 +273,24 @@ object Streams {
   /** Batch twin of the STREAM-STATIC enrichment join ([[enrichStream]]):
     * attach the customer's market segment to each event (user_id is a
     * custkey in the fixtures) and aggregate per (segment, event_type).
-    * At scale the static dim broadcasts — the stream side never
-    * shuffles and the join holds no state (unlike stream-stream joins,
-    * a static side needs no watermark). */
+    * No broadcast hint: customer grows with the corpus (it is a TPC-H
+    * scale-factor table, not a bounded dim), so the strategy is left to
+    * AQE — it broadcasts while the pruned (custkey, segment) projection
+    * fits and demotes to a shuffle join past the threshold, the same
+    * discipline the dedup tables follow. The join holds no state either
+    * way (a static side needs no watermark). */
   val qStreamEnrich = Q(
     "q_stream_enrich",
-    """SELECT c_mktsegment AS segment, event_type,
+    s"""SELECT c_mktsegment AS segment, event_type,
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
-      |  CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS BIGINT) AS value_cents
+      |  CAST(SUM(${graft.functions.Det.sqlUnitsWide("value", 100)}) AS BIGINT) AS value_cents
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY segment, event_type
       |ORDER BY segment, event_type""".stripMargin
   ) { (spark, dir) =>
     Tables.events(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)
-        .select("c_custkey", "c_mktsegment")),
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment"),
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -297,10 +300,11 @@ object Streams {
   }
 
   /** Streaming half of [[qStreamEnrich]] minus the aggregate: per-event
-    * enrichment against a STATIC dim — stateless, append-mode, the
-    * static side is planned as a broadcast against every micro-batch. */
+    * enrichment against a STATIC dim — stateless, append-mode. As in the
+    * batch twin, no broadcast hint: the micro-batch planner picks the
+    * strategy per batch from the static side's actual (pruned) size. */
   def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
-    events.join(broadcast(customers.select("c_custkey", "c_mktsegment")),
+    events.join(customers.select("c_custkey", "c_mktsegment"),
       col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment").as("segment"))

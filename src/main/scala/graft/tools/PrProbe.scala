@@ -25,25 +25,34 @@ object PrProbe {
       .select("l_orderkey", "l_suppkey")
     val ord = graft.sources.Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey")
-    val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // mirror the graded query's shipped shape (GraphOps.qGraphPagerank):
+    // one join pass, explode-symmetrize, dedup after the u-repartition,
+    // destination degree attached to the edge list once
+    val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("cu"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("sv")).distinct()
-    time("distinct pairs")(println(p.count()))
-    val edges = p.select(col("cu").as("u"), col("sv").as("v"))
-      .unionAll(p.select(col("sv").as("u"), col("cu").as("v")))
-      .repartition(col("u")).persist()
-    time("edges materialize")(println(edges.count()))
+        (col("l_suppkey") * 2 + 1).cast("long").as("sv"))
+    val edges = raw
+      .select(explode(array(
+        struct(col("cu").as("u"), col("sv").as("v")),
+        struct(col("sv").as("u"), col("cu").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("u"))
+      .dropDuplicates("u", "v").persist()
+    time("edges (join+symmetrize+dedup)")(println(edges.count()))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).persist()
     time("deg")(println(deg.count()))
+    val edgesDv = edges
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .select("u", "v", "dv").repartition(col("u")).persist()
+    time("edgesDv (dest degree attach)")(println(edgesDv.count()))
     var score = deg.select(col("u"),
       expr("CAST(1000000000000 AS BIGINT)").as("s"), col("d"))
     for (i <- 1 to 3) {
       val contrib = score.select(col("u"), expr("s div d").as("c"))
-      val inc = edges.join(contrib, "u")
-        .groupBy(col("v").as("u")).agg(sum("c").as("inc"))
-      score = deg.join(inc, Seq("u"), "left")
-        .select(col("u"),
-          expr("150000000000 + (17 * COALESCE(inc, 0)) div 20").as("s"),
+      score = edgesDv.join(contrib, "u")
+        .groupBy(col("v").as("u"), col("dv").as("d"))
+        .agg(sum("c").as("inc"))
+        .select(col("u"), expr("150000000000 + (17 * inc) div 20").as("s"),
           col("d")).persist()
       val s = score
       time(s"iter $i materialize")(s.count())

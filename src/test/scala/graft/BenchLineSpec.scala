@@ -17,16 +17,21 @@ class BenchLineSpec extends SparkTestBase with Matchers {
       n -> (0.3 + (i % 37) * 0.25)
     }
 
+  private val fakeSentinels =
+    Seq("start" -> 0.112, "mid" -> 0.134, "end" -> 0.121)
+
   test("stdout line for the full inventory stays under 1600 chars") {
-    val line = Bench.stdoutLine(fakeResults, Nil, "/root/testdata/sf0.1")
+    val line = Bench.stdoutLine(fakeResults, Nil, "/root/testdata/sf0.1",
+      fakeSentinels, Seq("q_example" -> 2))
     assert(line.length <= 1600, s"line is ${line.length} chars")
     assert(!line.contains("\n"))
   }
 
-  test("stdout line parses as JSON with total, n, and heaviest queries") {
+  test("stdout line parses as JSON with total, n, heaviest queries, and sentinels") {
     import spark.implicits._
     val rs = fakeResults
-    val line = Bench.stdoutLine(rs, Seq("q_broken" -> "boom \"quoted\""), sf())
+    val line = Bench.stdoutLine(rs, Seq("q_broken" -> "boom \"quoted\""), sf(),
+      fakeSentinels, Nil)
     val parsed = spark.read.json(Seq(line).toDS)
     assert(!parsed.columns.contains("_corrupt_record"), s"unparseable: $line")
     val row = parsed.selectExpr("metric", "value", "n").head()
@@ -37,6 +42,35 @@ class BenchLineSpec extends SparkTestBase with Matchers {
     // the single heaviest query always fits in the trimmed map
     val heaviest = rs.maxBy(_._2)._1
     assert(line.contains("\"" + heaviest + "\""))
+    // the contention probe rides the line: any BENCH_r* reading carries
+    // its own start/mid/end host estimate
+    val sent = parsed.selectExpr("sentinel.start", "sentinel.mid", "sentinel.end").head()
+    assert(sent.getDouble(0) === 0.112 && sent.getDouble(1) === 0.134 &&
+      sent.getDouble(2) === 0.121)
+    assert(line.contains("\"cache_warns\":{}"))
+  }
+
+  test("warm-cache full inventory emits ZERO CacheManager warnings") {
+    // The bench-shaped run (warm tables + per-query Scratch release) must
+    // stay free of "Asked to cache already cached data" — the r7/r9 tail
+    // symptom that meant a CacheManager entry was orphaned or a plan was
+    // persisted twice. Attribution is per query, so a regression names
+    // its culprit instead of an anonymous warning in the driver log.
+    Bench.CacheWarnCapture.install()
+    graft.sources.Tables.warmCache(spark, sf())
+    try {
+      Bench.CacheWarnCapture.drain() // warm-up noise is not a query's fault
+      val queries = SparkEntry.queries
+      SparkEntry.allQ.map(_.name).foreach { name =>
+        queries(name)(spark, sf()).count()
+        graft.sources.Scratch.releaseAll()
+        val warns = Bench.CacheWarnCapture.drain()
+        assert(warns.isEmpty, s"$name emitted cache warnings: ${warns.mkString("; ")}")
+      }
+    } finally {
+      graft.sources.Scratch.releaseAll()
+      graft.sources.Tables.clearWarmCache()
+    }
   }
 
   test("full bench.json carries every query and the error map") {

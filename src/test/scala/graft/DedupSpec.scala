@@ -222,6 +222,41 @@ class DedupSpec extends SparkTestBase {
       s"expected exactly (new=9, n_dups=1, first_dup=3), got ${out.toSeq}")
   }
 
+  test("persisted bucketed index probe matches the in-memory incremental path") {
+    // The write-once/probe-many artifact (DedupIndex) must make the SAME
+    // dedup decisions as q_dedup_incremental's in-memory derivation — on
+    // the real sf0.001 corpus, not a toy: index the doc_id % 5 != 4
+    // corpus split, write it as bucketed tables, read back, probe with
+    // the % 5 == 4 batch, and compare survivors row-for-row.
+    val dir = sf()
+    val docs = graft.sources.Tables.documents(spark, dir)
+    graft.operators.DedupIndex.write(
+      docs.filter(col("doc_id") % 5 =!= 4), "graft_dedupspec_idx")
+    graft.sources.Scratch.releaseAll()
+    val probed = graft.operators.DedupIndex.probe(
+        spark, "graft_dedupspec_idx", docs.filter(col("doc_id") % 5 === 4))
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.sources.Scratch.releaseAll()
+    val inMem = graft.operators.SketchDedup.qDedupIncremental.fn(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(probed.nonEmpty, "probe found no duplicates — fixture should plant some")
+    assert(probed === inMem,
+      s"index probe diverged from in-memory path: ${probed.diff(inMem)} vs ${inMem.diff(probed)}")
+    // the scale property the artifact exists for: the corpus bands scan
+    // arrives pre-clustered on the band-join key — no Exchange between
+    // the bucketed scan and the candidate join
+    val plan = graft.operators.DedupIndex.probe(
+      spark, "graft_dedupspec_idx", docs.filter(col("doc_id") % 5 === 4))
+      .queryExecution.executedPlan.toString
+    val bandsScanSide = plan.linesIterator
+      .filter(l => l.contains("graft_dedupspec_idx_bands")).mkString("\n")
+    assert(bandsScanSide.contains("SelectedBucketsCount") ||
+      plan.contains("Bucketed: true"),
+      s"corpus bands scan is not bucket-aware:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_dedupspec_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS graft_dedupspec_idx_tokens")
+  }
+
   test("Scratch.releaseAll frees the CC loop's checkpoint blocks") {
     // localCheckpoint blocks bypass the CacheManager, so neither
     // Dataset.unpersist nor clearCache can release them — the Scratch

@@ -56,7 +56,9 @@ class RobustnessSpec extends SparkTestBase {
   test("events-only queries survive a degenerate event log") {
     // Zero-length spans (all of one user's events at the same instant),
     // a single-event user (no transitions, zero variance), malformed and
-    // empty JSON props, value = 0 and negative, duplicate event_ids.
+    // empty JSON props, value = 0, negative, 1e18, NaN, and ±Infinity
+    // (the non-finite rows pin Det.unitsWide's NULL branch — before it, a
+    // single NaN threw ANSI CAST_INVALID_INPUT), duplicate event_ids.
     // ts is written as epoch-NANOS longs, matching the fixture's physical
     // type (Tables.events floor-divides by 1000 before timestamp_micros).
     val spk = spark
@@ -68,7 +70,10 @@ class RobustnessSpec extends SparkTestBase {
       (3L, base, 0L, "purchase", -2.5, """not json"""), // malformed props
       (3L, base, 0L, "purchase", -2.5, """not json"""), // duplicate event_id
       (4L, base + 3600L * 1000000000L, 1L, "view", 0.0, "{}"), // single-event user, no k
-      (5L, base + 2 * 3600L * 1000000000L, 2L, "error", 1e18, """{"k": 0}""")
+      (5L, base + 2 * 3600L * 1000000000L, 2L, "error", 1e18, """{"k": 0}"""),
+      (6L, base + 3 * 3600L * 1000000000L, 2L, "error", Double.NaN, """{"k": 1}"""),
+      (7L, base + 4 * 3600L * 1000000000L, 2L, "view", Double.PositiveInfinity, "{}"),
+      (8L, base + 5 * 3600L * 1000000000L, 2L, "click", Double.NegativeInfinity, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val dir = java.nio.file.Files.createTempDirectory("graft_degen_ev").toString
     rows.write.parquet(s"$dir/events.parquet")

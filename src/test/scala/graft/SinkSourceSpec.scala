@@ -72,6 +72,33 @@ class SinkSourceSpec extends SparkTestBase {
     assert(math.abs(sums - 131.25) < 1e-9)
   }
 
+  test("CSV source with declared schema round-trips through the CSV sink") {
+    // Same discipline as the JSON case: schema declared, never inferred.
+    // Write via Sinks.writeCsv, read back via Sinks.readCsv, and check
+    // values survive (including a null field and a quoted comma — the
+    // CSV edge the format exists to get wrong).
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val spk = spark
+    import spk.implicits._
+    val out = Seq(
+      ("S1", "alpha, with comma", 123.5, Some(1999L)),
+      ("S2", "beta", 0.5, Some(2001L)),
+      ("S3", "gamma", 7.25, None)
+    ).toDF("song_id", "title", "duration", "year")
+    graft.sources.Sinks.writeCsv(out, s"$dir/songs")
+    val schema = StructType(Seq(
+      StructField("song_id", StringType), StructField("title", StringType),
+      StructField("duration", DoubleType), StructField("year", LongType)))
+    val back = graft.sources.Sinks.readCsv(spark, schema, s"$dir/songs")
+    assert(back.schema === schema)
+    assert(back.count() === 3)
+    assert(back.filter(col("year").isNull).count() === 1)
+    assert(back.filter(col("song_id") === "S1").head().getString(1)
+      === "alpha, with comma")
+    val sums = back.agg(sum("duration")).head().getDouble(0)
+    assert(math.abs(sums - 131.25) < 1e-9)
+  }
+
   test("monotonically_increasing_id yields unique surrogate keys") {
     val df = graft.sources.Tables.customer(spark, sf())
       .withColumn("sk", monotonically_increasing_id())
