@@ -207,6 +207,41 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Temperature-scaled training mix: per-language sampling shares
+    * w_l = n_l^α / Σ n^α with α = 0.5 — the standard flattening move
+    * (multilingual pretraining up-samples low-resource languages so the
+    * head language stops dominating) — plus each language's upsampling
+    * factor vs its natural share. Token counts are exact BIGINTs; sqrt is
+    * a correctly-rounded IEEE op on an exactly-represented input, so both
+    * engines see identical w; the ≤|langs|-term double sum can differ in
+    * association order, and round6 absorbs that last-ulp wiggle (the
+    * cooccur/tfidf precedent). Nothing after the first aggregate grows
+    * with the corpus. */
+  val qDocMixTemperature = Q(
+    "q_doc_mix_temperature",
+    """WITH t AS (
+      |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY lang),
+      |s AS (SELECT lang, toks, sqrt(CAST(toks AS DOUBLE)) AS w FROM t),
+      |tot AS (SELECT SUM(w) AS sw, CAST(SUM(toks) AS BIGINT) AS st FROM s)
+      |SELECT lang, toks,
+      |  round(w / sw, 6) AS mix_share,
+      |  round((w / sw) / (CAST(toks AS DOUBLE) / st), 6) AS upsample
+      |FROM s, tot ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    val t = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " ")).cast("bigint")).as("toks"))
+      .select(col("lang"), col("toks"), sqrt(col("toks").cast("double")).as("w"))
+    val tot = t.agg(sum("w").as("sw"), sum("toks").as("st"))
+    t.crossJoin(tot)
+      .select(col("lang"), col("toks"),
+        round(col("w") / col("sw"), 6).as("mix_share"),
+        round((col("w") / col("sw"))
+          / (col("toks").cast("double") / col("st")), 6).as("upsample"))
+      .orderBy("lang")
+  }
+
   /** Cohort retention: users grouped by their first-seen day, tracked for
     * 7 day-offsets — the activation matrix every analytics pipeline
     * builds. Two aggregations on user_id (first-seen + distinct active
@@ -645,7 +680,7 @@ object Curation {
   }
 
   def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qEventsFunnel, qTextRedact,
-    qDocMixBudget, qEventsRetention, qClipOutliers, qEventsTwap,
-    qEventsSessionize, qEventsAttribution, qEventsWau, qEventsAnomaly,
-    qFeatureBin, qEventsMarkov, qOrdersPareto, qEventsAbLift)
+    qDocMixBudget, qDocMixTemperature, qEventsRetention, qClipOutliers,
+    qEventsTwap, qEventsSessionize, qEventsAttribution, qEventsWau,
+    qEventsAnomaly, qFeatureBin, qEventsMarkov, qOrdersPareto, qEventsAbLift)
 }

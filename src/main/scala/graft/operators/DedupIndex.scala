@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   * the in-memory path (DedupSpec asserts this against
   * `q_dedup_incremental`).
   *
-  * Incremental maintenance: after a batch is admitted, append its token
-  * and band rows (`SaveMode.Append` on the same bucketed tables) — both
-  * derivations are per-document, so an append never touches existing rows.
+  * Incremental maintenance: after a batch is admitted, [[append]] adds its
+  * token and band rows to the same tables (per-document derivations, so an
+  * append never touches existing rows) — write once, probe+append per
+  * ingest cycle, never a corpus rebuild (DedupSpec proves a second batch
+  * near-dupping an appended document is caught).
   */
 object DedupIndex {
 
@@ -46,6 +48,21 @@ object DedupIndex {
     Sinks.writeBucketed(tok, buckets, Seq("doc_id"), s"${name}_tokens")
     Sinks.writeBucketed(SketchDedup.bandsOfTokens(spark, tok), buckets,
       Seq("lang", "band", "sig"), s"${name}_bands")
+  }
+
+  /** ADMIT a probed batch into the index: append its token and band rows
+    * to the same bucketed tables. Both derivations are per-document, so
+    * an append never touches existing rows, and each appended file set is
+    * itself bucket-clustered — the ingest-cycle maintenance operation
+    * (write once, then probe+append per cycle, never a corpus rebuild). */
+  def append(batch: DataFrame, name: String, buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val tok = SketchDedup.tokenFrameOf(batch).persistScratch()
+    Sinks.writeBucketed(tok, buckets, Seq("doc_id"), s"${name}_tokens",
+      org.apache.spark.sql.SaveMode.Append)
+    Sinks.writeBucketed(SketchDedup.bandsOfTokens(spark, tok), buckets,
+      Seq("lang", "band", "sig"), s"${name}_bands",
+      org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Probe the persisted index with a new batch: per new document, how

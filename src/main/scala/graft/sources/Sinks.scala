@@ -47,6 +47,18 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.option("header", header.toString).mode(mode).csv(path)
 
+  /** Declared-schema ORC source — the other columnar interchange format
+    * warehouse estates carry; same no-inference discipline as
+    * [[readJson]]/[[readCsv]]. ORC carries its own schema, but declaring
+    * one pins the contract (a writer-side type drift fails loudly at read
+    * time instead of propagating). */
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Bucketed parquet table sink: rows are hash-clustered into `buckets`
     * files per partition on `bucketCols` and each bucket sorted, so a
     * later join or aggregate keyed on the bucket columns reads the table

@@ -257,6 +257,38 @@ class DedupSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_dedupspec_idx_tokens")
   }
 
+  test("DedupIndex append maintenance: an admitted batch is visible to the next probe") {
+    // The ingest-cycle loop the artifact exists for: index the corpus,
+    // probe batch 1, ADMIT it (SaveMode.Append of its token+band rows),
+    // then probe batch 2 — a near-dup of a batch-1 doc must now be caught
+    // against the appended rows, and corpus matches must keep working.
+    val common = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"uniq$i").mkString(" ")
+    val corpus = Seq((3L, s"$common alpha", "en")).toDF("doc_id", "text", "lang")
+    val batch1 = Seq((10L, s"$other beta", "en")).toDF("doc_id", "text", "lang")
+    // batch2 doc 20 near-dups batch-1 doc 10 (J = 40/42); doc 21 near-dups
+    // CORPUS doc 3 — both directions must hit after the append
+    val batch2 = Seq(
+      (20L, s"$other gamma", "en"),
+      (21L, s"$common delta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val name = "graft_dedupspec_append_idx"
+    graft.operators.DedupIndex.write(corpus, name)
+    graft.sources.Scratch.releaseAll()
+    // batch 1 probes clean (shares nothing with the corpus)
+    assert(graft.operators.DedupIndex.probe(spark, name, batch1).count() === 0)
+    graft.sources.Scratch.releaseAll()
+    // admit batch 1: append its token and band rows to the same tables
+    graft.operators.DedupIndex.append(batch1, name)
+    graft.sources.Scratch.releaseAll()
+    val hits = graft.operators.DedupIndex.probe(spark, name, batch2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits === Seq((20L, 1L, 10L), (21L, 1L, 3L)),
+      s"append-then-probe found $hits, expected batch-1 and corpus matches")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
+  }
+
   test("Scratch.releaseAll frees the CC loop's checkpoint blocks") {
     // localCheckpoint blocks bypass the CacheManager, so neither
     // Dataset.unpersist nor clearCache can release them — the Scratch

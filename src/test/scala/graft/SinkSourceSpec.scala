@@ -99,6 +99,30 @@ class SinkSourceSpec extends SparkTestBase {
     assert(math.abs(sums - 131.25) < 1e-9)
   }
 
+  test("ORC source round-trips with declared schema and column pruning") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val spk = spark
+    import spk.implicits._
+    val out = Seq(
+      ("S1", 123.5, Some(1999L)), ("S2", 0.5, Some(2001L)), ("S3", 7.25, None)
+    ).toDF("song_id", "duration", "year")
+    graft.sources.Sinks.writeOrc(out, s"$dir/songs")
+    val schema = StructType(Seq(
+      StructField("song_id", StringType), StructField("duration", DoubleType),
+      StructField("year", LongType)))
+    val back = graft.sources.Sinks.readOrc(spark, schema, s"$dir/songs")
+    assert(back.schema === schema)
+    assert(back.count() === 3)
+    assert(back.filter(col("year").isNull).count() === 1)
+    val sums = back.agg(sum("duration")).head().getDouble(0)
+    assert(math.abs(sums - 131.25) < 1e-9)
+    // the columnar property the format exists for: a 1-column projection
+    // reads a 1-column schema at the scan
+    val plan = back.select("song_id").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<song_id:string>"),
+      s"ORC scan did not prune columns:\n$plan")
+  }
+
   test("monotonically_increasing_id yields unique surrogate keys") {
     val df = graft.sources.Tables.customer(spark, sf())
       .withColumn("sk", monotonically_increasing_id())
