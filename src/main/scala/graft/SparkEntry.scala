@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Windows.all ++
       operators.SortSet.all ++ functions.Scalars.all ++
       operators.TextOps.all ++ operators.TextExtras.all ++
+      operators.CorpusStats.all ++
       operators.Curation.all ++ operators.PipelineOps.all ++
       operators.OlapExtras.all ++ operators.OlapClassics.all ++
       operators.SketchDedup.all ++ operators.GraphOps.all ++

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Scratch.PersistSyntax
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distributional statistics — the health metrics a
+  * training-data pipeline tracks per ingest snapshot, beyond per-document
+  * quality ([[TextExtras]]) and dedup ([[SketchDedup]]):
+  *
+  *   - vocabulary coverage / OOV rate against a frequency-derived vocab
+  *     (tokenizer fit: a rising OOV rate means the tokenizer no longer
+  *     matches the corpus),
+  *   - Zipf rank–frequency slope (a corpus whose slope drifts far from
+  *     −1 is boilerplate-heavy or template-spammed),
+  *   - per-document n-gram novelty vs earlier documents (memorization /
+  *     staleness monitor: near-zero novelty means the crawl is re-reading
+  *     itself).
+  *
+  * All three are one-pass explode → aggregate shapes whose shuffle keys
+  * are the token or the shingle (high cardinality — distributes evenly on
+  * 1000 executors); the only driver-sized structure is the bounded top-K
+  * vocabulary.
+  */
+object CorpusStats {
+
+  /** Vocabulary coverage: build the top-500 vocab by exact corpus
+    * frequency (ties broken by token text, so the rank-500 cut is
+    * deterministic on both engines), then measure each language's token
+    * mass outside it. The vocab is a BOUNDED top-K — broadcasting it is
+    * the rare justified hint (it cannot grow with the corpus, unlike the
+    * dims the dedup family refuses to hint). Counts are exact BIGINTs;
+    * the rate is one int/int division, round6. */
+  val qTextOov = Q(
+    "q_text_oov",
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+      |vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 500)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  round(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS oov_rate
+      |FROM tok LEFT JOIN vocab v ON tok.t = v.t
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .persistScratch() // feeds the vocab aggregate AND the coverage join
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("t")).limit(500)
+      .select(col("t"), lit(1).as("iv"))
+    val oov = when(col("iv").isNull, 1).otherwise(0)
+    tok.join(broadcast(vocab), Seq("t"), "left_outer")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(oov).as("n_oov"),
+        round(sum(oov).cast("double") / count(lit(1)), 6).as("oov_rate"))
+      .orderBy("lang")
+  }
+
+  /** Zipf rank–frequency slope per language: least-squares fit of
+    * ln(freq) on ln(rank) over the top-50 terms (rank ties broken by
+    * token text). Each (x, y) point is rounded to 6 places FIRST, so both
+    * engines sum identical decimals and only summation order differs —
+    * a ≤few-ulp wiggle over 50 terms that the final round6 absorbs (the
+    * mix-temperature / cooccur precedent). The closed form
+    * (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) avoids engine-specific regr_slope
+    * moment algorithms. Per-lang top-50 is window top-k — no global
+    * structure, nothing driver-sized. */
+  val qTextZipf = Q(
+    "q_text_zipf",
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
+      |rk AS (SELECT lang, t, c,
+      |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, t) AS r
+      |       FROM cnt),
+      |xy AS (SELECT lang,
+      |         round(ln(CAST(r AS DOUBLE)), 6) AS x,
+      |         round(ln(CAST(c AS DOUBLE)), 6) AS y
+      |       FROM rk WHERE r <= 50)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  round((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+      |        / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope
+      |FROM xy GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("lang").orderBy(desc("c"), asc("t"))
+    val xy = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 50)
+      .select(col("lang"),
+        round(log(col("r").cast("double")), 6).as("x"),
+        round(log(col("c").cast("double")), 6).as("y"))
+    val n = count(lit(1))
+    xy.groupBy("lang")
+      .agg(n.as("n_terms"),
+        round((n * sum(col("x") * col("y")) - sum("x") * sum("y"))
+          / (n * sum(col("x") * col("x")) - sum("x") * sum("x")), 6)
+          .as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * 3-token shingles whose first corpus occurrence (min doc_id — ingest
+    * order) is this document. A near-zero tail means the crawl is
+    * re-reading content it already has — the complement to pairwise dedup
+    * (novelty decays even when no single pair crosses a dup threshold).
+    * Inverted-index shape: shingle → min(doc_id) (shuffle key = the
+    * high-cardinality shingle), one join back, one per-doc aggregate —
+    * linear in the incidence count. Shingles reuse q_dedup_ngram's
+    * one-tokenize lead-window construction. Documents with fewer than 3
+    * tokens have no shingles and are excluded on both engines. */
+  val qDocNovelty = Q(
+    "q_doc_novelty",
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS s
+      |  FROM documents),
+      |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+      |SELECT sh.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  round(CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS novelty
+      |FROM sh JOIN fo ON sh.s = fo.s
+      |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val sh = toks
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
+      .dropDuplicates("doc_id", "s")
+      .persistScratch() // feeds the first-occurrence aggregate AND the join back
+    val fo = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+    val novel = when(col("first_doc") === col("doc_id"), 1).otherwise(0)
+    sh.join(fo, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(novel).as("n_novel"),
+        round(sum(novel).cast("double") / count(lit(1)), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(qTextOov, qTextZipf, qDocNovelty)
+}

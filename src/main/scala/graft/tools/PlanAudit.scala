@@ -39,7 +39,10 @@ object PlanAudit {
       "q_olap_mkt_share", "q_olap_top_supplier", "q_olap_lapsed_rich",
       "q_olap_volume_ship", "q_olap_returned", "q_olap_order_priority",
       "q_dedup_incremental", "q_dedup_recall", "q_sample_weighted",
-      "q_profile_numeric")
+      "q_profile_numeric",
+      // round-10 additions
+      "q_dedup_bucket_skew", "q_doc_mix_temperature",
+      "q_text_oov", "q_text_zipf", "q_doc_novelty")
     val queries = graft.SparkEntry.queries
     val sb = new StringBuilder
     audited.foreach { name =>

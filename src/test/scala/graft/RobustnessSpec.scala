@@ -16,6 +16,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_dedup_ngram", "q_dedup_minhash", "q_dedup_minhash_keep",
     "q_dedup_incremental", "q_dedup_recall", "q_dedup_bucket_skew",
     "q_dedup_cc", "q_doc_mix_temperature",
+    "q_text_oov", "q_text_zipf", "q_doc_novelty",
     "q_dedup_simhash", "q_dedup_simhash_r1", "q_dedup_simhash_wide",
     "q_dedup_containment", "q_text_quality", "q_lang_id", "q_text_entropy",
     "q_text_ngram_lm", "q_text_tfidf", "q_text_cooccur", "q_text_phrase",
