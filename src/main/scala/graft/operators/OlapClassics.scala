@@ -386,7 +386,75 @@ object OlapClassics {
       .orderBy("o_orderpriority")
   }
 
+  /** Small-quantity outlier revenue (TPC-H Q17 shape): revenue from line
+    * items ordering less than 20% of their part's average quantity — the
+    * correlated-average-subquery classic. The correlation is decorrelated
+    * into aggregate-then-join-back on l_partkey: both sides shuffle on the
+    * same key (co-partitioned SMJ; the per-part frame grows with the
+    * catalog, so no broadcast hint — AQE demotes when genuinely small).
+    * The 20% comparison is rewritten EXACT-INTEGER: qty < sq/(5·cnt)
+    * ⟺ 5·qty·cnt < sq over rounded BIGINTs, so the boundary cannot
+    * flip on a division ulp on either engine. */
+  val qOlapSmallQty = Q(
+    "q_olap_small_qty",
+    """WITH pa AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+      |WHERE 5 * CAST(round(l_quantity) AS BIGINT) * cnt < sq""".stripMargin
+  ) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val pa = li.groupBy("l_partkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sq"),
+        count(lit(1)).as("cnt"))
+    li.join(pa, "l_partkey")
+      .filter(lit(5) * round(col("l_quantity")).cast("long") * col("cnt")
+        < col("sq"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Det.units(col("l_extendedprice"), 100).cast("decimal(38,0)"))
+          .cast("long").as("rev_cents"))
+  }
+
+  /** Revenue concentration (TPC-H Q11 shape): parts whose revenue exceeds
+    * 1.5× the average part's share of GLOBAL revenue — group sums gated
+    * by a scalar-subquery threshold over the whole fact table. The
+    * per-part frame is aggregated ONCE and feeds both the one-row total
+    * and the filtered output (persistScratch); the threshold comparison
+    * 2·n_parts·u > 3·total is exact integer (decimal(38,0) vs HUGEINT —
+    * both exact), so the cut cannot drift cross-engine. Share is the one
+    * double division at the end, round6. */
+  val qOlapRevConc = Q(
+    "q_olap_rev_conc",
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS u
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT SUM(u) AS tu, COUNT(*) AS np FROM pr)
+      |SELECT l_partkey, CAST(u AS BIGINT) AS rev_cents,
+      |  round(CAST(u AS DOUBLE) / CAST(tu AS DOUBLE), 6) AS share
+      |FROM pr, t WHERE 2 * np * u > 3 * tu
+      |ORDER BY l_partkey""".stripMargin
+  ) { (spark, dir) =>
+    import graft.sources.Scratch.PersistSyntax
+    val pr = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(Det.units(col("l_extendedprice") * (lit(1) - col("l_discount")), 100)
+        .cast("decimal(38,0)")).as("u"))
+      .persistScratch() // feeds the one-row total AND the filtered output
+    val t = pr.agg(sum("u").as("tu"), count(lit(1)).as("np"))
+    pr.crossJoin(t)
+      .filter(lit(2) * col("np") * col("u") > lit(3) * col("tu"))
+      .select(col("l_partkey"), col("u").cast("long").as("rev_cents"),
+        round(col("u").cast("double") / col("tu").cast("double"), 6).as("share"))
+      .orderBy("l_partkey")
+  }
+
   def all: Seq[Q] = Seq(qOlapCustDist, qOlapBigOrders, qOlapDisjunct,
     qOlapMktShare, qOlapTopSupplier, qOlapLapsedRich, qOlapVolumeShip,
-    qOlapReturned, qOlapOrderPriority)
+    qOlapReturned, qOlapOrderPriority, qOlapSmallQty, qOlapRevConc)
 }

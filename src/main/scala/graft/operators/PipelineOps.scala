@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Scratch.PersistSyntax
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -438,7 +438,50 @@ object PipelineOps {
       .orderBy("col")
   }
 
+  /** Z-order (Morton) clustering-key profile — the data-LAYOUT half of a
+    * 100 TB lake: a writer that sorts by the interleaved key
+    * (`repartitionByRange(zkey)` then write) gets parquet files whose
+    * min/max stats are tight on BOTH dimensions at once, so later scans
+    * skip files on either predicate. The interleave is pure unrolled bit
+    * arithmetic (8 bits per dimension, 16 shift-mask-or terms) — exact
+    * integers, codegen-friendly, identical on both engines. The graded
+    * query profiles the layout it would produce: each z-bucket (top 8 of
+    * the 16 z-bits) is a 16×16 tile, so per-bucket x/y spans stay ≤ 15 —
+    * the narrow-span property IS what makes data skipping work. */
+  val qLayoutZorder = Q(
+    "q_layout_zorder", {
+      val terms = (0 until 8).flatMap { i =>
+        Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""WITH k AS (
+         |  SELECT o_custkey % 256 AS x,
+         |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, ($terms) AS zkey FROM k)
+         |SELECT CAST(zkey >> 8 AS INT) AS zbucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(x) AS INT) AS x_min, CAST(MAX(x) AS INT) AS x_max,
+         |  CAST(MIN(y) AS INT) AS y_min, CAST(MAX(y) AS INT) AS y_max
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+    }
+  ) { (spark, dir) =>
+    def morton(x: Column, y: Column): Column =
+      (0 until 8).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+    Tables.orders(spark, dir)
+      .select((col("o_custkey") % 256).as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"))
+      .withColumn("zkey", morton(col("x"), col("y")))
+      .groupBy(shiftright(col("zkey"), 8).cast("int").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("x").cast("int").as("x_min"), max("x").cast("int").as("x_max"),
+        min("y").cast("int").as("y_min"), max("y").cast("int").as("y_max"))
+      .orderBy("zbucket")
+  }
+
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
-    qTextNgramLm, qDocPackContent, qProfileNumeric)
+    qTextNgramLm, qDocPackContent, qProfileNumeric, qLayoutZorder)
 }
