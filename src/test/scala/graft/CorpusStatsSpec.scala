@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Synthetic-invariant checks for the CorpusStats family — properties the
+  * cross-engine hash compare can't express: novelty semantics on a known
+  * duplicate, OOV on a fully-covered corpus, the Zipf slope's sign on a
+  * Zipfian synthetic, and the z-order tile-span bound on real data.
+  */
+class CorpusStatsSpec extends SparkTestBase {
+
+  import graft.operators.{CorpusStats, PipelineOps}
+
+  test("q_doc_novelty: a verbatim duplicate has novelty 0, its original 1") {
+    val spk = spark
+    import spk.implicits._
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, "en"),
+      (2L, text, "en"),                                    // exact re-read
+      (3L, (31 to 60).map(i => s"w$i").mkString(" "), "en") // fresh content
+    ).toDF("doc_id", "text", "lang")
+    // the graded query reads Tables.documents, so rebuild its plan inline
+    // here (same construction as CorpusStats.qDocNovelty, fixture-fed)
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val sh = toks
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
+      .dropDuplicates("doc_id", "s")
+    val fo = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+    val novel = when(col("first_doc") === col("doc_id"), 1).otherwise(0)
+    val out = sh.join(fo, "s").groupBy("doc_id")
+      .agg((sum(novel).cast("double") / count(lit(1))).as("novelty"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) === 1.0, "first occurrence must be fully novel")
+    assert(out(2L) === 0.0, "verbatim duplicate must have zero novelty")
+    assert(out(3L) === 1.0, "disjoint content must be fully novel")
+  }
+
+  test("q_text_oov: corpus vocab of <=500 tokens means zero OOV everywhere") {
+    // sf0.001's fixture vocabulary is < 500 distinct tokens, so the
+    // top-500 vocab covers it completely — every language's OOV rate
+    // must be exactly 0 (the coverage join is then a no-op at scale).
+    val distinctToks = graft.sources.Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    val out = CorpusStats.qTextOov.fn(spark, sf())
+    val rates = out.select("oov_rate").collect().map(_.getDouble(0))
+    if (distinctToks <= 500) assert(rates.forall(_ === 0.0),
+      s"vocab covers the corpus but oov_rate=${rates.mkString(",")}")
+    else assert(rates.forall(r => r >= 0.0 && r < 1.0))
+  }
+
+  test("q_text_zipf: slope is negative for every language on real data") {
+    val slopes = CorpusStats.qTextZipf.fn(spark, sf())
+      .select("lang", "zipf_slope").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(slopes.nonEmpty)
+    slopes.foreach { case (lang, s) =>
+      assert(s < 0.0, s"rank-frequency slope must fall for $lang, got $s")
+    }
+  }
+
+  test("q_layout_zorder: every z-bucket is a 16x16 tile (span <= 15 both dims)") {
+    val out = PipelineOps.qLayoutZorder.fn(spark, sf())
+      .select(col("x_max") - col("x_min"), col("y_max") - col("y_min"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (dx, dy) => dx <= 15 && dy <= 15 },
+      "a z-bucket spanning more than its tile breaks min/max skipping")
+  }
+}
