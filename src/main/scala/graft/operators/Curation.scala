@@ -242,6 +242,42 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Per-language MEDIAN quality gate: keep documents strictly longer
+    * (in tokens) than their language's exact median — the
+    * quantile-threshold curation cut (absolute thresholds drift as the
+    * corpus mix shifts; a per-stratum quantile self-calibrates). The
+    * median is the exact interpolated percentile on integer token counts
+    * (interpolation factor 0.5, (a+b)/2 exact in doubles — Spark
+    * `percentile` and DuckDB `quantile_cont` agree bit-for-bit), computed
+    * per language (|langs| rows) and joined back for the gate count. At
+    * scale the exact per-group sort is the cost — the documented switch
+    * is approx_percentile when |group| no longer sorts in one task. */
+  val qDocMedianGate = Q(
+    "q_doc_median_gate",
+    """WITH m AS (
+      |  SELECT lang,
+      |    quantile_cont(CAST(len(string_split(text, ' ')) AS BIGINT), 0.5) AS med
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, CAST(m.med AS DOUBLE) AS median_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN len(string_split(d.text, ' ')) > m.med
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents d JOIN m ON d.lang = m.lang
+      |GROUP BY d.lang, m.med ORDER BY d.lang""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("bigint").as("nt"))
+    val m = docs.groupBy("lang")
+      .agg(percentile(col("nt"), lit(0.5)).as("med"))
+    docs.join(m, "lang")
+      .groupBy("lang", "med")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") > col("med"), 1).otherwise(0)).as("n_kept"))
+      .select(col("lang"), col("med").as("median_tokens"),
+        col("n_docs"), col("n_kept"))
+      .orderBy("lang")
+  }
+
   /** Cohort retention: users grouped by their first-seen day, tracked for
     * 7 day-offsets — the activation matrix every analytics pipeline
     * builds. Two aggregations on user_id (first-seen + distinct active
@@ -680,7 +716,8 @@ object Curation {
   }
 
   def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qEventsFunnel, qTextRedact,
-    qDocMixBudget, qDocMixTemperature, qEventsRetention, qClipOutliers,
+    qDocMixBudget, qDocMixTemperature, qDocMedianGate, qEventsRetention,
+    qClipOutliers,
     qEventsTwap, qEventsSessionize, qEventsAttribution, qEventsWau,
     qEventsAnomaly, qFeatureBin, qEventsMarkov, qOrdersPareto, qEventsAbLift)
 }

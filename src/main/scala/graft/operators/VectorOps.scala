@@ -700,7 +700,59 @@ object VectorOps {
       .orderBy("a_id")
   }
 
+  /** Embedding DRIFT monitor: per label, the L2 distance between the
+    * centroids of the even- and odd-id halves of the corpus — the
+    * self-consistency check an embedding pipeline runs per snapshot (a
+    * stable encoder puts the two halves' centroids within sampling noise;
+    * a silently swapped model or corrupted batch shows up as a spike).
+    * Per-half centroids reuse [[q34]]'s exact-unit discipline (integer
+    * 1e-9 units, DECIMAL(38,0) accumulator — partition-order independent
+    * on both engines); the 64-term squared-difference sum is the only
+    * double reduction, and round6 absorbs its association-order ulp (the
+    * mix-temperature precedent). Two aggregates + a self-join on
+    * (label, pos) — nothing grows beyond |labels|·dim rows after the
+    * first aggregate. */
+  val qVecDrift = Q(
+    "q_vec_drift",
+    s"""WITH h AS (
+       |  SELECT label, vec_id % 2 AS half, CAST(i - 1 AS INT) AS pos,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT) AS u
+       |  FROM embeddings, range(1, 65) t(i)
+       |  WHERE ${sqlClean}),
+       |c AS (SELECT label, half, pos,
+       |        SUM(u) / 1000000000.0 / COUNT(*) AS c, COUNT(*) AS n
+       |      FROM h GROUP BY label, half, pos),
+       |p AS (SELECT a.label AS label, a.c - b.c AS d, a.n AS ne, b.n AS no
+       |      FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+       |      WHERE a.half = 0 AND b.half = 1)
+       |SELECT label, CAST(MAX(ne) AS BIGINT) AS n_even,
+       |  CAST(MAX(no) AS BIGINT) AS n_odd,
+       |  round(sqrt(SUM(d * d)), 6) AS drift
+       |FROM p GROUP BY label ORDER BY label""".stripMargin
+  ) { (spark, dir) =>
+    val c = cleanEmbeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "half", "pos")
+      .agg(
+        (sum(round(col("v").cast("double") * 1000000000L).cast("decimal(38,0)"))
+          .cast("double") / lit(1000000000.0) / count(lit(1))).as("c"),
+        count(lit(1)).as("n"))
+    val even = c.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("c").as("ce"), col("n").as("ne"))
+    val odd = c.filter(col("half") === 1)
+      .select(col("label").as("l2"), col("pos").as("p2"),
+        col("c").as("co"), col("n").as("no"))
+    even.join(odd, col("label") === col("l2") && col("pos") === col("p2"))
+      .select(col("label"), (col("ce") - col("co")).as("d"),
+        col("ne"), col("no"))
+      .groupBy("label")
+      .agg(max("ne").as("n_even"), max("no").as("n_odd"),
+        round(sqrt(sum(col("d") * col("d"))), 6).as("drift"))
+      .orderBy("label")
+  }
+
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
-    qVecRecallEval, qVecRecallMulti, qVecRecallIvf)
+    qVecRecallEval, qVecRecallMulti, qVecRecallIvf, qVecDrift)
 }

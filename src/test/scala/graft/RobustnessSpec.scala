@@ -16,7 +16,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_dedup_ngram", "q_dedup_minhash", "q_dedup_minhash_keep",
     "q_dedup_incremental", "q_dedup_recall", "q_dedup_bucket_skew",
     "q_dedup_cc", "q_doc_mix_temperature",
-    "q_text_oov", "q_text_zipf", "q_doc_novelty",
+    "q_text_oov", "q_text_zipf", "q_doc_novelty", "q_doc_median_gate",
     "q_dedup_simhash", "q_dedup_simhash_r1", "q_dedup_simhash_wide",
     "q_dedup_containment", "q_text_quality", "q_lang_id", "q_text_entropy",
     "q_text_ngram_lm", "q_text_tfidf", "q_text_cooccur", "q_text_phrase",
@@ -96,7 +96,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_vec_quantize", "q_vec_neardup", "q_vec_ann_bucketed",
     "q_vec_lsh_bucketed", "q_vec_lsh_multi", "q_vec_ivf_probe2",
     "q_vec_lsh_neardup", "q_vec_recall_eval", "q_vec_recall_multi",
-    "q_vec_recall_ivf")
+    "q_vec_recall_ivf", "q_vec_drift")
 
   test("vector queries survive out-of-contract embeddings; the validator counts them") {
     // Zero vector, EMPTY array, ragged dim, Float.MaxValue junk, exact
