@@ -89,5 +89,26 @@ object SqlSurface {
 
   val qSqlTopk: Q = sqlQ("q_sql_topk", topkSql, topkSql)
 
-  def all: Seq[Q] = Seq(qSqlPricing, qSqlTopk)
+  /** Multi-table star join through the TEXT path, also in the dialect
+    * intersection (one string, both engines): nation-level revenue over
+    * customer⋈orders⋈lineitem⋈nation. The exact-unit discipline survives
+    * the intersection because BOTH engines return DECIMAL for
+    * SUM(DECIMAL(38,0)) and DOUBLE for decimal/double division; the
+    * parser path hands Catalyst the same join graph the builder API
+    * would, so AQE still broadcasts the nation dim and shuffles the
+    * facts on their keys. */
+  private val joinSql =
+    """SELECT n_name, COUNT(*) AS n_items,
+      |  SUM(CAST(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+      |    AS DECIMAL(38,0))) / CAST(10000 AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  val qSqlJoin: Q = sqlQ("q_sql_join", joinSql, joinSql)
+
+  def all: Seq[Q] = Seq(qSqlPricing, qSqlTopk, qSqlJoin)
 }
