@@ -244,6 +244,23 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_profile_numeric should scan lineitem exactly once, saw ${leaves.size}")
   }
 
+  test("OOV coverage joins the bounded vocab by broadcast, never by shuffle") {
+    // The top-500 vocab is the repo's one justified corpus-derived
+    // broadcast (bounded by the LIMIT, not by corpus size). Locking the
+    // shape both ways: the coverage join must be a BroadcastHashJoin
+    // (a shuffle join here re-keys the full token incidence — the 100 TB
+    // cost the broadcast exists to avoid), and the hint must sit on the
+    // vocab side only.
+    val plan = finalPlan("q_text_oov")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"vocab coverage join lost its broadcast:\n$finalSection")
+    hintedSideOutputs("q_text_oov").foreach { out =>
+      assert(out.contains("iv"),
+        s"q_text_oov broadcast hint moved off the vocab side (cols: ${out.mkString(", ")})")
+    }
+  }
+
   test("SCD2 intervals plan exactly one window pass and one key shuffle") {
     // lead() over (key, ts) needs one hash exchange on the key and one
     // WindowExec — a second window or exchange means the interval build
