@@ -188,4 +188,39 @@ class SinkSourceSpec extends SparkTestBase {
       graft.sources.Tables.clearWarmCache()
     }
   }
+
+  test("z-order-sorted write produces files with far narrower per-file spans") {
+    // The write-side claim behind q_layout_zorder: range-partitioning on
+    // the Morton key before writing yields parquet files whose per-file
+    // min/max envelopes are tight on BOTH dimensions, so a scan with a
+    // predicate on either column can skip most files. Proven empirically
+    // against the SAME data written unsorted: summed per-file spans must
+    // shrink on both dims (unsorted files each cover ~the full 0..255
+    // domain; z-sorted files cover a contiguous z interval, i.e. a few
+    // 16x16 tiles).
+    def spans(dir: String): (Long, Long) = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      val r = perFile.agg(sum("dx"), sum("dy")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      (0 until 8).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+    val keyed = graft.sources.Tables.orders(spark, sf())
+      .select((col("o_custkey") % 256).as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"))
+      .withColumn("zkey", morton(col("x"), col("y")))
+    val base = Files.createTempDirectory("graft_zorder").toString
+    keyed.repartition(8).write.mode("overwrite").parquet(s"$base/plain")
+    keyed.repartitionByRange(8, col("zkey")).sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(s"$base/zsorted")
+    val (px, py) = spans(s"$base/plain")
+    val (zx, zy) = spans(s"$base/zsorted")
+    assert(zx < (px * 8) / 10 && zy < (py * 8) / 10,
+      s"z-sorted files are not narrower: plain=($px,$py) zsorted=($zx,$zy)")
+  }
 }
