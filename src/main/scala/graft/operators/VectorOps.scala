@@ -512,10 +512,10 @@ object VectorOps {
     * single-probe plan, 2x the candidate volume, measurably higher
     * recall. Every ranking key is rounded to 6 dp before comparison, so
     * the cell choice and the final top-3 cut are identical cross-engine. */
-  // Shared CTE prefix: exact-unit cell centroids -> 2-nearest-cell probes
-  // -> exact top-3 re-rank (ivf3), used by q_vec_ivf_probe2 and
-  // q_vec_recall_ivf.
-  private def ivfTop3Duck: String =
+  // Shared CTE prefix: exact-unit cell centroids -> p-nearest-cell probes
+  // -> exact top-3 re-rank (ivf3), used by the probe-2 and probe-4 IVF
+  // queries and their recall monitors.
+  private def ivfTop3Duck(p: Int = 2): String =
     s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
        |cent AS (
        |  SELECT label, i - 1 AS pos,
@@ -532,7 +532,7 @@ object VectorOps {
        |        ORDER BY round(list_sum(list_transform(list_zip(q.embedding, cvec.cv),
        |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC, cvec.label) AS INT) AS crk
        |    FROM q, cvec)
-       |  WHERE crk <= 2),
+       |  WHERE crk <= $p),
        |cand AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |    round($sqlDot, 6) AS sim
@@ -548,16 +548,32 @@ object VectorOps {
 
   val qVecIvfProbe2 = Q(
     "q_vec_ivf_probe2",
-    s"""$ivfTop3Duck
+    s"""${ivfTop3Duck()}
        |SELECT a_id, b_id, sim, rk FROM ivf3
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
     ivfTop3(spark, dir).orderBy("a_id", "rk")
   }
 
+  /** 4-probe IVF: the next rung of the recall/cost ladder above
+    * [[qVecIvfProbe2]] — same plan shape (tiny broadcast centroid table,
+    * candidate equi-join on the probed cell id), 2× the candidate volume
+    * of probe-2, measurably higher recall (its monitor is
+    * `q_vec_recall_ivf4`). The ladder {1 cell, 2 probes, 4 probes,
+    * brute} with a recall row per rung is how a production ANN service
+    * picks its operating point. */
+  val qVecIvfProbe4 = Q(
+    "q_vec_ivf_probe4",
+    s"""${ivfTop3Duck(4)}
+       |SELECT a_id, b_id, sim, rk FROM ivf3
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfTop3(spark, dir, 4).orderBy("a_id", "rk")
+  }
+
   /** Spark side of the shared IVF pipeline: exact top-3 per query vector
     * across its 2 probed cells (columns a_id, b_id, sim, rk). */
-  private def ivfTop3(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfTop3(spark: SparkSession, dir: String, p: Int = 2): DataFrame = {
     val e = cleanEmbeddings(spark, dir)
     // k×64 centroid table from exact integer-unit sums (q_vec_centroid's
     // arithmetic), reassembled into an ordered double array per cell
@@ -577,7 +593,7 @@ object VectorOps {
           """aggregate(zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) * y),
             |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6).as("csim"))
       .withColumn("crk", row_number().over(crkW))
-      .filter(col("crk") <= 2)
+      .filter(col("crk") <= p)
       .select(col("vec_id"), col("label"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
       col("embedding").as("b_vec"))
@@ -598,9 +614,9 @@ object VectorOps {
     * buckets via q_vec_recall_eval's LSH readout, multi-table LSH via
     * q_vec_recall_multi, IVF here): every index the engine serves has an
     * observable quality number. Same bounded query panel (vec_id < 50). */
-  val qVecRecallIvf = Q(
-    "q_vec_recall_ivf",
-    s"""$ivfTop3Duck,
+  private def recallIvfQ(name: String, probes: Int): Q = Q(
+    name,
+    s"""${ivfTop3Duck(probes)},
        |truth AS (
        |  SELECT a_id, b_id FROM (
        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -628,7 +644,7 @@ object VectorOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("a_id", "b_id")
-    truth.join(ivfTop3(spark, dir).select("a_id", "b_id")
+    truth.join(ivfTop3(spark, dir, probes).select("a_id", "b_id")
         .withColumn("hit", lit(1)),
         Seq("a_id", "b_id"), "left")
       .groupBy("a_id")
@@ -636,6 +652,12 @@ object VectorOps {
         round(count(col("hit")) / 3.0, 6).as("recall_at_3"))
       .orderBy("a_id")
   }
+
+  val qVecRecallIvf = recallIvfQ("q_vec_recall_ivf", 2)
+
+  /** Recall@3 of the 4-probe IVF rung — read next to `q_vec_recall_ivf`,
+    * the pair quantifies what doubling the probed cells buys. */
+  val qVecRecallIvf4 = recallIvfQ("q_vec_recall_ivf4", 4)
 
   /** ANN quality evaluation: recall@3 of the hyperplane-LSH index against
     * brute-force ground truth, per query vector — the measurement every
@@ -754,5 +776,6 @@ object VectorOps {
 
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
-    qVecRecallEval, qVecRecallMulti, qVecRecallIvf, qVecDrift)
+    qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,
+    qVecRecallIvf4, qVecDrift)
 }

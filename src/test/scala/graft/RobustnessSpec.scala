@@ -96,7 +96,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_vec_quantize", "q_vec_neardup", "q_vec_ann_bucketed",
     "q_vec_lsh_bucketed", "q_vec_lsh_multi", "q_vec_ivf_probe2",
     "q_vec_lsh_neardup", "q_vec_recall_eval", "q_vec_recall_multi",
-    "q_vec_recall_ivf", "q_vec_drift")
+    "q_vec_recall_ivf", "q_vec_ivf_probe4", "q_vec_recall_ivf4", "q_vec_drift")
 
   test("vector queries survive out-of-contract embeddings; the validator counts them") {
     // Zero vector, EMPTY array, ragged dim, Float.MaxValue junk, exact
