@@ -454,7 +454,201 @@ object OlapClassics {
       .orderBy("l_partkey")
   }
 
+  /** Sole-late supplier (TPC-H Q21 shape): suppliers who were the ONLY
+    * late shipper on a finished multi-supplier order — a double
+    * correlated-existential over the same fact table. Expressed as one
+    * left-SEMI self-join (some other supplier exists on the order) plus
+    * one left-ANTI self-join (no other supplier was also late), both
+    * keyed on l_orderkey with the suppkey inequality and the lateness
+    * bound as residual conditions. Scale: all three lineitem legs
+    * shuffle on the SAME key (orderkey), so AQE reuses one exchange
+    * partitioning across the chain; nothing is ever materialized per
+    * row. The fixture draws l_shipdate independently of o_orderdate
+    * (FIXTURES.md), so "late" = >2000 days keeps the late set rare
+    * (~p97) the way Q21's receipt>commit does. */
+  val qOlapSoleLate = Q(
+    "q_olap_sole_late",
+    """WITH l1 AS (
+      |  SELECT l_orderkey, l_suppkey, o_orderdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND l_shipdate > o_orderdate + INTERVAL 2000 DAY)
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > l1.o_orderdate + INTERVAL 2000 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+  ) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val lateBound = col("o_orderdate") + expr("INTERVAL 2000 DAYS")
+    val others = li.select(col("l_orderkey").as("x_ok"),
+      col("l_suppkey").as("x_sk"), col("l_shipdate").as("x_ship"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lateBound)
+      .join(others, // some OTHER supplier shares the order
+        col("l_orderkey") === col("x_ok") && col("l_suppkey") =!= col("x_sk"),
+        "left_semi")
+      .join(others, // ... and none of them was also late
+        col("l_orderkey") === col("x_ok") && col("l_suppkey") =!= col("x_sk")
+          && col("x_ship") > lateBound,
+        "left_anti")
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+  }
+
+  /** Supplier variety per part class (TPC-H Q16 shape): COUNT(DISTINCT
+    * supplier) per (brand, size) over an excluded-brand / excluded-type
+    * part slice, with a NOT IN blacklist of negative-balance suppliers.
+    * s_suppkey is non-nullable, so NOT IN is exactly a left-anti join
+    * (no null-aware three-valued trap); the part slice is filter-then-
+    * broadcast, so the fact scan output carries only surviving pairs
+    * into the distinct aggregation. */
+  val qOlapSuppVariety = Q(
+    "q_olap_supp_variety",
+    """SELECT p_brand, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+  ) { (spark, dir) =>
+    val slice = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#13"
+        && !col("p_type").startsWith("PROMO")
+        && col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+      .select("p_partkey", "p_brand", "p_size")
+    val blacklist = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_sk"))
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(slice), col("p_partkey") === col("l_partkey"))
+      .join(blacklist, col("l_suppkey") === col("bad_sk"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_size"))
+  }
+
+  /** Dominant suppliers of a part family (TPC-H Q20 shape): suppliers
+    * whose shipped quantity of some 'cold *' part exceeds 2× the part's
+    * average per-supplier share — a semi-join chain gated by a two-level
+    * aggregate. The share test `q·cnt > 2·tq` is exact-integer, so the
+    * cut is partitioning- and engine-independent, and it self-scales:
+    * "2× the average share" stays meaningful whether the part has 4
+    * suppliers (sf0.001) or 400 (100 TB). Scale: the (supplier, part)
+    * frame aggregates once (persistScratch) and feeds both the per-part
+    * totals and the qualifying filter; supplier enrichment is a
+    * left-semi, so no row multiplication. */
+  val qOlapDominantSupp = Q(
+    "q_olap_dominant_supp",
+    """WITH ps AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'cold %'
+      |  GROUP BY l_suppkey, l_partkey),
+      |pt AS (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS tq,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM ps GROUP BY l_partkey)
+      |SELECT s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN
+      |  (SELECT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+      |   WHERE ps.q * pt.cnt > 2 * pt.tq)
+      |ORDER BY s_name""".stripMargin
+  ) { (spark, dir) =>
+    import graft.sources.Scratch.PersistSyntax
+    val cold = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("cold "))
+      .select("p_partkey")
+    val ps = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(cold), col("p_partkey") === col("l_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      .persistScratch() // feeds the per-part totals AND the share filter
+    val pt = ps.groupBy("l_partkey")
+      .agg(sum("q").as("tq"), count(lit(1)).as("cnt"))
+    val qual = ps.join(pt, "l_partkey")
+      .filter(col("q") * col("cnt") > lit(2) * col("tq"))
+      .select("l_suppkey")
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_name", "n_name")
+      .orderBy("s_name")
+  }
+
+  /** Min-cost supplier per part (TPC-H Q2 shape): for each small part,
+    * every supplier whose cheapest shipped line hits the part's global
+    * minimum — a correlated-MIN equality. Equality on floats would be a
+    * cross-engine landmine; on exact cents it is safe, and ties keep ALL
+    * minimal suppliers on both engines. Scale: decorrelated by hand into
+    * aggregate + join (exactly what Catalyst's RewriteCorrelatedScalar-
+    * Subquery would emit): the (part, supplier) min-frame aggregates
+    * once (persistScratch), the per-part min derives from it, and the
+    * part filter is applied only at the final enrichment — legal because
+    * a per-part MIN over all suppliers is unchanged by a part-attribute
+    * filter, so the oracle's unfiltered correlated form agrees. */
+  val qOlapMinCost = Q(
+    "q_olap_min_cost",
+    """WITH c AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT p_partkey, s_name, n_name, CAST(c.cents AS BIGINT) AS min_cents
+      |FROM part JOIN c ON p_partkey = c.l_partkey
+      |JOIN supplier ON c.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_size <= 5
+      |  AND c.cents = (SELECT MIN(c2.cents) FROM c c2
+      |                 WHERE c2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, s_name""".stripMargin
+  ) { (spark, dir) =>
+    import graft.sources.Scratch.PersistSyntax
+    val c = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(Det.units(col("l_extendedprice"), 100)).as("cents"))
+      .persistScratch() // feeds the per-part min AND the equality probe
+    val minc = c.groupBy("l_partkey").agg(min("cents").as("mincents"))
+    val small = Tables.part(spark, dir)
+      .filter(col("p_size") <= 5)
+      .select("p_partkey")
+    c.join(minc, "l_partkey")
+      .filter(col("cents") === col("mincents"))
+      .join(broadcast(small), col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("s_name"), col("n_name"),
+        col("cents").cast("long").as("min_cents"))
+      .orderBy("p_partkey", "s_name")
+  }
+
   def all: Seq[Q] = Seq(qOlapCustDist, qOlapBigOrders, qOlapDisjunct,
     qOlapMktShare, qOlapTopSupplier, qOlapLapsedRich, qOlapVolumeShip,
-    qOlapReturned, qOlapOrderPriority, qOlapSmallQty, qOlapRevConc)
+    qOlapReturned, qOlapOrderPriority, qOlapSmallQty, qOlapRevConc,
+    qOlapSoleLate, qOlapSuppVariety, qOlapDominantSupp, qOlapMinCost)
 }
