@@ -153,5 +153,44 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(qTextOov, qTextZipf, qDocNovelty)
+  /** Heavy hitters without a full-width groupBy — the sketch-then-verify
+    * idiom (same contract style as the LSH families): pass 1 folds the
+    * token stream into a Misra-Gries summary (functions.MisraGries, 256
+    * counters/executor, associative merge — only O(256) state ever crosses
+    * the shuffle, vs a full groupBy shuffling the entire unbounded distinct
+    * domain); MG guarantees the summary's keys SUPERSET every token with
+    * freq > n/256. Pass 2 exact-counts only those <= 256 candidates (the
+    * filter prunes at the scan) and keeps freq*30 > n. The output is
+    * therefore EXACTLY the true heavy-hitter set with exact counts — fully
+    * oracle-able even though the first pass is a sketch. The candidate
+    * collect is bounded at 256 entries (documented, like TokenBits). */
+  val qTextHeavy = Q(
+    "q_text_heavy",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+      |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM tok GROUP BY tok
+      |HAVING COUNT(*) * 30 > (SELECT n FROM tot)
+      |ORDER BY cnt DESC, tok""".stripMargin
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val summary: Map[String, Long] = tokens.as[String]
+      .select(new graft.functions.MisraGries(256).toColumn)
+      .first()
+    val candidates = summary.keys.toSeq
+    val n = Tables.documents(spark, dir)
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
+    tokens.filter(col("tok").isin(candidates: _*))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(n)
+      .filter(col("cnt") * 30 > col("n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(desc("cnt"), col("tok"))
+  }
+
+  def all: Seq[Q] = Seq(qTextOov, qTextZipf, qDocNovelty, qTextHeavy)
 }

@@ -647,8 +647,88 @@ object OlapClassics {
       .orderBy("p_partkey", "s_name")
   }
 
+  /** Product-line profit by nation and year (TPC-H Q9 shape): a part-slice
+    * fact join enriched by supplier nation and order year, with profit =
+    * revenue − cost proxy (qty × p_retailprice / 10; the fixture has no
+    * partsupp, see the object scaladoc). Both terms are rounded to exact
+    * integer units SEPARATELY before the subtraction, so the per-line
+    * profit is the same integer on both engines and the group sum is
+    * partition-order independent. Scale: the part slice filters at the
+    * lineitem scan via broadcast, the orders join carries only (orderkey,
+    * year), and the final group-by domain is nation × year — tiny,
+    * map-side combinable. */
+  val qOlapProfit = Q(
+    "q_olap_profit",
+    """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+      |         - CAST(round(l_quantity * p_retailprice * 1000) AS BIGINT))
+      |    AS BIGINT) AS profit_units
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC""".stripMargin
+  ) { (spark, dir) =>
+    val slice = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val units =
+      Det.units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000) -
+        Det.units(col("l_quantity") * col("p_retailprice"), 1000)
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(slice), col("p_partkey") === col("l_partkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_year")
+      .agg(sum(units.cast("decimal(38,0)")).cast("long").as("profit_units"))
+      .orderBy(col("n_name"), desc("o_year"))
+  }
+
+  /** Priority mix of slow-shipping lines (TPC-H Q12 shape): lines that
+    * shipped ≥60 days after their order date, bucketed by line status,
+    * with the order-priority mix as two conditional CASE sums — the
+    * "pivot an attribute into measure columns" report idiom. The lateness
+    * predicate references both sides, so it is a post-join residual; the
+    * group-by domain is |l_linestatus| = 2 rows, fully map-side
+    * combinable after the one orderkey shuffle. */
+  val qOlapLinePrio = Q(
+    "q_olap_line_prio",
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+  ) { (spark, dir) =>
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(hi, 1).otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(!hi, 1).otherwise(0)).cast("long").as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
   def all: Seq[Q] = Seq(qOlapCustDist, qOlapBigOrders, qOlapDisjunct,
     qOlapMktShare, qOlapTopSupplier, qOlapLapsedRich, qOlapVolumeShip,
     qOlapReturned, qOlapOrderPriority, qOlapSmallQty, qOlapRevConc,
-    qOlapSoleLate, qOlapSuppVariety, qOlapDominantSupp, qOlapMinCost)
+    qOlapSoleLate, qOlapSuppVariety, qOlapDominantSupp, qOlapMinCost,
+    qOlapProfit, qOlapLinePrio)
 }

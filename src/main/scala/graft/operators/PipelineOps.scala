@@ -481,7 +481,48 @@ object PipelineOps {
       .orderBy("zbucket")
   }
 
+  /** Training-shard assignment + balance report: every document goes to
+    * shard = portable_hash(doc_id) % 8, and the query reports each shard's
+    * doc count and exact token total plus its deviation from the ideal
+    * per-shard load in parts-per-thousand. Hash-mod placement is the 100 TB
+    * shape: stateless, embarrassingly parallel, stable under re-runs and
+    * task retries (no RNG, no global coordination), and statistically
+    * balanced — and THIS query is the monitor that proves the balance
+    * holds, the check a production export job runs before shipping shards
+    * to 1000 trainer workers. The imbalance metric is exact-integer math
+    * (token sums as BIGINT, one scaled division at the end). */
+  val qDocShard = Q(
+    "q_doc_shard",
+    s"""WITH s AS (
+       |  SELECT ${graft.functions.PortableHash.duck("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |sh AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_tok) AS BIGINT) AS tot_tokens
+       |       FROM s GROUP BY shard)
+       |SELECT CAST(shard AS INT) AS shard, n_docs, tot_tokens,
+       |  CAST(round((tot_tokens * 8 - (SELECT SUM(tot_tokens) FROM sh))
+       |    * 1000.0 / (SELECT SUM(tot_tokens) FROM sh)) AS BIGINT) AS skew_ppt
+       |FROM sh ORDER BY shard""".stripMargin
+  ) { (spark, dir) =>
+    val sh = Tables.documents(spark, dir)
+      .select(
+        expr(s"${graft.functions.PortableHash.spark("CAST(doc_id AS STRING)")} % 8")
+          .cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tot_tokens"))
+    // grand total via a 8-row global agg joined back (no corpus re-scan)
+    val tot = sh.agg(sum("tot_tokens").as("grand")).select("grand")
+    sh.crossJoin(tot)
+      .select(col("shard"), col("n_docs"), col("tot_tokens"),
+        round((col("tot_tokens") * 8 - col("grand")) * lit(1000.0) / col("grand"))
+          .cast("long").as("skew_ppt"))
+      .orderBy("shard")
+  }
+
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
-    qTextNgramLm, qDocPackContent, qProfileNumeric, qLayoutZorder)
+    qTextNgramLm, qDocPackContent, qProfileNumeric, qLayoutZorder,
+    qDocShard)
 }

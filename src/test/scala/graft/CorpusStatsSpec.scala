@@ -73,4 +73,50 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(out.forall { case (dx, dy) => dx <= 15 && dy <= 15 },
       "a z-bucket spanning more than its tile breaks min/max skipping")
   }
+
+  test("MisraGries: summary keys superset all freq > n/capacity items, any merge order") {
+    // Skewed synthetic stream: item i appears 2^(10-i) times for i in 0..9,
+    // plus 400 singleton fillers to force evictions at capacity 16.
+    val stream: Seq[String] =
+      (0 to 9).flatMap(i => Seq.fill(1 << (10 - i))(s"hot$i")) ++
+        (0 until 400).map(i => s"cold$i")
+    val n = stream.size
+    val cap = 16
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val heavies = truth.filter { case (_, c) => c > n.toLong / cap }.keySet
+    // fold in three adversarial partition orders: sorted, reversed, interleaved
+    val orders = Seq(stream.sorted, stream.sorted.reverse,
+      stream.zipWithIndex.sortBy(_._2 % 7).map(_._1))
+    orders.foreach { s =>
+      val mg = new graft.functions.MisraGries(cap)
+      // split into 8 chunks, reduce each, merge pairwise like a shuffle tree
+      val parts = s.grouped(math.max(1, s.size / 8)).toSeq
+        .map(_.foldLeft(mg.zero)(mg.reduce))
+      val merged = parts.reduce(mg.merge)
+      assert(merged.size <= cap, "summary must stay bounded")
+      assert(heavies.subsetOf(merged.keySet.toSet),
+        s"MG lost a guaranteed heavy hitter: ${heavies -- merged.keySet}")
+      // estimates never overcount
+      merged.foreach { case (k, est) =>
+        assert(est <= truth(k), s"$k overcounted: $est > ${truth(k)}")
+      }
+    }
+  }
+
+  test("q_text_heavy: sketch-then-verify equals the exact full groupBy") {
+    val out = CorpusStats.qTextHeavy.fn(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // exact reference: full-width groupBy with the same threshold
+    val spk = spark
+    val tok = spk.read.parquet(s"${sf()}/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = tok.count()
+    val exact = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 30 > lit(n))
+      .orderBy(desc("cnt"), col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.nonEmpty, "threshold must keep the above-average tokens")
+    assert(out.toSeq === exact.toSeq,
+      "the MG candidate pass must not change the exact heavy-hitter set")
+  }
 }
