@@ -370,6 +370,47 @@ object Streams {
       }
   }
 
+  // ---- Arbitrary stateful processing (transformWithState, state v2) ------
+
+  /** The same running per-user aggregate on Spark 4's state-v2 API
+    * (`StatefulProcessor` + typed `ValueState`): the operator a NEW
+    * streaming pipeline should reach for — per-state-variable typed
+    * handles, server-side TTL, and timers, over the RocksDB state store
+    * (which state v2 requires; the spec sets the provider conf). Kept
+    * alongside [[runningUserState]] deliberately: both APIs stay covered,
+    * and StreamingSpec asserts they produce identical per-user totals on
+    * the same feed. State per user is one (count, sum) pair — bounded
+    * regardless of stream length; TTLConfig.NONE because the batch twin
+    * it must match never expires state (swap in a Duration for the
+    * production idle-user-eviction case). */
+  final class RunningUserProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserUpdate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("userAgg",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[UserUpdate] = {
+      val prev = if (st.exists()) st.get() else UserState(0L, 0.0)
+      var n = prev.n_events
+      var s = prev.sum_value
+      rows.foreach { e => n += 1; s += e.value }
+      st.update(UserState(n, s))
+      Iterator(UserUpdate(key, n, s))
+    }
+  }
+
+  /** [[runningUserState]] re-expressed on transformWithState. */
+  def runningUserStateV2(events: Dataset[Ev]): Dataset[UserUpdate] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningUserProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def all: Seq[Q] = Seq(q35, q36, q37, qStreamJoin, qStreamJoinLeft,
     qStreamTopk, qStreamDedup, qStreamEnrich)
 }

@@ -417,4 +417,41 @@ class StreamingSpec extends SparkTestBase {
       assert(latest(2L) === ((2L, 1L, 5.0)))
     }
   }
+
+  test("transformWithState (state v2) matches the v1 per-user totals") {
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    // state v2 runs only on the RocksDB state store; scope the provider
+    // conf to this test (new queries read it at start)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spk.conf.getOption(key)
+    spk.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.Ev]
+      val q = Streams.runningUserStateV2(input.toDS())
+        .writeStream.format("memory").queryName("user_state_v2")
+        .outputMode("update").start()
+      withQuery(q) {
+        input.addData(ev(1, "2024-01-01 10:00:00", user = 1, v = 1.5),
+          ev(2, "2024-01-01 10:01:00", user = 1, v = 2.5),
+          ev(3, "2024-01-01 10:02:00", user = 2, v = 5.0))
+        q.processAllAvailable()
+        input.addData(ev(4, "2024-01-01 10:03:00", user = 1, v = 4.0))
+        q.processAllAvailable()
+        val latest = spk.table("user_state_v2")
+          .as[(Long, Long, Double)].collect()
+          .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+        // identical totals to the flatMapGroupsWithState (v1) test above
+        assert(latest(1L) === ((1L, 3L, 8.0)))
+        assert(latest(2L) === ((2L, 1L, 5.0)))
+      }
+    } finally {
+      prev match {
+        case Some(v) => spk.conf.set(key, v)
+        case None => spk.conf.unset(key)
+      }
+    }
+  }
 }
