@@ -42,7 +42,12 @@ object PlanAudit {
       "q_profile_numeric",
       // round-10 additions
       "q_dedup_bucket_skew", "q_doc_mix_temperature",
-      "q_text_oov", "q_text_zipf", "q_doc_novelty")
+      "q_text_oov", "q_text_zipf", "q_doc_novelty",
+      // round-10 late-session additions
+      "q_olap_sole_late", "q_olap_supp_variety", "q_olap_dominant_supp",
+      "q_olap_min_cost", "q_olap_profit", "q_olap_line_prio",
+      "q_doc_shard", "q_text_heavy", "q_dedup_cluster_hist",
+      "q_split_leakage")
     val queries = graft.SparkEntry.queries
     val sb = new StringBuilder
     audited.foreach { name =>
