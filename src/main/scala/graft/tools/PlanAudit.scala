@@ -47,7 +47,9 @@ object PlanAudit {
       "q_olap_sole_late", "q_olap_supp_variety", "q_olap_dominant_supp",
       "q_olap_min_cost", "q_olap_profit", "q_olap_line_prio",
       "q_doc_shard", "q_text_heavy", "q_dedup_cluster_hist",
-      "q_split_leakage")
+      "q_split_leakage",
+      // round-10 continuation additions
+      "q_text_boilerplate", "q_doc_dup_mass", "q_vec_covariance")
     val queries = graft.SparkEntry.queries
     val sb = new StringBuilder
     audited.foreach { name =>

@@ -119,4 +119,56 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(out.toSeq === exact.toSeq,
       "the MG candidate pass must not change the exact heavy-hitter set")
   }
+
+  test("q_text_boilerplate: a planted template shingle is flagged, sparse sources stay clean") {
+    val spk = spark
+    import spk.implicits._
+    // srcA: 5 docs all ending in the template bigram "visit again" (df=5,
+    // 5·5 > 5 docs and df ≥ 3 → boilerplate). srcB: 2 docs sharing all
+    // their shingles — df=2 fails the df ≥ 3 floor, so a tiny source can
+    // never declare its whole vocabulary boilerplate.
+    val docs = (
+      (0 until 5).map(i => (i.toLong, s"alpha$i beta$i gamma$i visit again", "en", "srcA")) ++
+        Seq((10L, "same words here", "en", "srcB"), (11L, "same words here", "en", "srcB"))
+      ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.CorpusStats.qTextBoilerplate.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nDocsA, nShinglesA, nBoilerA) = out("srcA")
+    assert(nDocsA === 5L)
+    assert(nBoilerA === 1L, s"exactly the planted 'visit again' must be boilerplate, got $nBoilerA")
+    assert(nShinglesA === 5L * 3 + 1, "4 bigrams per doc, 3 unique + 1 shared")
+    val (_, _, nBoilerB) = out("srcB")
+    assert(nBoilerB === 0L, "a 2-doc source cannot clear the df >= 3 floor")
+  }
+
+  test("q_doc_dup_mass: shared spans cover BOTH copies; overlaps never double count") {
+    val spk = spark
+    import spk.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token shared block
+    val docs = Seq(
+      // docs 1 and 2: 5 unique tokens then the shared block → covered = 10 on BOTH
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ") + " " + shared, "en", "srcA"),
+      (2L, (1 to 5).map(i => s"b$i").mkString(" ") + " " + shared, "en", "srcA"),
+      // doc 3: fully disjoint content → covered = 0
+      (3L, (1 to 15).map(i => s"c$i").mkString(" "), "en", "srcA"),
+      // doc 4: the shared block twice back-to-back → one merged span of 20
+      (4L, shared + " " + shared, "en", "srcA")
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupmass").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.CorpusStats.qDocDupMass.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((15L, 10L)), "first copy counts (unlike novelty)")
+    assert(out(2L) === ((15L, 10L)), "second copy counts")
+    assert(out(3L) === ((15L, 0L)), "disjoint doc has zero duplicated mass")
+    // doc 4: every 5-gram inside the 20-token doubled block also occurs in
+    // docs 1/2 or recurs across the seam; islands merge to full coverage
+    // without double counting any position
+    assert(out(4L)._2 <= 20L, "covered mass can never exceed the doc length")
+    assert(out(4L)._2 === 20L, "back-to-back shared blocks merge into one span")
+  }
 }

@@ -20,7 +20,10 @@ class DeterminismSpec extends SparkTestBase {
     "q_vec_recall_eval", "q_win_range_frame",
     // round-9: money ratios, weighted-priority ranking, LSH recall ratio
     "q_olap_mkt_share", "q_sample_weighted", "q_dedup_recall",
-    "q_graph_pagerank")
+    "q_graph_pagerank",
+    // round-10 continuation: island-merge windows, integer Gramian,
+    // driver-side power iteration over the collected matrix
+    "q_doc_dup_mass", "q_vec_covariance", "q_vec_pca_power")
 
   test("float-sensitive queries return identical rows under 3 vs 17 shuffle partitions") {
     val dir = sf()

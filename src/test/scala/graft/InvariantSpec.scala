@@ -110,7 +110,9 @@ class InvariantSpec extends SparkTestBase with Matchers {
     qs.flatMap(_.oracle).foreach { sql =>
       assert(!sql.contains("read_parquet"), "oracle must use bare table names")
     }
-    assert(qs.count(_.oracle.isEmpty) === 2) // q_agg_approx, q_agg_approx_quantile
+    // q_agg_approx, q_agg_approx_quantile (sketch estimates), q_vec_pca_power
+    // (eigenvector — not SQL-expressible); every other query MUST carry an oracle
+    assert(qs.count(_.oracle.isEmpty) === 3)
   }
 
   test("token-budget apportionment sums exactly to the budget") {

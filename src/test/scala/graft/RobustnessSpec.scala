@@ -23,7 +23,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_text_fingerprint", "q_text_repetition", "q_token_bpe",
     "q_doc_chunk", "q_doc_chunk_dedup", "q_doc_topk_quality",
     "q_sample_weighted", "q_multimodal_meta", "q_multimodal_frames",
-    "q_multimodal_resize")
+    "q_multimodal_resize", "q_text_boilerplate", "q_doc_dup_mass")
 
   test("documents-only queries survive an EMPTY corpus (zero-doc ingest day)") {
     // An incremental pipeline's quiet day: zero input rows. Every doc
@@ -96,7 +96,8 @@ class RobustnessSpec extends SparkTestBase {
     "q_vec_quantize", "q_vec_neardup", "q_vec_ann_bucketed",
     "q_vec_lsh_bucketed", "q_vec_lsh_multi", "q_vec_ivf_probe2",
     "q_vec_lsh_neardup", "q_vec_recall_eval", "q_vec_recall_multi",
-    "q_vec_recall_ivf", "q_vec_ivf_probe4", "q_vec_recall_ivf4", "q_vec_drift")
+    "q_vec_recall_ivf", "q_vec_ivf_probe4", "q_vec_recall_ivf4", "q_vec_drift",
+    "q_vec_covariance", "q_vec_pca_power")
 
   test("vector queries survive out-of-contract embeddings; the validator counts them") {
     // Zero vector, EMPTY array, ragged dim, Float.MaxValue junk, exact

@@ -108,4 +108,88 @@ class VectorAndApproxSpec extends SparkTestBase {
       s"multi-table recall $rMulti < single-table recall $rSingle")
     assert(rMulti > 0.0)
   }
+
+  test("q_vec_covariance: a planted perfectly-correlated pair dominates") {
+    val spk = spark
+    import spk.implicits._
+    val dim = 64
+    // components 0 and 1 move together (+s, +s); component 2 moves against
+    // them (-s); everything else is 0 — so |cov(0,1)| = |cov(0,2)| are the
+    // only nonzero covariances and (0,1) wins the i,j tiebreak.
+    val rows = (0 until 40).map { k =>
+      val s = if (k % 2 == 0) 0.5f else -0.5f
+      val v = Array.fill(dim)(0f)
+      v(0) = s; v(1) = s; v(2) = -s
+      (k.toLong, v, k % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cov").toString
+    rows.write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.VectorOps.qVecCovariance.fn(spark, dir)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    assert(out.nonEmpty)
+    val ((i0, j0), c0) = out.head
+    assert((i0, j0) === ((0, 1)), s"top pair must be the planted (0,1), got ($i0,$j0)")
+    // zero-mean ±0.5 at 1e-4 units: raw cov = n·Σqiqj = 40·40·5000² exactly
+    assert(c0 === 40L * 40L * 5000L * 5000L, s"exact integer covariance, got $c0")
+    val c1 = out(1)
+    assert(c1._1 === ((0, 2)) && c1._2 === -c0, "anti-correlated pair mirrors the sign")
+  }
+
+  test("q_dedup_semantic: exact-text vs paraphrase split on a planted corpus") {
+    val spk = spark
+    import spk.implicits._
+    val dim = 64
+    val base = Array.tabulate(dim)(i => (math.cos(i + 1.0) / 8.0).toFloat)
+    def jitter(eps: Float) = base.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + eps else x }
+    // ids 0,1: same embedding, same text → exact pair. ids 2,3: near
+    // embeddings, different text → paraphrase pair. id 4: different
+    // label, never paired.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem").toString
+    Seq(
+      (0L, base, 0), (1L, base, 0),
+      (2L, jitter(0.001f), 1), (3L, jitter(-0.001f), 1),
+      (4L, base, 2)
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    Seq(
+      (0L, "identical text body", "en", "srcA"),
+      (1L, "identical text body", "en", "srcA"),
+      (2L, "first paraphrase wording", "en", "srcA"),
+      (3L, "second paraphrase wording", "en", "srcA"),
+      (4L, "unrelated", "en", "srcA")
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.VectorOps.qDedupSemantic.fn(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0) === ((1L, 1L, 0L)), "identical text + embedding = exact pair")
+    assert(out(1) === ((1L, 0L, 1L)), "near embedding + different text = paraphrase")
+    assert(!out.contains(2), "a single-member label can produce no pair")
+  }
+
+  test("q_vec_pca_power: recovers a planted rank-1 direction") {
+    val spk = spark
+    import spk.implicits._
+    val dim = 64
+    // u is a fixed unit vector; each row is ±0.8·u (zero mean), so the
+    // covariance is exactly rank 1 with eigenvector u.
+    val u = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val norm = math.sqrt(u.map(x => x * x).sum)
+    val un = u.map(x => (x / norm).toFloat)
+    val rows = (0 until 50).map { k =>
+      val s = if (k % 2 == 0) 0.8f else -0.8f
+      (k.toLong, un.map(x => x * s), k % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    rows.write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.VectorOps.qVecPcaPower.fn(spark, dir)
+      .orderBy("pos").collect()
+    assert(out.length === dim)
+    val v = out.map(_.getDouble(1))
+    val dot = math.abs(v.zip(un).map { case (a, b) => a * b }.sum)
+    assert(dot >= 0.99, s"planted direction not recovered: |cos| = $dot")
+    val eig = out.head.getDouble(2)
+    assert(eig > 0.0, "dominant eigenvalue must be positive on a rank-1 corpus")
+  }
 }
