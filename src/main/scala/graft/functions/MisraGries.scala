@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import scala.collection.mutable
 
 /** Misra-Gries heavy-hitter summary as a partial-aggregation-capable typed
   * Aggregator — the one-pass alternative to a full-width `groupBy(token)`
@@ -24,46 +24,45 @@ import scala.collection.mutable
   * driver is O(capacity), and the only corpus-wide work is the map-side
   * scan — the shape that holds at 100 TB where the distinct-token domain
   * (and thus a full groupBy's shuffle) is unbounded.
+  *
+  * The buffer/output encoders are Catalyst MAP encoders, not Kryo:
+  * Kryo's FieldSerializer reflects into JDK internals (HeapByteBuffer)
+  * and dies without the full `--add-opens` set when the session is built
+  * outside spark-submit — a deployment-environment dependency a library
+  * must not carry. The buffer object lives on-heap between `reduce`
+  * calls (ObjectHashAggregate keeps typed buffers as objects; the
+  * encoder only runs at partial-output boundaries), so the immutable
+  * Map's per-update allocation is row-local garbage, never a
+  * serialization cost.
   */
 final class MisraGries(capacity: Int)
-    extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
 
-  def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  def zero: Map[String, Long] = Map.empty
 
-  def reduce(b: mutable.HashMap[String, Long], x: String): mutable.HashMap[String, Long] = {
+  def reduce(b: Map[String, Long], x: String): Map[String, Long] = {
     b.get(x) match {
-      case Some(c) => b.update(x, c + 1L)
-      case None if b.size < capacity => b.update(x, 1L)
+      case Some(c) => b.updated(x, c + 1L)
+      case None if b.size < capacity => b.updated(x, 1L)
       case None =>
         // classic MG eviction: decrement every counter, drop zeros
-        val dead = mutable.ArrayBuffer.empty[String]
-        b.foreach { case (k, c) =>
-          if (c == 1L) dead += k else b.update(k, c - 1L)
-        }
-        dead.foreach(b.remove)
+        b.collect { case (k, c) if c > 1L => k -> (c - 1L) }
     }
-    b
   }
 
-  def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long])
-      : mutable.HashMap[String, Long] = {
-    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
-    if (a.size > capacity) {
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val m = b.foldLeft(a) { case (acc, (k, c)) =>
+      acc.updated(k, acc.getOrElse(k, 0L) + c)
+    }
+    if (m.size > capacity) {
       // subtract the (capacity+1)-th largest count from all, drop <= 0
-      val cut = a.values.toArray.sorted(Ordering[Long].reverse)(capacity)
-      val dead = mutable.ArrayBuffer.empty[String]
-      a.foreach { case (k, c) =>
-        if (c - cut <= 0L) dead += k else a.update(k, c - cut)
-      }
-      dead.foreach(a.remove)
-    }
-    a
+      val cut = m.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+      m.collect { case (k, c) if c - cut > 0L => k -> (c - cut) }
+    } else m
   }
 
-  def finish(b: mutable.HashMap[String, Long]): Map[String, Long] = b.toMap
+  def finish(b: Map[String, Long]): Map[String, Long] = b
 
-  def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
-    Encoders.kryo[mutable.HashMap[String, Long]]
-  def outputEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+  def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
 }
