@@ -115,7 +115,8 @@ class ScaleSpec extends SparkTestBase {
     constrained.conf.set("spark.sql.TungstenAggregate.testFallbackStartsAt", "100, 200")
     try {
       for (q <- Seq(graft.operators.TextExtras.qDedupNgram,
-          graft.operators.SketchDedup.qDedupMinhash)) {
+          graft.operators.SketchDedup.qDedupMinhash,
+          graft.operators.CorpusStats.qDocDupMass)) {
         // constrained runs FIRST on a cold cache: the CacheManager is
         // shared across sessions, so running the fast path first would let
         // the constrained plan silently reuse its persisted sub-DAGs and
