@@ -321,4 +321,49 @@ class InvariantSpec extends SparkTestBase with Matchers {
     // ranking must be supplier-typed
     assert(rows.head.getAs[String]("node_type") === "supplier")
   }
+
+  test("dup-mass island merge equals the brute-force position union (ScalaCheck)") {
+    // The one piece of q_doc_dup_mass the oracle can't independently
+    // falsify (both engines run the same window recipe) is the interval
+    // algebra itself: covered == |union of [p, p+4] over duplicated
+    // shingle starts|, with overlaps counted once. Brute-force the union
+    // on random tiny corpora from an 8-token alphabet (dense collisions)
+    // and compare row-for-row.
+    val spk = spark
+    import spk.implicits._
+    val genDoc = for {
+      n <- Gen.chooseNum(5, 25)
+      toks <- Gen.listOfN(n, Gen.chooseNum(0, 7).map(i => s"w$i"))
+    } yield toks
+    val genCorpus = for {
+      nDocs <- Gen.chooseNum(3, 8)
+      docs <- Gen.listOfN(nDocs, genDoc)
+    } yield docs
+    val prop = forAll(genCorpus) { docs =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_dm_prop").toString
+      docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" "), "en", "src0", t.mkString(" ").length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = graft.operators.CorpusStats.qDocDupMass.fn(spk, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      graft.sources.Scratch.releaseAll()
+      // brute force: duplicated 5-grams = those in >= 2 distinct docs
+      val grams = docs.zipWithIndex.flatMap { case (t, i) =>
+        t.sliding(5).filter(_.size == 5).zipWithIndex
+          .map { case (g, p) => (i.toLong, p, g.mkString(" ")) }
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expected = docs.zipWithIndex.collect {
+        case (t, i) if t.size >= 5 =>
+          val covered = grams.collect {
+            case (d, p, g) if d == i.toLong && dup(g) => p until (p + 5)
+          }.flatten.toSet.size
+          i.toLong -> ((t.size.toLong, covered.toLong))
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
