@@ -61,9 +61,11 @@ object Bench {
     * inflation class) shows up as a mid/end probe far above start. */
   private def sentinelProbe(spark: SparkSession, sfDir: String): Double = {
     val t0 = System.nanoTime()
-    spark.range(20000000L).selectExpr("sum(id * 7)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").selectExpr("count(*)").collect()
-    (System.nanoTime() - t0) / 1e9
+    try {
+      spark.range(20000000L).selectExpr("sum(id * 7)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").selectExpr("count(*)").collect()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 } // a broken probe must not kill the run
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,30 +80,54 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ALL setup below is fault-isolated: round 10's bench died rc=1 before
+    // timing a single query because warmCache hit one broken table (the
+    // regenerated events fixture). A setup failure now degrades — cold
+    // reads, unwarmed codegen — and is recorded under "setup_errors" in
+    // the JSON line, while every query still gets timed (broken ones land
+    // in "errors" per query as before).
+    var setupErrors = List.empty[(String, String)]
+    def setup(step: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        setupErrors ::= (step -> msg)
+        System.err.println(s"[bench] setup '$step' failed (degrading): $msg")
+      }
     // Warm the session before timing: first jobs pay codegen-compiler and
     // file-source init costs that belong to the JVM, not the operator. The
     // DuckDB baseline is measured in a warm process, so this keeps the
     // comparison symmetric.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    setup("warmup_jvm") {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    }
     // Warm the custom Catalyst expressions too: their first use pays
     // function registration + whole-stage codegen compilation, which
     // otherwise lands inside the first timed sketch/vector query
     // (round-2 driver bench showed simhash/minhash 6-7x the warm cost).
-    graft.functions.SketchExprs.register(spark)
-    graft.functions.VecExprs.register(spark)
-    spark.range(64).selectExpr(
-      "graft_simhash16(array(id, id + 1)) AS sh",
-      "graft_minhash_sig(array(id, id + 2)) AS mh",
-      "graft_bitmap_and_count(array(id), array(id)) AS bc",
-      "graft_dot(array(cast(id as float)), array(cast(id as float))) AS d")
-      .collect()
+    setup("warmup_exprs") {
+      graft.functions.SketchExprs.register(spark)
+      graft.functions.VecExprs.register(spark)
+      spark.range(64).selectExpr(
+        "graft_simhash16(array(id, id + 1)) AS sh",
+        "graft_minhash_sig(array(id, id + 2)) AS mh",
+        "graft_bitmap_and_count(array(id), array(id)) AS bc",
+        "graft_dot(array(cast(id as float)), array(cast(id as float))) AS d")
+        .collect()
+    }
     // Warm table cache: read each fixture once, persist, materialize.
-    // Query-scoped caches are released per query through the Scratch
-    // registry below, which never touches these entries.
+    // Per-table fault isolation lives inside warmCache (a broken table
+    // stays cold and is reported here). Query-scoped caches are released
+    // per query through the Scratch registry below, which never touches
+    // these entries.
     // SPARK_GRAFT_NO_WARM=1 benches cold parquet reads instead (A/B knob).
     if (!sys.env.get("SPARK_GRAFT_NO_WARM").contains("1"))
-      graft.sources.Tables.warmCache(spark, sfDir)
+      setup("warm_cache") {
+        graft.sources.Tables.warmCache(spark, sfDir).foreach { case (t, msg) =>
+          setupErrors ::= (s"warm:$t" -> msg.take(200))
+          System.err.println(s"[bench] warmCache '$t' failed (cold reads): $msg")
+        }
+      }
     CacheWarnCapture.install()
     CacheWarnCapture.drain() // warm-up/warmCache noise is not a query's fault
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
@@ -145,8 +171,10 @@ object Bench {
     val sentinels = Seq("start" -> sentStart, "mid" -> sentMid, "end" -> sentEnd)
     // bench.json gets every query at full resolution.
     Files.writeString(Paths.get(outPath),
-      fullJson(results, errors.reverse, sfDir, sentinels, cacheWarns.reverse) + "\n")
-    println(stdoutLine(results, errors.reverse, sfDir, sentinels, cacheWarns.reverse))
+      fullJson(results, errors.reverse, sfDir, sentinels, cacheWarns.reverse,
+        setupErrors.reverse) + "\n")
+    println(stdoutLine(results, errors.reverse, sfDir, sentinels,
+      cacheWarns.reverse, setupErrors.reverse))
     spark.stop()
   }
 
@@ -173,21 +201,27 @@ object Bench {
 
   /** `"sentinel"` (fixed-work probe timings) + `"cache_warns"` (per-query
     * CacheManager warning counts — {} when clean, which is the asserted
-    * norm) as a JSON fragment for [[render]]'s `extra` slot. */
+    * norm) + `"setup_errors"` (fault-isolated setup failures — {} unless a
+    * warm-up step or a warmCache table degraded) as a JSON fragment for
+    * [[render]]'s `extra` slot. */
   private def diagJson(sentinels: Seq[(String, Double)],
-      cacheWarns: Seq[(String, Int)]): String = {
+      cacheWarns: Seq[(String, Int)],
+      setupErrors: Seq[(String, String)]): String = {
     val s = sentinels.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
       .mkString("{", ",", "}")
     val w = cacheWarns.map { case (k, n) => s"${jstr(k)}:$n" }
       .mkString("{", ",", "}")
-    s""","sentinel":$s,"cache_warns":$w"""
+    val se = setupErrors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    s""","sentinel":$s,"cache_warns":$w,"setup_errors":$se"""
   }
 
   private[graft] def fullJson(all: Seq[(String, Double)],
       errors: Seq[(String, String)], sfDir: String,
       sentinels: Seq[(String, Double)] = Nil,
-      cacheWarns: Seq[(String, Int)] = Nil): String =
-    render(all, all, errors, sfDir, diagJson(sentinels, cacheWarns))
+      cacheWarns: Seq[(String, Int)] = Nil,
+      setupErrors: Seq[(String, String)] = Nil): String =
+    render(all, all, errors, sfDir, diagJson(sentinels, cacheWarns, setupErrors))
 
   /** The stdout line must SURVIVE the driver's bounded (~2000-char) log
     * tail: rounds 1-4 all came back "parsed": null because the full
@@ -200,8 +234,10 @@ object Bench {
   private[graft] def stdoutLine(all: Seq[(String, Double)],
       errors: Seq[(String, String)], sfDir: String,
       sentinels: Seq[(String, Double)] = Nil,
-      cacheWarns: Seq[(String, Int)] = Nil): String = {
-    val extra = ",\"full\":\"bench.json\"" + diagJson(sentinels, cacheWarns)
+      cacheWarns: Seq[(String, Int)] = Nil,
+      setupErrors: Seq[(String, String)] = Nil): String = {
+    val extra = ",\"full\":\"bench.json\"" +
+      diagJson(sentinels, cacheWarns, setupErrors)
     val byCost = all.sortBy { case (_, v) => -v }
     var budget = 1600 - render(all, Nil, errors, sfDir, extra).length
     val kept = byCost.takeWhile { case (k, v) =>

@@ -21,12 +21,19 @@ object Verify {
     // operator without a full 100+-query dump. The driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    // Failures must be LOUD: in round 10 a broken loader made 28 queries
+    // vanish from CORRECTNESS silently (stderr only, no artifact) and the
+    // round read as "all green". Every failure now lands in errors.json
+    // (written even when empty, so its absence means "Verify didn't run").
+    var failures = List.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+          failures ::= (name -> msg)
+          System.err.println(s"[verify] $name FAILED: $msg")
         }
         // Queries are independent: drop persisted tables between them so the
         // 100+-query dump doesn't accumulate cached blocks in the driver heap.
@@ -51,6 +58,17 @@ object Verify {
     val json = SparkEntry.oracleSql.filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures.reverse
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
+          failures.reverse.map(_._1).mkString(", "))
+    }
+    // Exit 0 even on per-query failures: the driver must still consume the
+    // successful dumps + errors.json (a non-zero rc risks the round-10
+    // bench failure mode, where rc=1 discarded the entire artifact).
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md /
   * FIXTURES.md). Schemas are carried by the parquet files themselves; the
@@ -49,7 +50,14 @@ object Tables {
     * that built them. */
   @volatile private var cached: Map[(String, String), DataFrame] = Map.empty
 
-  def warmCache(spark: SparkSession, sfDir: String): Unit = synchronized {
+  /** Warm the cache, fault-isolated per table: a table that fails to read
+    * (fixture drift, missing file) is left UNCACHED — later loads of it go
+    * cold and fail per-query instead — and reported in the returned
+    * (table, error) list. Round 10's bench died with rc=1 before timing a
+    * single query because one broken table (`events`, regenerated fixture)
+    * threw out of an unguarded warmCache; setup must degrade, not abort. */
+  def warmCache(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    synchronized {
     // Evict entries for OTHER fixture dirs first: a session that re-warms
     // at a new scale factor must not keep the old tables' blocks pinned
     // (MEMORY_AND_DISK grows unbounded otherwise).
@@ -57,6 +65,7 @@ object Tables {
       if (dir != sfDir) df.unpersist(blocking = false)
     }
     cached = cached.filter { case ((dir, _), _) => dir == sfDir }
+    val failures = Seq.newBuilder[(String, String)]
     warmNames.foreach { n =>
       val key = (sfDir, n)
       val existing = cached.get(key)
@@ -65,12 +74,18 @@ object Tables {
         // SparkContext: unpersist its blocks first or they stay pinned in
         // the shared block manager with no remaining handle.
         existing.foreach(_.unpersist(blocking = false))
-        val df = cold(spark, sfDir, n)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize now, not inside the first timed query
-        cached += key -> df
+        try {
+          val df = cold(spark, sfDir, n)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count() // materialize now, not inside the first timed query
+          cached += key -> df
+        } catch { case e: Throwable =>
+          cached -= key
+          failures += n -> Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
       }
     }
+    failures.result()
   }
 
   /** Drop every warm entry (unpersist + forget) — the session-level cache
@@ -94,9 +109,13 @@ object Tables {
       case _ => cold(spark, sfDir, name)
     }
 
-  private def cold(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+  private def cold(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") events(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    assertSchema(name, df.schema, s"$sfDir/$name.parquet")
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -108,17 +127,120 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4.x refuses
-    * to read by default (PARQUET_TYPE_ILLEGAL). We read it as epoch-nanos
-    * LongType via `nanosAsLong` and floor-truncate to microseconds with
-    * *integer* division (`div`) — a double division would lose low bits of
-    * the ~1.7e18 nanos value and can shift the result by 1µs at exact-µs
-    * boundaries. DuckDB reads the same file natively, also truncating ns→µs,
-    * so both engines see identical values (SURVEY.md §1.4, verified).
+  /** SCHEMA-ADAPTIVE `events` loader (SURVEY.md §1.4). The driver has
+    * shipped `events.ts` in two physical encodings so far — parquet INT64
+    * TIMESTAMP(NANOS) through round 9, plain `timestamp[us]` (read by
+    * Spark as TIMESTAMP_NTZ) since the 2026-08-12 regeneration — so the
+    * loader branches on the READ dtype instead of assuming either:
+    *
+    *  - `LongType` (nanos via the `nanosAsLong` legacy conf, which is a
+    *    no-op on non-nanos files): floor-truncate ns→µs with *integer*
+    *    division (`div`) — a double division would lose low bits of the
+    *    ~1.7e18 nanos value and can shift the result by 1µs at exact-µs
+    *    boundaries. DuckDB reads the nanos file natively and also
+    *    truncates ns→µs, so both engines see identical values.
+    *  - `TIMESTAMP_NTZ` (`timestamp[us]`, no zone): cast to the session
+    *    TimestampType. Every session in this repo pins
+    *    `spark.sql.session.timeZone=UTC`, so the cast reinterprets the
+    *    wall-clock as the same UTC instant — bit-identical µs to what
+    *    DuckDB (naive timestamp) sees. DeterminismSpec pins this.
+    *  - `TimestampType`: pass through.
+    *
+    * Downstream always sees `TimestampType` µs — the engine's canonical
+    * event-time type — whatever the fixture's encoding of the day.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"fixture drift: $sfDir/events.parquet column 'ts' read as $other; " +
+          "the loader understands INT64-nanos (LongType via nanosAsLong), " +
+          "TIMESTAMP_NTZ and TIMESTAMP — the driver regenerated the fixture " +
+          "with a new encoding; extend Tables.events (SURVEY.md §1.4)")
+    }
   }
+
+  // ---- fixture-drift tripwire -------------------------------------------
+  // The 2026-08-12 fixture regeneration (events.ts ns→µs) surfaced as 28
+  // silently-missing correctness rows and a dead bench. This check turns
+  // the next silent regeneration into a one-line diagnosis at first load:
+  // every expected column must exist with a type in its family. Families
+  // (integral / fractional / string / timestamp / float-array), not exact
+  // types, so a benign width change (int32→int64) keeps working while a
+  // real landmine (timestamp→string, dropped column) fails loudly. Extra
+  // columns are allowed: additive evolution is visible to both engines
+  // identically and breaks nothing.
+  private val integral: DataType => Boolean =
+    dt => dt == IntegerType || dt == LongType || dt == ShortType
+  private val fractional: DataType => Boolean =
+    dt => dt == DoubleType || dt == FloatType || dt.isInstanceOf[DecimalType]
+  private val text: DataType => Boolean = _ == StringType
+  private val tstamp: DataType => Boolean =
+    dt => dt == TimestampType || dt == TimestampNTZType
+  private val floatArray: DataType => Boolean = {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  private def famName(f: DataType => Boolean): String =
+    if (f eq integral) "integral" else if (f eq fractional) "fractional"
+    else if (f eq text) "string" else if (f eq tstamp) "timestamp"
+    else "array<float>"
+
+  /** Expected column→type-family per fixture table (TESTDATA.md). For
+    * `events`, `ts` is checked POST-normalization (the adaptive loader
+    * above owns the raw-encoding cases). */
+  private val expectedCols: Map[String, Seq[(String, DataType => Boolean)]] = Map(
+    "region"   -> Seq("r_regionkey" -> integral, "r_name" -> text),
+    "nation"   -> Seq("n_nationkey" -> integral, "n_name" -> text,
+                      "n_regionkey" -> integral),
+    "customer" -> Seq("c_custkey" -> integral, "c_name" -> text,
+                      "c_nationkey" -> integral, "c_acctbal" -> fractional,
+                      "c_mktsegment" -> text),
+    "supplier" -> Seq("s_suppkey" -> integral, "s_name" -> text,
+                      "s_nationkey" -> integral, "s_acctbal" -> fractional),
+    "part"     -> Seq("p_partkey" -> integral, "p_name" -> text,
+                      "p_brand" -> text, "p_type" -> text,
+                      "p_size" -> integral, "p_retailprice" -> fractional),
+    "orders"   -> Seq("o_orderkey" -> integral, "o_custkey" -> integral,
+                      "o_orderstatus" -> text, "o_totalprice" -> fractional,
+                      "o_orderdate" -> tstamp, "o_orderpriority" -> text),
+    "lineitem" -> Seq("l_orderkey" -> integral, "l_partkey" -> integral,
+                      "l_suppkey" -> integral, "l_linenumber" -> integral,
+                      "l_quantity" -> fractional, "l_extendedprice" -> fractional,
+                      "l_discount" -> fractional, "l_tax" -> fractional,
+                      "l_returnflag" -> text, "l_linestatus" -> text,
+                      "l_shipdate" -> tstamp),
+    "events"   -> Seq("event_id" -> integral, "ts" -> tstamp,
+                      "user_id" -> integral, "event_type" -> text,
+                      "value" -> fractional, "props" -> text),
+    "documents" -> Seq("doc_id" -> integral, "text" -> text,
+                      "lang" -> text, "source" -> text, "n_chars" -> integral),
+    "embeddings" -> Seq("vec_id" -> integral, "embedding" -> floatArray,
+                      "label" -> integral))
+
+  private[graft] def assertSchema(
+      name: String, schema: StructType, path: String): Unit =
+    expectedCols.get(name).foreach { cols =>
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      cols.foreach { case (c, fam) =>
+        byName.get(c) match {
+          case None => throw new IllegalStateException(
+            s"fixture drift: $path is missing column '$c' " +
+              s"(has: ${schema.fieldNames.mkString(", ")}) — the driver " +
+              "regenerated the fixture; update Tables.expectedCols and the " +
+              "queries touching it (SURVEY.md §1.4)")
+          case Some(dt) if !fam(dt) => throw new IllegalStateException(
+            s"fixture drift: $path column '$c' expected ${famName(fam)} " +
+              s"but read $dt — the driver regenerated the fixture; adapt " +
+              "the loader (SURVEY.md §1.4)")
+          case _ =>
+        }
+      }
+    }
 }

@@ -59,6 +59,9 @@ class DedupSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("contain").toString
     Seq((1L, small, "en"), (2L, big, "en"), (3L, "alpha beta gamma delta", "en"))
       .toDF("doc_id", "text", "lang")
+      // full fixture schema: the loader's drift tripwire checks all columns
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val contained = graft.operators.TextExtras.qDedupContainment.fn(spk, dir)
       .select("contained_id", "container_id", "containment")
@@ -215,7 +218,10 @@ class DedupSpec extends SparkTestBase {
       (14L, "nothing in common with anything else at all whatsoever", "en") // batch: clean
     ).toDF("doc_id", "text", "lang")
     val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
-    docs.write.parquet(s"$dir/documents.parquet")
+    // full fixture schema: the loader's drift tripwire checks all columns
+    docs.withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
     val out = graft.operators.SketchDedup.qDedupIncremental.fn(spark, dir)
       .as[(Long, Long, Long)].collect()
     assert(out.toSeq === Seq((9L, 1L, 3L)),

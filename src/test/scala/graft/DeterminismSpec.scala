@@ -40,4 +40,43 @@ class DeterminismSpec extends SparkTestBase {
       assert(a.nonEmpty, s"$name returned no rows")
     }
   }
+
+  // CANONICAL TIMESTAMP SEMANTICS (SURVEY §1.4, decided round 11): the
+  // engine normalizes `events.ts` to TimestampType under a UTC-pinned
+  // session, rather than keeping the fixture's TIMESTAMP_NTZ. This test
+  // pins the fact that makes the choice safe: under UTC, every time
+  // operator the events queries use (date_trunc, tumbling/sliding window,
+  // session_window) COMMUTES with the NTZ→TIMESTAMP cast — computing on
+  // NTZ then casting equals casting then computing. If Spark's cast or
+  // window semantics ever changed (or a non-UTC session leaked in), the
+  // streaming twins would drift from the DuckDB oracle; this fails first.
+  test("NTZ→TIMESTAMP cast commutes with date_trunc/window/session_window under UTC") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"${sf()}/events.parquet")
+    assume(raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      "fixture is not NTZ-encoded; the commute property is moot")
+    val ntz = raw.select(col("event_id"), col("user_id"), col("ts"))
+
+    val castFirst = ntz.select(
+      col("event_id"),
+      date_trunc("hour", col("ts").cast("timestamp")).as("h"),
+      window(col("ts").cast("timestamp"), "10 minutes")("start").as("w"))
+    val castAfter = ntz.select(
+      col("event_id"),
+      date_trunc("hour", col("ts")).cast("timestamp").as("h"),
+      window(col("ts"), "10 minutes")("start").cast("timestamp").as("w"))
+    assert(castFirst.orderBy("event_id").collect().toSeq ===
+      castAfter.orderBy("event_id").collect().toSeq)
+
+    def sessions(df: org.apache.spark.sql.DataFrame, cast: Boolean) = {
+      val t = if (cast) col("ts").cast("timestamp") else col("ts")
+      df.groupBy(col("user_id"), session_window(t, "5 minutes").as("sw"))
+        .count()
+        .select(col("user_id"), col("sw.start").cast("timestamp").as("s"),
+          col("sw.end").cast("timestamp").as("e"), col("count"))
+        .orderBy("user_id", "s").collect().toSeq
+    }
+    assert(sessions(ntz, cast = true) === sessions(ntz, cast = false))
+  }
 }
