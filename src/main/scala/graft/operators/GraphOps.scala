@@ -68,43 +68,48 @@ object GraphOps {
     val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("cu"),
         (col("l_suppkey") * 2 + 1).cast("long").as("sv"))
-    // Symmetric edge list feeds every iteration: materialize once,
-    // PRE-PARTITIONED on the join key — the cached partitioning satisfies
-    // each iteration's join requirement, so only the (node-cardinality)
-    // score side shuffles per round, never the edge list. This is the
-    // 100 TB co-partitioning discipline in local form. Dedup AFTER the
-    // one repartition: HashPartitioning(u) already clusters (u, v), so
-    // dropDuplicates aggregates partition-locally — symmetrize-then-
-    // repartition-then-dedup is ONE shuffle where distinct-then-
-    // repartition would be two.
-    // Symmetrize with ONE pass over the join output: a union of two
-    // selects over `raw` would plan the lineitem⋈orders join as two
-    // duplicated sub-DAGs (Spark shares no CTEs) and execute it twice;
-    // exploding both directions per row keeps it to one execution.
-    val edges = raw
+    // Dedup the DIRECTED pair list BEFORE symmetrizing: customer and
+    // supplier ids live in disjoint (even/odd) spaces, so the mirrored
+    // edges can never collide and distinct-on-(cu,sv) is exactly half the
+    // dedup work of distinct-on-the-symmetrized-list. This is also the
+    // shuffle-minimal build: the r10 shape symmetrized first and then
+    // moved the FULL edge list twice (repartition+dedup, then again after
+    // the degree-attach join) — profiled at sf0.1 those two 2|E|-row
+    // exchanges plus the extra persist were ~4 of pagerank's 7 s. Here
+    // the only full-edge-list shuffle is the final repartition(u).
+    val pairs = raw.dropDuplicates("cu", "sv").persistScratch()
+    // Per-side degrees from the pair list (count of distinct neighbors —
+    // pairs is already distinct). Node-cardinality tables: Catalyst
+    // auto-broadcasts them at bench scale; at 100 TB they exceed the
+    // threshold and the joins below become shuffle joins on the same keys
+    // the aggregate just produced — both plans are the scale shape.
+    val degC = pairs.groupBy("cu").agg(count(lit(1)).as("dc")).persistScratch()
+    val degS = pairs.groupBy("sv").agg(count(lit(1)).as("ds")).persistScratch()
+    // Symmetrize and attach the DESTINATION degree in the same single
+    // pass (explode emits both directions), so an iteration is one
+    // edges⋈contributions equi-join + one destination-keyed aggregate
+    // whose group key (v, dv) carries the degree into the next round —
+    // never a per-round rejoin against deg. The left-join
+    // COALESCE(inc, 0) of the oracle's formulation is structurally
+    // unreachable here: the edge list is symmetric by construction, so
+    // every node has an in-edge and appears in the aggregate.
+    // The result is materialized PRE-PARTITIONED on u — the cached
+    // partitioning satisfies each iteration's join requirement, so only
+    // the (node-cardinality) score side shuffles per round, never the
+    // edge list: the 100 TB co-partitioning discipline in local form.
+    val edgesDv = pairs
+      .join(degS, "sv").join(degC, "cu")
       .select(explode(array(
-        struct(col("cu").as("u"), col("sv").as("v")),
-        struct(col("sv").as("u"), col("cu").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .repartition(col("u"))
-      .dropDuplicates("u", "v")
-      .persistScratch()
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).persistScratch()
-    // Attach the DESTINATION node's degree to each edge ONCE, so an
-    // iteration is one edges⋈contributions equi-join + one destination-
-    // keyed aggregate whose group key (v, dv) carries the degree into the
-    // next round — NOT a per-round rejoin against deg. This cuts each
-    // iteration from three shuffle-planned joins to join + partial agg
-    // (the r9 weak-point: scores re-exchanged through an extra join every
-    // round). The left-join COALESCE(inc, 0) of the oracle's formulation
-    // is structurally unreachable here: the edge list is symmetric by
-    // construction, so every node in deg has an in-edge and appears in
-    // the aggregate — dropping the dangling-node join is lossless.
-    val edgesDv = edges
-      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
-      .select("u", "v", "dv")
+        struct(col("cu").as("u"), col("sv").as("v"), col("ds").as("dv")),
+        struct(col("sv").as("u"), col("cu").as("v"), col("dc").as("dv"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
       .repartition(col("u"))
       .persistScratch()
+    // Initial scores carry each node's OWN degree (the divisor of its
+    // outgoing contribution): customers from degC, suppliers from degS.
+    val deg = degC.select((col("cu")).as("u"), col("dc").as("d"))
+      .unionByName(degS.select(col("sv").as("u"), col("ds").as("d")))
     var score = deg.select(col("u"), expr(s"CAST($unit AS BIGINT)").as("s"),
       col("d"))
     for (_ <- 1 to 3) {

@@ -14,6 +14,11 @@ object PrProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // A/B knob: SPARK_GRAFT_AQE=0 measures the AQE stage-barrier floor's
+      // share of the iterative pipeline (plans here are fixed-shape, so
+      // AQE's runtime re-planning buys nothing at bench scale)
+      .config("spark.sql.adaptive.enabled",
+        !sys.env.get("SPARK_GRAFT_AQE").contains("0"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time[T](label: String)(f: => T): T = {
@@ -31,14 +36,17 @@ object PrProbe {
     val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("cu"),
         (col("l_suppkey") * 2 + 1).cast("long").as("sv"))
-    val edges = raw
+    time("raw join only")(println(raw.count()))
+    val sym = raw
       .select(explode(array(
         struct(col("cu").as("u"), col("sv").as("v")),
         struct(col("sv").as("u"), col("cu").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+    time("sym (join+explode, no shuffle)")(println(sym.count()))
+    val edges = sym
       .repartition(col("u"))
       .dropDuplicates("u", "v").persist()
-    time("edges (join+symmetrize+dedup)")(println(edges.count()))
+    time("edges (repartition+dedup+persist)")(println(edges.count()))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).persist()
     time("deg")(println(deg.count()))
     val edgesDv = edges
