@@ -204,6 +204,71 @@ object OlapExtras {
       .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
+  /** MERGE / upsert — the third lakehouse CDC primitive next to
+    * latest-wins compaction (q_cdc_compact) and SCD2 history
+    * (q_cdc_scd2): apply a keyed change batch to a base table with
+    * WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT semantics.
+    * Spark has no MERGE INTO over plain parquet, and the correct
+    * Spark-native expression is exactly this plan: one FULL OUTER
+    * equi-join of base and changes on the key, with the action decided
+    * per row by which side is present. At 100 TB that is one sort-merge
+    * (or co-partitioned, with bucketed tables) join of table and batch —
+    * the same shape Delta/Iceberg execute under their MERGE syntax — and
+    * never a per-row lookup loop.
+    *
+    * Change batch here: each customer's latest order (the q_cdc_compact
+    * window), with odd customer keys shifted into a disjoint id range to
+    * model a stream that also carries NEW keys — so all three outcomes
+    * (updated / inserted / unchanged) are exercised and counted in the
+    * output. Values pass through unchanged (no float arithmetic), so the
+    * cross-engine hash is exact. */
+  val qMergeUpsert = Q(
+    "q_merge_upsert",
+    """WITH ch AS (
+      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN o_custkey + 1000000
+      |              ELSE o_custkey END AS k,
+      |    o_orderstatus AS new_status, o_totalprice AS new_bal
+      |  FROM (
+      |    SELECT o_custkey, o_orderstatus, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(b.c_custkey, ch.k) AS key,
+      |  CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+      |       WHEN ch.k IS NULL THEN 'unchanged'
+      |       ELSE 'updated' END AS merge_action,
+      |  CASE WHEN ch.k IS NULL THEN b.c_acctbal ELSE ch.new_bal END AS acctbal,
+      |  ch.new_status AS status
+      |FROM customer b FULL OUTER JOIN ch ON b.c_custkey = ch.k
+      |ORDER BY key""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val changes = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        when(col("o_custkey") % 2 === 1, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("k"),
+        col("o_orderstatus").as("new_status"),
+        col("o_totalprice").as("new_bal"))
+    Tables.customer(spark, dir)
+      .select("c_custkey", "c_acctbal")
+      .join(changes, col("c_custkey") === col("k"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("key"),
+        when(col("c_custkey").isNull, lit("inserted"))
+          .when(col("k").isNull, lit("unchanged"))
+          .otherwise(lit("updated")).as("merge_action"),
+        when(col("k").isNull, col("c_acctbal")).otherwise(col("new_bal"))
+          .as("acctbal"),
+        col("new_status").as("status"))
+      .orderBy("key")
+  }
+
   /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
     * orders ⋈ lineitem, revenue per order, top 10. The canonical
     * selective-dim → big-fact plan: both date filters push to the scans,
@@ -416,6 +481,6 @@ object OlapExtras {
   }
 
   def all: Seq[Q] = Seq(qJoinSkewSalt, qAggHist, qWinShare, qAggMode, qCdcCompact,
-    qCdcScd2, qOlapShipPriority, qOlapLocalSupp, qOlapPromoRatio, qOlapEwma,
+    qCdcScd2, qMergeUpsert, qOlapShipPriority, qOlapLocalSupp, qOlapPromoRatio, qOlapEwma,
     qOlapRfm)
 }

@@ -214,6 +214,30 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(gaps.count() === 0, "interval chain has a gap or overlap")
   }
 
+  test("merge upsert partitions rows into inserted/updated/unchanged exactly") {
+    val dir = sf()
+    val merged = graft.operators.OlapExtras.qMergeUpsert.fn(spark, dir)
+      .persist()
+    val base = graft.sources.Tables.customer(spark, dir)
+    val byAction = merged.groupBy("merge_action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every base row survives (as updated or unchanged), every new key
+    // inserts, and the total is base + inserted — MERGE loses nothing
+    assert(byAction.getOrElse("updated", 0L) +
+      byAction.getOrElse("unchanged", 0L) === base.count())
+    assert(merged.count() ===
+      base.count() + byAction.getOrElse("inserted", 0L))
+    // keys stay unique after the merge (the upsert is keyed, not appending)
+    assert(merged.select("key").distinct().count() === merged.count())
+    // action semantics: inserted rows carry a change payload, unchanged
+    // rows carry none
+    assert(merged.filter(col("merge_action") === "inserted" &&
+      col("status").isNull).count() === 0)
+    assert(merged.filter(col("merge_action") === "unchanged" &&
+      col("status").isNotNull).count() === 0)
+    merged.unpersist()
+  }
+
   test("doc chunks tile the token stream: count and sizes match the grid") {
     // start grid = 0, 48, 96, ... <= n-1; chunk c holds min(64, n - 48c)
     // tokens. With stride < window every token is covered by >= 1 chunk.
