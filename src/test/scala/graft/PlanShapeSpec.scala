@@ -62,7 +62,11 @@ class PlanShapeSpec extends SparkTestBase {
       "q_vec_lsh_neardup",
       // correlated scalar subquery must decorrelate to an aggregate + equi
       // join, never a per-row nested loop
-      "q_subquery_scalar")
+      "q_subquery_scalar",
+      // MERGE is ONE keyed full-outer equi-join of base and batch — a
+      // BNLJ here would be the per-row-lookup anti-pattern MERGE exists
+      // to avoid
+      "q_merge_upsert")
     mustNotBnlj.foreach { name =>
       assert(!finalPlan(name).contains("BroadcastNestedLoopJoin"),
         s"$name degraded to BroadcastNestedLoopJoin")
