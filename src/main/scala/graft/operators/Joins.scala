@@ -237,6 +237,64 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Nearest as-of join: for each purchase, the user's click CLOSEST in
+    * time, looking both directions — the sensor-fusion / log-alignment
+    * variant the backward (q_join_asof) and forward (q_join_asof_fwd)
+    * joins bracket. Both candidate frames ride the SAME window
+    * partitioning and sort (user_id; ts, event_id), so the plan stays one
+    * shuffle + one per-partition sort with two frame evaluations — never
+    * a join against the click set per direction. Ties (equidistant prev
+    * and next) resolve BACKWARD, pinned by `<=` on both engines, so the
+    * pick is deterministic and hash-comparable. */
+  val qJoinAsofNear = Q(
+    "q_join_asof_near",
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN prev_ts IS NULL THEN next_ts
+      |       WHEN next_ts IS NULL THEN prev_ts
+      |       WHEN epoch_us(ts) - epoch_us(prev_ts)
+      |            <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+      |       ELSE next_ts END AS nearest_click_ts,
+      |  CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+      |       WHEN next_ts IS NULL THEN 'prev'
+      |       WHEN prev_ts IS NULL THEN 'next'
+      |       WHEN epoch_us(ts) - epoch_us(prev_ts)
+      |            <= epoch_us(next_ts) - epoch_us(ts) THEN 'prev'
+      |       ELSE 'next' END AS direction
+      |FROM (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+      |    first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val back = order.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    val prevCloser = unix_micros(col("ts")) - unix_micros(col("prev_ts")) <=
+      unix_micros(col("next_ts")) - unix_micros(col("ts"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(back))
+      .withColumn("next_ts", first(clickTs, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("prev_ts").isNull, col("next_ts"))
+          .when(col("next_ts").isNull, col("prev_ts"))
+          .when(prevCloser, col("prev_ts"))
+          .otherwise(col("next_ts")).as("nearest_click_ts"),
+        when(col("prev_ts").isNull && col("next_ts").isNull, lit(null))
+          .when(col("next_ts").isNull, lit("prev"))
+          .when(col("prev_ts").isNull, lit("next"))
+          .when(prevCloser, lit("prev"))
+          .otherwise(lit("next")).as("direction"))
+      .orderBy("event_id")
+  }
+
   /** Correlated scalar subquery — exercises Catalyst's decorrelation
     * (RewriteCorrelatedScalarSubquery turns the per-row subquery into an
     * aggregate + left outer join; verify with explain that NO per-row
@@ -339,5 +397,5 @@ object Joins {
   }
 
   def all: Seq[Q] = Seq(q05, q06, q07, q08, q09, q10, q11, q12,
-    qJoinAsofFwd, qSubqueryScalar, qSubqueryCorr, qJoinFull)
+    qJoinAsofFwd, qJoinAsofNear, qSubqueryScalar, qSubqueryCorr, qJoinFull)
 }

@@ -214,6 +214,31 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(gaps.count() === 0, "interval chain has a gap or overlap")
   }
 
+  test("nearest as-of pick is never farther than either directional as-of") {
+    val dir = sf()
+    val near = graft.operators.Joins.qJoinAsofNear.fn(spark, dir)
+      .select(col("event_id"), col("ts"), col("nearest_click_ts"), col("direction"))
+    val back = graft.operators.Joins.q12.fn(spark, dir)
+      .select(col("event_id"), col("prev_click_ts"))
+    val fwd = graft.operators.Joins.qJoinAsofFwd.fn(spark, dir)
+      .select(col("event_id"), col("next_click_ts"))
+    val joined = near.join(back, "event_id").join(fwd, "event_id")
+      .select(col("*"),
+        abs(unix_micros(col("ts")) - unix_micros(col("nearest_click_ts"))).as("dn"),
+        abs(unix_micros(col("ts")) - unix_micros(col("prev_click_ts"))).as("dp"),
+        abs(unix_micros(col("ts")) - unix_micros(col("next_click_ts"))).as("df"))
+    // the nearest pick is one of the two directional candidates, and at
+    // least as close as each of them (null-safe: a missing side never wins)
+    assert(joined.filter(col("nearest_click_ts").isNotNull &&
+      !(col("nearest_click_ts") <=> col("prev_click_ts")) &&
+      !(col("nearest_click_ts") <=> col("next_click_ts"))).count() === 0)
+    assert(joined.filter(col("dp").isNotNull && col("dn") > col("dp")).count() === 0)
+    assert(joined.filter(col("df").isNotNull && col("dn") > col("df")).count() === 0)
+    // ties resolve backward
+    assert(joined.filter(col("dp") === col("df") && col("dp").isNotNull &&
+      col("direction") =!= "prev").count() === 0)
+  }
+
   test("merge upsert partitions rows into inserted/updated/unchanged exactly") {
     val dir = sf()
     val merged = graft.operators.OlapExtras.qMergeUpsert.fn(spark, dir)
