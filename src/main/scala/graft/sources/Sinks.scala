@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions}
 import org.apache.spark.sql.types.StructType
 
 /** File sources and sinks (SURVEY §2.1): schema-declared JSON reads and
@@ -93,4 +93,45 @@ object Sinks {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeBatch(batch.toDF(), path, batchId)
     }
+
+  /** One micro-batch of the streaming MERGE sink: upsert `batch` into the
+    * keyed parquet table at `path` — the streaming twin of the
+    * q_merge_upsert plan. Within the batch, latest-wins per key by
+    * `seqCol` (at-least-once replays of the same data converge to the
+    * same survivors); against the table, one full outer equi-join on
+    * `keyCol` where the batch side wins — the same single-join shape
+    * Delta/Iceberg run under streaming MERGE, never a per-row lookup.
+    * The rewrite stages to `<path>.tmp` then swaps, so a crash
+    * mid-rewrite leaves the previous table intact (poor-man's atomicity;
+    * a table format does this with a metadata commit instead). */
+  def upsertBatch(batch: DataFrame, path: String, keyCol: String,
+      seqCol: String): Unit = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(functions.col(seqCol).desc)
+    val latest = batch
+      .withColumn("__rn", functions.row_number().over(w))
+      .filter(functions.col("__rn") === 1).drop("__rn")
+    val merged =
+      if (!new java.io.File(path).exists()) latest
+      else {
+        val base = spark.read.parquet(path)
+        // prefix every batch column so the full-outer join is unambiguous;
+        // batch side wins per column (coalesce), keys align on the equi-join
+        val b = latest.columns.foldLeft(latest) { (d, c) =>
+          d.withColumnRenamed(c, s"__b_$c")
+        }
+        base.join(b,
+            functions.col(keyCol) === functions.col(s"__b_$keyCol"),
+            "full_outer")
+          .select(base.columns.toSeq.map { c =>
+            functions.coalesce(functions.col(s"__b_$c"), functions.col(c)).as(c)
+          }: _*)
+      }
+    val tmp = s"$path.tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: read back from tmp and overwrite the table (two-step because
+    // overwriting a parquet dir from a plan that reads it is undefined)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -85,6 +85,44 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("foreachBatch streaming MERGE keeps one latest row per key across batches") {
+    // The streaming-lakehouse upsert: each micro-batch MERGEs into a keyed
+    // parquet table (latest-wins within the batch by seq, batch-beats-base
+    // across batches) — the streaming twin of q_merge_upsert's single
+    // full-outer-join plan. Asserted: cross-batch update, insert,
+    // untouched survivor, and replay convergence (re-applying a batch's
+    // data yields the identical table — at-least-once safe).
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("key", "payload", "seq")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.sources.Sinks.upsertBatch(batch.toDF(), table, "key", "seq")
+      }
+      .option("checkpointLocation", ckpt).start()
+    def state(): Map[Long, String] = spk.read.parquet(table)
+      .select("key", "payload").as[(Long, String)].collect().toMap
+    try {
+      // batch 1: two inserts, with an in-batch duplicate key (seq 2 wins)
+      input.addData((1L, "a1", 1L), (1L, "a2", 2L), (2L, "b1", 1L))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> "a2", 2L -> "b1"))
+      // batch 2: update key 1, insert key 3, key 2 untouched
+      input.addData((1L, "a3", 3L), (3L, "c1", 1L))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> "a3", 2L -> "b1", 3L -> "c1"))
+    } finally q.stop()
+    // replay convergence: applying batch 2's rows again changes nothing
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, "a3", 3L), (3L, "c1", 1L)).toDF("key", "payload", "seq"),
+      table, "key", "seq")
+    assert(state() === Map(1L -> "a3", 2L -> "b1", 3L -> "c1"))
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     // Stateless stream-static join: no watermark required, the static
     // side broadcasts per micro-batch, and every event is enriched with
