@@ -83,6 +83,45 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("pagerank exchanges stay bounded: edge list shuffles once, never per iteration") {
+    // The r11 edge-build rewrite moves the full edge list through exactly
+    // ONE exchange (the final repartition(u) that co-partitions it for
+    // the iteration joins); each of the 3 iterations then re-exchanges
+    // only the node-cardinality score side. Re-introducing a per-round
+    // edge reshuffle (the r10 shape shuffled the 2|E| list twice before
+    // the loop even started) shows up as extra Exchange nodes — lock the
+    // count. Measured: the full plan carries well under 16 exchanges;
+    // a per-iteration edge reshuffle adds 3+ immediately.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = queries("q_graph_pagerank")(spark, dir)
+    df.collect()
+    // count SHUFFLE operators in the AQE-final tree (descending into
+    // query stages; broadcast exchanges and reused exchanges don't move
+    // the edge list and don't count). The cached edges sub-plan is not
+    // traversed — its one build shuffle already happened once, which is
+    // the point.
+    def shuffles(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: QueryStageExec => shuffles(q.plan)
+        case _ => 0
+      }
+      self + nested + p.children.map(shuffles).sum
+    }
+    val n = shuffles(df.queryExecution.executedPlan)
+    info(s"pagerank final-plan shuffle count: $n")
+    // measured 3 on the r11 shape (the cached edge list is served
+    // pre-partitioned, so iterations only move node-cardinality frames);
+    // one re-shuffled edge list per iteration would add 3+ immediately
+    assert(n <= 8,
+      s"pagerank plan grew to $n shuffles — an iteration is re-shuffling " +
+        "the edge list")
+    assert(!finalPlan("q_graph_pagerank").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("flagship agg keeps partial aggregation and top-k keeps TakeOrderedAndProject") {
     val agg = finalPlan("q_agg_pricing")
     assert(agg.contains("HashAggregate") && agg.contains("partial_"),
