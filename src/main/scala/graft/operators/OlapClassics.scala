@@ -726,9 +726,50 @@ object OlapClassics {
       .orderBy("l_linestatus")
   }
 
+  /** Year-over-year revenue growth per nation — the classic trend report
+    * every warehouse dashboard runs: aggregate to (nation, year), then a
+    * per-nation lag window turns the series into growth ratios. Scale
+    * shape: the heavy work is ONE exchange for the (nation, year)
+    * aggregate (partial map-side sums of exact cents), after which the
+    * window moves only the ~|nations|×|years| result — at 100 TB the
+    * window input is thousands of rows regardless of fact size. Revenue
+    * follows the Det discipline; the growth ratio divides two identical
+    * doubles on both engines, rounded to 6 dp. First year per nation is
+    * NULL growth (no prior), which both engines agree on. */
+  val qOlapYoy = Q(
+    "q_olap_yoy",
+    """WITH yr AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, 2)
+      |SELECT n_name, o_year,
+      |  rev_cents / 100.0 AS revenue,
+      |  round((rev_cents / 100.0 - lag(rev_cents / 100.0)
+      |      OVER (PARTITION BY n_name ORDER BY o_year))
+      |    / lag(rev_cents / 100.0)
+      |      OVER (PARTITION BY n_name ORDER BY o_year), 6) AS yoy_growth
+      |FROM yr
+      |ORDER BY n_name, o_year""".stripMargin
+  ) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy("o_year")
+    val prev = lag(col("revenue"), 1).over(w)
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .select(col("n_name"), col("o_year"), col("revenue"),
+        round((col("revenue") - prev) / prev, 6).as("yoy_growth"))
+      .orderBy("n_name", "o_year")
+  }
+
   def all: Seq[Q] = Seq(qOlapCustDist, qOlapBigOrders, qOlapDisjunct,
     qOlapMktShare, qOlapTopSupplier, qOlapLapsedRich, qOlapVolumeShip,
     qOlapReturned, qOlapOrderPriority, qOlapSmallQty, qOlapRevConc,
     qOlapSoleLate, qOlapSuppVariety, qOlapDominantSupp, qOlapMinCost,
-    qOlapProfit, qOlapLinePrio)
+    qOlapProfit, qOlapLinePrio, qOlapYoy)
 }
