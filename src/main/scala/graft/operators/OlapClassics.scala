@@ -735,7 +735,10 @@ object OlapClassics {
     * window input is thousands of rows regardless of fact size. Revenue
     * follows the Det discipline; the growth ratio divides two identical
     * doubles on both engines, rounded to 6 dp. First year per nation is
-    * NULL growth (no prior), which both engines agree on. */
+    * NULL growth (no prior), which both engines agree on; a zero-revenue
+    * prior year also yields NULL growth (DF: when(prev =!= 0), SQL:
+    * NULLIF) — without the guard ANSI mode throws DIVIDE_BY_ZERO and one
+    * degenerate group would kill a 100 TB job. */
   val qOlapYoy = Q(
     "q_olap_yoy",
     """WITH yr AS (
@@ -749,8 +752,8 @@ object OlapClassics {
       |  rev_cents / 100.0 AS revenue,
       |  round((rev_cents / 100.0 - lag(rev_cents / 100.0)
       |      OVER (PARTITION BY n_name ORDER BY o_year))
-      |    / lag(rev_cents / 100.0)
-      |      OVER (PARTITION BY n_name ORDER BY o_year), 6) AS yoy_growth
+      |    / nullif(lag(rev_cents / 100.0)
+      |      OVER (PARTITION BY n_name ORDER BY o_year), 0), 6) AS yoy_growth
       |FROM yr
       |ORDER BY n_name, o_year""".stripMargin
   ) { (spark, dir) =>
@@ -763,7 +766,7 @@ object OlapClassics {
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(Det.exactSum(col("o_totalprice"), 100).as("revenue"))
       .select(col("n_name"), col("o_year"), col("revenue"),
-        round((col("revenue") - prev) / prev, 6).as("yoy_growth"))
+        round((col("revenue") - prev) / when(prev =!= 0, prev), 6).as("yoy_growth"))
       .orderBy("n_name", "o_year")
   }
 

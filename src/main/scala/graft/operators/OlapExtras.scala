@@ -217,15 +217,17 @@ object OlapExtras {
     * never a per-row lookup loop.
     *
     * Change batch here: each customer's latest order (the q_cdc_compact
-    * window), with odd customer keys shifted into a disjoint id range to
-    * model a stream that also carries NEW keys — so all three outcomes
+    * window), with odd customer keys NEGATED to model a stream that also
+    * carries NEW keys — negation is disjoint from the positive custkey
+    * space at every scale factor (an additive shift collides once real
+    * keys pass the shift amount, ~SF 7) — so all three outcomes
     * (updated / inserted / unchanged) are exercised and counted in the
     * output. Values pass through unchanged (no float arithmetic), so the
     * cross-engine hash is exact. */
   val qMergeUpsert = Q(
     "q_merge_upsert",
     """WITH ch AS (
-      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN o_custkey + 1000000
+      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN -o_custkey
       |              ELSE o_custkey END AS k,
       |    o_orderstatus AS new_status, o_totalprice AS new_bal
       |  FROM (
@@ -251,7 +253,7 @@ object OlapExtras {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(
-        when(col("o_custkey") % 2 === 1, col("o_custkey") + 1000000)
+        when(col("o_custkey") % 2 === 1, -col("o_custkey"))
           .otherwise(col("o_custkey")).as("k"),
         col("o_orderstatus").as("new_status"),
         col("o_totalprice").as("new_bal"))

@@ -97,13 +97,20 @@ object Sinks {
   /** One micro-batch of the streaming MERGE sink: upsert `batch` into the
     * keyed parquet table at `path` — the streaming twin of the
     * q_merge_upsert plan. Within the batch, latest-wins per key by
-    * `seqCol` (at-least-once replays of the same data converge to the
-    * same survivors); against the table, one full outer equi-join on
-    * `keyCol` where the batch side wins — the same single-join shape
-    * Delta/Iceberg run under streaming MERGE, never a per-row lookup.
-    * The rewrite stages to `<path>.tmp` then swaps, so a crash
-    * mid-rewrite leaves the previous table intact (poor-man's atomicity;
-    * a table format does this with a metadata commit instead). */
+    * `seqCol`; against the table, one full outer equi-join on `keyCol`
+    * where the row with the GREATER seq wins (ties go to the batch) —
+    * the same single-join shape Delta/Iceberg run under streaming MERGE,
+    * never a per-row lookup. Because the table stores `seqCol` and the
+    * comparison is per key, replaying ANY earlier batch (not just the
+    * most recent) is a no-op: a stale seq loses to what's already stored,
+    * making the sink idempotent under arbitrary at-least-once replay.
+    *
+    * Durability: the merge is staged to `<path>.tmp` and swapped in via
+    * filesystem delete+rename, then the stage dir is gone. A crash before
+    * the delete leaves the previous table intact; the delete→rename
+    * window itself is NOT atomic (two metadata ops) — a real table format
+    * closes that gap with a single metadata commit, which is exactly the
+    * ACID-layer non-goal documented in README. */
   def upsertBatch(batch: DataFrame, path: String, keyCol: String,
       seqCol: String): Unit = {
     val spark = batch.sparkSession
@@ -117,21 +124,32 @@ object Sinks {
       else {
         val base = spark.read.parquet(path)
         // prefix every batch column so the full-outer join is unambiguous;
-        // batch side wins per column (coalesce), keys align on the equi-join
+        // per key, the greater stored seq wins (batch on ties/inserts)
         val b = latest.columns.foldLeft(latest) { (d, c) =>
           d.withColumnRenamed(c, s"__b_$c")
         }
+        val batchWins = functions.col(s"__b_$keyCol").isNotNull &&
+          (functions.col(keyCol).isNull ||
+            functions.col(s"__b_$seqCol") >= functions.col(seqCol))
         base.join(b,
             functions.col(keyCol) === functions.col(s"__b_$keyCol"),
             "full_outer")
           .select(base.columns.toSeq.map { c =>
-            functions.coalesce(functions.col(s"__b_$c"), functions.col(c)).as(c)
+            functions.when(batchWins, functions.col(s"__b_$c"))
+              .otherwise(functions.col(c)).as(c)
           }: _*)
       }
+    // Stage, then swap by rename: materialize the merge fully (it reads
+    // the live table, so the old dir must survive until the plan is done),
+    // drop the old dir, move the stage into place. No second rewrite, no
+    // leaked stage copy.
     val tmp = s"$path.tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap: read back from tmp and overwrite the table (two-step because
-    // overwriting a parquet dir from a plan that reads it is undefined)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(hconf)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"upsertBatch: rename $tmp -> $path failed")
   }
 }

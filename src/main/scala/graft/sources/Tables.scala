@@ -79,7 +79,9 @@ object Tables {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           df.count() // materialize now, not inside the first timed query
           cached += key -> df
-        } catch { case e: Throwable =>
+        } catch { case e: Throwable if scala.util.control.NonFatal(e) =>
+          // NonFatal only: an OOM during warm-up corrupts the JVM — any
+          // timing taken after it is fiction, so let fatal errors abort.
           cached -= key
           failures += n -> Option(e.getMessage).getOrElse(e.getClass.getName)
         }
@@ -114,8 +116,41 @@ object Tables {
       if (name == "events") events(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet")
     assertSchema(name, df.schema, s"$sfDir/$name.parquet")
+    logFixtureStats(sfDir, name, df)
     df
   }
+
+  /** Distribution tripwire for the two bench-heavy fixtures: the schema
+    * check above catches a regeneration that changes TYPES, but the
+    * 2026-08-13 regeneration shifted only the DATA (longer documents →
+    * DuckDB's quadratic dedup oracles went 250-300 s) and was invisible in
+    * the driver log. One line per (dir, table) per JVM names the row count
+    * and the length/dim stats that drive bench cost, so the next
+    * regeneration's shift is diagnosable from the log alone. Cost: one
+    * extra narrow-column scan per table per session (never per query —
+    * the seen-set dedups), and a stats failure never fails the load. */
+  @volatile private var statsLogged: Set[(String, String)] = Set.empty
+  private def logFixtureStats(sfDir: String, name: String, df: DataFrame): Unit =
+    if ((name == "documents" || name == "embeddings") &&
+        !statsLogged((sfDir, name))) {
+      statsLogged += ((sfDir, name))
+      try {
+        val line =
+          if (name == "documents") {
+            val r = df.selectExpr("count(*)", "round(avg(n_chars), 1)",
+              "approx_percentile(n_chars, 0.95)").head()
+            s"rows=${r.get(0)} n_chars_avg=${r.get(1)} n_chars_p95=${r.get(2)}"
+          } else {
+            val r = df.selectExpr("count(*)", "max(size(embedding))").head()
+            s"rows=${r.get(0)} dim=${r.get(1)}"
+          }
+        System.err.println(s"[graft] fixture $sfDir/$name.parquet: $line")
+      } catch { case e: Throwable if scala.util.control.NonFatal(e) =>
+        statsLogged -= ((sfDir, name))
+        System.err.println(
+          s"[graft] fixture stats for $sfDir/$name failed: ${e.getMessage}")
+      }
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

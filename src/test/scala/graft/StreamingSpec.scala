@@ -121,6 +121,18 @@ class StreamingSpec extends SparkTestBase {
       Seq((1L, "a3", 3L), (3L, "c1", 1L)).toDF("key", "payload", "seq"),
       table, "key", "seq")
     assert(state() === Map(1L -> "a3", 2L -> "b1", 3L -> "c1"))
+    // STALE replay (batch 1's rows, lower seqs) must also change nothing:
+    // the stored seq beats the stale batch seq per key, so an arbitrary
+    // out-of-order redelivery can't regress a key to an older value
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, "a1", 1L), (1L, "a2", 2L), (2L, "b1", 1L))
+        .toDF("key", "payload", "seq"),
+      table, "key", "seq")
+    assert(state() === Map(1L -> "a3", 2L -> "b1", 3L -> "c1"),
+      "a replayed stale batch must lose to greater stored seqs")
+    // the stage directory is renamed into place, not left behind
+    assert(!new java.io.File(table + ".tmp").exists(),
+      "upsertBatch must not leak its .tmp stage directory")
   }
 
   test("stream-static enrichment joins each micro-batch against the dim") {
