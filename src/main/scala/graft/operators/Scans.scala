@@ -87,5 +87,36 @@ object Scans {
       .orderBy("priority")
   }
 
-  def all: Seq[Q] = Seq(q01, q02, qSchemaEvolve)
+  /** Partitioned-sink ROUND-TRIP, graded end-to-end: write orders
+    * partitioned by priority ([[graft.sources.Sinks.writePartitioned]] —
+    * repartition-first so files = partitions, not tasks × partitions),
+    * read the directory tree BACK, and aggregate per partition value. The
+    * oracle aggregates the source table directly, so any row lost,
+    * duplicated, or corrupted by the write→read cycle (including the
+    * partition-column directory encoding) breaks the cross-engine hash.
+    * This is the §2 sink surface as a CORRECTNESS row, not just a
+    * ScalaTest: SinkSourceSpec separately asserts partition pruning on
+    * the read-back plan. Scale: one exchange on the partition column,
+    * then a file-per-partition write — the same plan at any SF. */
+  val qSinkRoundtrip = Q(
+    "q_sink_roundtrip",
+    """SELECT o_orderpriority AS prio, COUNT(*) AS n_rows,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+      |FROM orders
+      |GROUP BY prio
+      |ORDER BY prio""".stripMargin
+  ) { (spark, dir) =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sink_rt").toString + "/orders_by_prio"
+    graft.sources.Sinks.writePartitioned(
+      Tables.orders(spark, dir).select("o_orderpriority", "o_totalprice"),
+      Seq("o_orderpriority"), out)
+    spark.read.parquet(out)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Det.exactSum(col("o_totalprice"), 100).as("total_price"))
+      .orderBy("prio")
+  }
+
+  def all: Seq[Q] = Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip)
 }
