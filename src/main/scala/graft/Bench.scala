@@ -174,18 +174,22 @@ object Bench {
     val names = SparkEntry.allQ.map(_.name)
       .filter(n => only.forall(_.contains(n)))
     val queries = SparkEntry.queries
-    // Scratch release granularity: by default the bench releases at FAMILY
-    // boundaries (q_dedup_*, q_vec_*, ...) instead of per query. Family
-    // members share persisted sub-DAGs (the MinHash band/bitmap tables, the
-    // LSH/IVF signature tables) through CacheManager's canonical-plan
-    // matching, so releasing per query forced each member to rebuild the
-    // family's index from scratch — at 100 TB that's re-hashing the corpus
-    // once per monitor query. Verify never does this (the correctness gate
-    // stays cold); SPARK_GRAFT_COLD_SCRATCH=1 restores per-query release
-    // as the A/B knob.
+    // Scratch release granularity: by default the bench releases at MODULE
+    // boundaries (SparkEntry.moduleGroups) instead of per query. Queries
+    // in one module share module-private persisted sub-DAGs (the MinHash
+    // band/bitmap/pair tables, the LSH/IVF signature tables) through
+    // CacheManager's canonical-plan matching, so releasing per query
+    // forced each member to rebuild the module's index from scratch — at
+    // 100 TB that's re-hashing the corpus once per monitor query. The
+    // module is the exact sharing scope (pipelines are module-private
+    // defs, so cross-module plans never share), and allQ is
+    // module-contiguous, so no reordering is needed. Verify never does
+    // this (the correctness gate stays cold); SPARK_GRAFT_COLD_SCRATCH=1
+    // restores per-query release as the A/B knob.
     val coldScratch = sys.env.get("SPARK_GRAFT_COLD_SCRATCH").contains("1")
-    def family(n: String): String =
-      if (n.startsWith("q_")) n.drop(2).takeWhile(_ != '_') else n
+    val groupOf: Map[String, String] = SparkEntry.moduleGroups
+      .flatMap { case (g, qs) => qs.map(_.name -> g) }.toMap
+    def family(n: String): String = groupOf.getOrElse(n, n)
     var errors = List.empty[(String, String)]
     var cacheWarns = List.empty[(String, Int)]
     val sentStart = sentinelProbe(spark, sfDir)

@@ -118,5 +118,109 @@ object Scans {
       .orderBy("prio")
   }
 
-  def all: Seq[Q] = Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip)
+  /** Streaming MERGE sink ROUND-TRIP, graded end-to-end: seed a keyed
+    * parquet table from customer (seq 0), then drive THREE micro-batches
+    * through [[graft.sources.Sinks.upsertBatch]] — (1) latest order value
+    * per customer (seq 1, odd custkeys negated so they INSERT new keys,
+    * the q_merge_upsert namespace discipline), (2) a credit reset for
+    * negative-balance customers (seq 2), (3) a STALE REPLAY of batch 1,
+    * which per-key seq resolution must reduce to a no-op. The oracle knows
+    * nothing about batches or replays — it states the final table as
+    * argmax-seq over the union — so any replay regression, lost insert, or
+    * botched staged-swap breaks the cross-engine hash. Scale: each batch
+    * is ONE full-outer equi-join against the keyed table (the plan
+    * Delta/Iceberg run under streaming MERGE), never a per-row lookup. */
+  val qMergeStream = Q(
+    "q_merge_stream",
+    """WITH base AS (
+      |  SELECT c_custkey AS key, 0 AS seq, c_acctbal AS bal FROM customer),
+      |b1 AS (
+      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN -o_custkey
+      |              ELSE o_custkey END AS key,
+      |    1 AS seq, o_totalprice AS bal
+      |  FROM (
+      |    SELECT o_custkey, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1),
+      |b2 AS (
+      |  SELECT c_custkey AS key, 2 AS seq, 0.0 AS bal FROM customer
+      |  WHERE c_acctbal < 0),
+      |u AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM b1
+      |  UNION ALL SELECT * FROM b2)
+      |SELECT key, seq, bal FROM (
+      |  SELECT key, seq, bal,
+      |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      |  FROM u)
+      |WHERE rn = 1
+      |ORDER BY key""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_merge_stream").toString + "/state"
+    graft.sources.Sinks.write(
+      Tables.customer(spark, dir).select(
+        col("c_custkey").as("key"), lit(0).as("seq"),
+        col("c_acctbal").as("bal")),
+      path)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val b1 = Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        when(col("o_custkey") % 2 === 1, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("key"),
+        lit(1).as("seq"), col("o_totalprice").as("bal"))
+    val b2 = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("key"), lit(2).as("seq"),
+        lit(0.0).as("bal"))
+    graft.sources.Sinks.upsertBatch(b1, path, "key", "seq")
+    graft.sources.Sinks.upsertBatch(b2, path, "key", "seq")
+    graft.sources.Sinks.upsertBatch(b1, path, "key", "seq") // stale replay
+    spark.read.parquet(path).select("key", "seq", "bal").orderBy("key")
+  }
+
+  /** Bucketed-sink co-located join ROUND-TRIP, graded end-to-end: write
+    * orders and lineitem as bucketed tables hash-clustered on the join key
+    * ([[graft.sources.Sinks.writeBucketed]], 8 buckets, bucket-sorted),
+    * read both BACK through the catalog, join on the bucket key, and
+    * aggregate. The oracle joins the source parquet directly, so the
+    * bucketed write→catalog-read cycle is hash-verified; ScaleSpec
+    * separately proves the bucketed⋈bucketed join plans with ZERO shuffle
+    * exchanges. Scale: bucketing is THE mechanism that amortizes the big
+    * fact⋈fact shuffle at 100 TB — pay the cluster-by once at write time,
+    * then every keyed join/agg on the table reads co-partitioned data. */
+  val qSinkBucketedJoin = Q(
+    "q_sink_bucketed_join",
+    """SELECT o_orderkey % 16 AS bucket, COUNT(*) AS n_items,
+      |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+      |    / 10000.0 AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+  ) { (spark, dir) =>
+    graft.sources.Sinks.writeBucketed(
+      Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+      8, Seq("o_orderkey"), "graft_rt_orders_b")
+    graft.sources.Sinks.writeBucketed(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      8, Seq("l_orderkey"), "graft_rt_lineitem_b")
+    spark.table("graft_rt_orders_b")
+      .join(spark.table("graft_rt_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_orderkey") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Det.exactSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")),
+          10000).as("revenue"))
+      .orderBy("bucket")
+  }
+
+  def all: Seq[Q] =
+    Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
+      qSinkBucketedJoin)
 }

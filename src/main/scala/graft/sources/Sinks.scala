@@ -67,11 +67,27 @@ object Sinks {
     * metadata lives in the session catalog, hence `saveAsTable` + a table
     * name rather than a bare path. */
   def writeBucketed(df: DataFrame, buckets: Int, bucketCols: Seq[String],
-      table: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+      table: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite) {
+      // A managed table's files OUTLIVE an in-memory catalog: a fresh
+      // session that re-creates the same table name fails with
+      // LOCATION_ALREADY_EXISTS even in Overwrite mode, because overwrite
+      // only replaces tables the current catalog knows about. Drop any
+      // current registration AND any orphaned default location first so
+      // the sink is idempotent across engine restarts.
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode(mode).saveAsTable(table)
+  }
 
   /** One micro-batch of the exactly-once streaming parquet sink: each
     * batch owns the directory `batch=<id>` and OVERWRITES it whole. A

@@ -415,4 +415,40 @@ class InvariantSpec extends SparkTestBase with Matchers {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("merge-stream final state is argmax-seq; stale replay never regresses") {
+    val dir = sf()
+    val out = SparkEntry.queries("q_merge_stream")(spark, dir).collect()
+    val keys = out.map(_.getAs[Number]("key").longValue)
+    assert(keys.distinct.length === keys.length, "upsert key uniqueness")
+    // seq 2 = the credit reset: only positive (pre-existing) keys, bal 0
+    out.filter(_.getAs[Int]("seq") == 2).foreach { r =>
+      assert(r.getAs[Double]("bal") === 0.0)
+      assert(r.getAs[Number]("key").longValue > 0)
+    }
+    // negative keys exist only via the batch-1 insert path (seq 1); a
+    // replay regression would have re-labeled some back to stale values
+    assert(out.filter(_.getAs[Number]("key").longValue < 0)
+      .forall(_.getAs[Int]("seq") == 1))
+    // cardinality: every customer survives; every odd ordering custkey
+    // inserts exactly one negated key
+    val nCust = graft.sources.Tables.customer(spark, dir).count()
+    val nOdd = graft.sources.Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 2 === 1)
+      .select("o_custkey").distinct().count()
+    assert(out.length === nCust + nOdd)
+  }
+
+  test("bucketed-sink join conserves joined rows across the round-trip") {
+    val dir = sf()
+    val out = SparkEntry.queries("q_sink_bucketed_join")(spark, dir).collect()
+    val expected = graft.sources.Tables.lineitem(spark, dir)
+      .join(graft.sources.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(out.map(_.getAs[Long]("n_items")).sum === expected)
+    assert(out.forall { r =>
+      val b = r.getAs[Number]("bucket").longValue; b >= 0 && b < 16
+    })
+  }
 }

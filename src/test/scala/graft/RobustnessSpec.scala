@@ -14,7 +14,8 @@ class RobustnessSpec extends SparkTestBase {
   private val docOnly = Seq(
     "q_text_tokens", "q_text_wordcount", "q_dedup_hash", "q_dedup_near",
     "q_dedup_ngram", "q_dedup_minhash", "q_dedup_minhash_keep",
-    "q_dedup_incremental", "q_dedup_recall", "q_dedup_bucket_skew",
+    "q_dedup_incremental", "q_dedup_index_probe", "q_dedup_recall",
+    "q_dedup_bucket_skew",
     "q_dedup_cc", "q_doc_mix_temperature",
     "q_text_oov", "q_text_zipf", "q_doc_novelty", "q_doc_median_gate",
     "q_dedup_simhash", "q_dedup_simhash_r1", "q_dedup_simhash_wide",
