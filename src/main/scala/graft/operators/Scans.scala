@@ -220,7 +220,43 @@ object Scans {
       .orderBy("bucket")
   }
 
+  /** JSON file source ROUND-TRIP, graded end-to-end: export an orders
+    * projection as JSON lines, read it BACK through the declared-schema
+    * source ([[graft.sources.Sinks.readJson]] — inference is never a prod
+    * path), and aggregate. The oracle aggregates the source table
+    * directly, so any value corrupted by the JSON serialize→parse cycle
+    * (long, string, or double formatting) breaks the cross-engine hash.
+    * JSON is the reference family's ingest format, so this is the ingest
+    * identity as a CORRECTNESS row; the exactSum discipline makes the
+    * money column bit-stable regardless of double text formatting. */
+  val qSourceJson = Q(
+    "q_source_json",
+    """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |GROUP BY status
+      |ORDER BY status""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_src_json").toString + "/orders_json"
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    graft.sources.Sinks.readJson(spark, schema, out)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Det.exactSum(col("o_totalprice"), 100).as("revenue"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("status")
+  }
+
   def all: Seq[Q] =
     Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
-      qSinkBucketedJoin)
+      qSinkBucketedJoin, qSourceJson)
 }
