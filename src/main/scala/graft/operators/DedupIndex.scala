@@ -57,12 +57,34 @@ object DedupIndex {
     * (write once, then probe+append per cycle, never a corpus rebuild). */
   def append(batch: DataFrame, name: String, buckets: Int = 8): Unit = {
     val spark = batch.sparkSession
-    val tok = SketchDedup.tokenFrameOf(batch).persistScratch()
-    Sinks.writeBucketed(tok, buckets, Seq("doc_id"), s"${name}_tokens",
-      org.apache.spark.sql.SaveMode.Append)
-    Sinks.writeBucketed(SketchDedup.bandsOfTokens(spark, tok), buckets,
-      Seq("lang", "band", "sig"), s"${name}_bands",
-      org.apache.spark.sql.SaveMode.Append)
+    // Idempotence guard: admit only doc_ids the index does not already
+    // hold, so replaying an admitted batch (foreachBatch's at-least-once
+    // contract) appends nothing instead of doubling a document's token
+    // and band rows (which would double its candidate pairs and corrupt
+    // every later probe's n_dups). The anti-join probes the tokens table
+    // on its bucket key (doc_id), so only the small batch side shuffles.
+    val fresh = batch.join(
+      spark.table(s"${name}_tokens").select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    // EAGER snapshot (localCheckpoint), not a lazy persist: the guard
+    // reads the very table the first write appends to, and that write's
+    // refreshTable recaches dependent plans — a lazy frame would be
+    // re-evaluated against the UPDATED table for the second write, see
+    // the batch ids as no-longer-fresh, and silently append zero band
+    // rows (caught by DedupSpec). The checkpoint pins the decision to the
+    // pre-append table state; blocks are freed in the finally. (Block
+    // loss on a real cluster fails the cycle → the cycle retries — the
+    // at-least-once contract this op already holds.)
+    val tok = SketchDedup.tokenFrameOf(fresh).localCheckpoint()
+    try {
+      Sinks.writeBucketed(tok, buckets, Seq("doc_id"), s"${name}_tokens",
+        org.apache.spark.sql.SaveMode.Append)
+      Sinks.writeBucketed(SketchDedup.bandsOfTokens(spark, tok), buckets,
+        Seq("lang", "band", "sig"), s"${name}_bands",
+        org.apache.spark.sql.SaveMode.Append)
+    } finally tok.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
   }
 
   /** Probe the persisted index with a new batch: per new document, how
@@ -94,4 +116,87 @@ object DedupIndex {
       .agg(count(lit(1)).as("n_dups"), min("corpus_id").as("first_dup"))
       .orderBy("new_id")
   }
+
+  /** One cycle of the streaming ingest-dedup loop: probe the persisted
+    * index with a micro-batch, REJECT near-dups, write the admitted
+    * survivors to `out/batch=<id>` and admit them into the index.
+    *
+    * Rejection rule (the standard keep-first corpus-building policy):
+    *   1. batch-vs-corpus — any doc the index near-dups (probe ≥ 1 hit);
+    *   2. in-batch — any doc that near-dups a SMALLER doc_id in the same
+    *      batch (same banded candidates + exact 19/9 Jaccard verify, so a
+    *      duplicate pair arriving in one batch admits exactly one member —
+    *      without this the pair would slip past the corpus probe forever).
+    * Replay safety under foreachBatch's at-least-once contract (doc_id is
+    * assumed unique corpus-wide, the fixtures' contract): a batch doc
+    * whose doc_id is ALREADY in the index was admitted by a previous run
+    * of this very cycle — it is re-emitted as admitted, NOT re-probed
+    * (probing it would self-match and wrongly reject it, shrinking the
+    * re-written batch directory). Only genuinely fresh docs are probed,
+    * writeBatch overwrites its own batch directory, and append admits
+    * only unseen doc_ids — so re-running a completed cycle rewrites
+    * identical output and appends nothing, and re-running a cycle that
+    * crashed between sink-write and index-append completes the append
+    * (StreamingSpec asserts both).
+    *
+    * Scale shape: every join is the small batch side against a bucketed
+    * disk table (bands on its band key, tokens on doc_id) or batch
+    * against itself — the corpus is never re-scanned, re-tokenized, or
+    * shuffled, so cycle cost is O(batch), independent of corpus size. */
+  def ingestBatch(batch: DataFrame, name: String, out: String,
+      batchId: Long, buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select("doc_id", "text", "lang")
+    val indexed = spark.table(s"${name}_tokens").select("doc_id").distinct()
+    // already-indexed = admitted by a previous run of this cycle (replay)
+    val prior = b.join(indexed, Seq("doc_id"), "left_semi")
+    val fresh = b.join(indexed, Seq("doc_id"), "left_anti")
+    val corpusDups = probe(spark, name, fresh)
+      .select(col("new_id").as("doc_id"))
+    // in-batch pass: banded candidates among fresh docs, keep-first
+    // (fresh-vs-prior pairs are already covered by the corpus probe)
+    val btok = SketchDedup.tokenFrameOf(fresh).persist()
+    val bbands = SketchDedup.bandsOfTokens(spark, btok).persist()
+    val candIn = bbands
+      .select(col("doc_id").as("keep_id"), col("lang"), col("band"), col("sig"))
+      .join(bbands.select(col("doc_id").as("drop_id"), col("lang"), col("band"),
+        col("sig")), Seq("lang", "band", "sig"))
+      .filter(col("keep_id") < col("drop_id"))
+      .select("keep_id", "drop_id").distinct()
+    val inBatchDups = candIn
+      .join(btok.select(col("doc_id").as("keep_id"), col("tk").as("a_tk"),
+        col("sz").as("a_sz")), "keep_id")
+      .join(btok.select(col("doc_id").as("drop_id"), col("tk").as("b_tk"),
+        col("sz").as("b_sz")), "drop_id")
+      .filter(size(array_intersect(col("a_tk"), col("b_tk"))) * 19 >=
+        (col("a_sz") + col("b_sz")) * 9)
+      .select(col("drop_id").as("doc_id")).distinct()
+    // persisted: the admission decision runs once, feeding both the sink
+    // write and the index append (and pinning one consistent view of the
+    // index across the append's own read-modify cycle)
+    val admitted = fresh.join(corpusDups.union(inBatchDups).distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionByName(prior)
+      .persist()
+    try {
+      Sinks.writeBatch(admitted, out, batchId)
+      append(admitted, name, buckets)
+    } finally { admitted.unpersist(); bbands.unpersist(); btok.unpersist() }
+  }
+
+  /** The streaming form: each micro-batch of `docs` (doc_id, text, lang)
+    * runs one [[ingestBatch]] cycle against the persisted index `name`,
+    * emitting admitted documents to `out/batch=<id>`. The dedup state IS
+    * the disk index — no in-memory streaming state to watermark or lose,
+    * and a restart resumes from the checkpoint with the index exactly as
+    * the last completed cycle left it. */
+  def ingestStream(docs: DataFrame, name: String, out: String,
+      checkpoint: String, buckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, name, out, batchId, buckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

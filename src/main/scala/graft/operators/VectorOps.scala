@@ -193,12 +193,12 @@ object VectorOps {
   // which makes its recall@3 ≥ the single-table value by construction
   // (VectorAndApproxSpec asserts it).
   private val nPlanes = 8
-  private val nTables = 4
+  private[operators] val nTables = 4
   private val dim = 64
   private def plane(j: Int): IndexedSeq[Int] =
     (0 until dim).map(i => ((1103515245L * (j + 1) + 12345L * (i + 1)) % 1997L).toInt - 998)
 
-  private def bucketExprSpark(t: Int = 0): String =
+  private[operators] def bucketExprSpark(t: Int = 0): String =
     (0 until nPlanes).map { j =>
       val arr = plane(nPlanes * t + j).mkString("array(", ", ", ")")
       s"IF(aggregate(zip_with(embedding, $arr, (x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0, ${1 << j}, 0)"
@@ -362,6 +362,28 @@ object VectorOps {
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
     multiTop3(spark, dir).orderBy("a_id", "rk")
+  }
+
+  /** Round-trip twin of q_vec_lsh_multi — IDENTICAL oracle — that routes
+    * the corpus half of the pipeline through VecIndex's persisted bucketed
+    * artifact: write the 4-table signature + payload tables to disk, read
+    * them back through the catalog, probe with the query panel. The
+    * in-memory row grades the ANN semantics; this row grades index
+    * PERSISTENCE — at 100 TB the signatures are the expensive half of the
+    * index (32 hyperplane dots per corpus vector), so they must be a disk
+    * artifact each probe cycle reads back pre-clustered on the candidate
+    * join key, never a re-hash (VectorAndApproxSpec asserts the
+    * bucket-aware corpus scan and probe↔in-memory equality). */
+  val qVecIndexProbe = Q(
+    "q_vec_index_probe",
+    s"""$multiTop3Duck
+       |SELECT a_id, b_id, sim, rk FROM multi3
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    VecIndex.write(e, "graft_rt_vec_idx")
+    VecIndex.probe(spark, "graft_rt_vec_idx", e.filter(col("vec_id") < 50))
+      .orderBy("a_id", "rk")
   }
 
   /** Recall@3 of the multi-table index vs brute-force ground truth — the
@@ -972,7 +994,7 @@ object VectorOps {
   }
 
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
-    qVecLshMulti, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
+    qVecLshMulti, qVecIndexProbe, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
     qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemantic)
 }

@@ -504,4 +504,60 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streaming ingest dedup: probe -> admit loop rejects near-dups across batches") {
+    // The streaming corpus-building loop (DedupIndex.ingestStream): each
+    // micro-batch probes the persisted MinHash index, rejects docs that
+    // near-dup the corpus OR a smaller-id doc in the same batch
+    // (keep-first), writes survivors to batch=<id>, and admits them into
+    // the index — so the dedup state IS the disk artifact, not streaming
+    // memory state. Asserted: cross-batch rejection against an ADMITTED
+    // doc (the append is live), in-batch keep-first, and at-least-once
+    // replay idempotence of a completed cycle.
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val common = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"uniq$i").mkString(" ")
+    val third = (1 to 40).map(i => s"pair$i").mkString(" ")
+    val solo = (1 to 40).map(i => s"solo$i").mkString(" ")
+    val name = "graft_streamspec_ingest_idx"
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ck").toString
+    graft.operators.DedupIndex.write(
+      Seq((3L, s"$common alpha", "en")).toDF("doc_id", "text", "lang"), name)
+    def admitted(): Set[Long] = spk.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.operators.DedupIndex.ingestStream(
+      input.toDF().toDF("doc_id", "text", "lang"), name, out, ckpt)
+    val batch1 = Seq((20L, s"$other gamma", "en"),
+      (21L, s"$third epsilon", "en"), (22L, s"$third zeta", "en"),
+      (23L, s"$solo eta", "en"))
+    withQuery(q) {
+      // batch 0: doc 10 fresh -> admitted; doc 11 near-dups corpus doc 3
+      input.addData((10L, s"$other beta", "en"), (11L, s"$common delta", "en"))
+      q.processAllAvailable()
+      assert(admitted() === Set(10L), "batch 0: corpus near-dup must be rejected")
+      // batch 1: doc 20 near-dups doc 10 ADMITTED LAST BATCH (the append
+      // is live); docs 21/22 near-dup each other in-batch (keep-first
+      // admits 21); doc 23 is fresh
+      batch1.foreach(r => input.addData(r))
+      q.processAllAvailable()
+      assert(admitted() === Set(10L, 21L, 23L),
+        "batch 1: cross-batch + in-batch near-dups must be rejected")
+    }
+    // at-least-once replay of the COMPLETED batch-1 cycle: already-indexed
+    // docs re-emit as admitted (no self-match rejection), nothing appends
+    graft.operators.DedupIndex.ingestBatch(
+      batch1.toDF("doc_id", "text", "lang"), name, out, 1L)
+    assert(admitted() === Set(10L, 21L, 23L),
+      "replaying a completed cycle must rewrite identical output")
+    val tokenDocs = spk.table(s"${name}_tokens")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(tokenDocs === Set(3L, 10L, 21L, 23L),
+      s"index must hold exactly the admitted corpus, got $tokenDocs")
+    spk.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    spk.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
+  }
 }

@@ -192,4 +192,72 @@ class VectorAndApproxSpec extends SparkTestBase {
     val eig = out.head.getDouble(2)
     assert(eig > 0.0, "dominant eigenvalue must be positive on a rank-1 corpus")
   }
+
+  test("persisted ANN index probe matches the in-memory multi-table path") {
+    // The write-once/probe-many artifact (VecIndex) must return the SAME
+    // neighbors as q_vec_lsh_multi's in-memory derivation — on the real
+    // sf0.001 corpus: write the signature+payload tables, read back,
+    // probe with the vec_id < 50 panel, compare row-for-row.
+    val spk = spark
+    import spk.implicits._
+    val dir = sf()
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    graft.operators.VecIndex.write(e, "graft_vecspec_idx")
+    graft.sources.Scratch.releaseAll()
+    val probed = graft.operators.VecIndex.probe(
+        spark, "graft_vecspec_idx", e.filter(col("vec_id") < 50))
+      .orderBy("a_id", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    graft.sources.Scratch.releaseAll()
+    val inMem = graft.operators.VectorOps.qVecLshMulti.fn(spark, dir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(probed.nonEmpty, "probe returned no neighbors")
+    assert(probed === inMem,
+      s"index probe diverged from in-memory path: ${probed.diff(inMem)} vs ${inMem.diff(probed)}")
+    // the scale property the artifact exists for: the corpus signature
+    // scan arrives pre-clustered on the candidate-join key (tbl, bucket)
+    // — bucket-aware, no corpus-side re-hash
+    val plan = graft.operators.VecIndex.probe(
+        spark, "graft_vecspec_idx", e.filter(col("vec_id") < 50))
+      .queryExecution.executedPlan.toString
+    val sigScanSide = plan.linesIterator
+      .filter(l => l.contains("graft_vecspec_idx_sig")).mkString("\n")
+    assert(sigScanSide.contains("SelectedBucketsCount") ||
+      plan.contains("Bucketed: true"),
+      s"corpus signature scan is not bucket-aware:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_vecspec_idx_sig")
+    spark.sql("DROP TABLE IF EXISTS graft_vecspec_idx_emb")
+  }
+
+  test("VecIndex append maintenance: an admitted batch is visible to the next probe") {
+    // Ingest-cycle loop: index half the corpus, append the other half,
+    // then probe — the probe against the appended index must equal a
+    // probe against an index WRITTEN whole (append is a pure union of
+    // per-vector rows, so the two artifacts must be indistinguishable).
+    val spk = spark
+    import spk.implicits._
+    val dir = sf()
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val batch = e.filter(col("vec_id") < 20)
+    graft.operators.VecIndex.write(e.filter(col("vec_id") % 2 === 0), "graft_vecspec_app_idx")
+    graft.operators.VecIndex.append(e.filter(col("vec_id") % 2 === 1), "graft_vecspec_app_idx")
+    graft.operators.VecIndex.write(e, "graft_vecspec_whole_idx")
+    graft.sources.Scratch.releaseAll()
+    val appended = graft.operators.VecIndex.probe(
+        spark, "graft_vecspec_app_idx", batch)
+      .orderBy("a_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    val whole = graft.operators.VecIndex.probe(
+        spark, "graft_vecspec_whole_idx", batch)
+      .orderBy("a_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(appended.nonEmpty && appended === whole,
+      s"append-built index diverged from whole-written index: " +
+        s"${appended.diff(whole)} vs ${whole.diff(appended)}")
+    // odd-id neighbors exist in the result — the appended rows are live
+    assert(appended.exists(_._2 % 2 == 1),
+      "no appended (odd-id) vector ever surfaced as a neighbor")
+    Seq("graft_vecspec_app_idx", "graft_vecspec_whole_idx").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS ${n}_sig")
+      spark.sql(s"DROP TABLE IF EXISTS ${n}_emb")
+    }
+  }
 }
