@@ -239,6 +239,97 @@ object TextExtras {
       .orderBy("contained_id", "container_id")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * scheme): hash every 3-token shingle, slide a window of w=4 consecutive
+    * hashes, keep each window's minimum; the distinct kept hashes are the
+    * document's fingerprint set. Guarantee: any shared token run of length
+    * >= w + k - 1 = 6 shares at least one fingerprint, yet only ~2/(w+1) of
+    * the shingle hashes are retained — the index is ~2.5x smaller than full
+    * shingling at the same long-match recall, which is exactly the lever
+    * that makes a 100 TB fingerprint index affordable. Pairs sharing at
+    * least half of the smaller fingerprint set are emitted.
+    *
+    * Plan: ONE tokenize per doc (posexplode + two lead() windows, the
+    * q_dedup_ngram idiom), the shingle hash is the PortableHash both
+    * engines compute identically, winnowing itself is a min() over a
+    * 4-row frame on the same (doc_id, p) window — no second shuffle —
+    * and candidates come from the inverted-index equi-join ON THE
+    * FINGERPRINT (high-cardinality shuffle key, cost ∝ shared-fingerprint
+    * incidence mass, never all pairs). */
+  val qDedupWinnow = Q(
+    "q_dedup_winnow",
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+       |hs AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(range(1, len(tk) - 1), j ->
+       |      ${graft.functions.PortableHash.duck("array_to_string(tk[j:j+2], ' ')")}) AS h
+       |  FROM toks),
+       |fp AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(range(1, len(h) - 2),
+       |      w -> list_aggregate(h[w:w+3], 'min'))) AS fps
+       |  FROM hs),
+       |inc AS (SELECT doc_id, lang, unnest(fps) AS fp FROM fp),
+       |sz AS (SELECT doc_id, len(fps) AS sz FROM fp WHERE len(fps) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |  FROM inc a JOIN inc b
+       |    ON a.lang = b.lang AND a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.a_id, p.b_id, CAST(p.shared AS INT) AS shared,
+       |  round(CAST(p.shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap
+       |FROM pairs p
+       |JOIN sz sa ON p.a_id = sa.doc_id
+       |JOIN sz sb ON p.b_id = sb.doc_id
+       |WHERE 2 * p.shared >= least(sa.sz, sb.sz)
+       |ORDER BY a_id, b_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+    val byPos = Window.partitionBy("doc_id").orderBy("p")
+    // one PortableHash per 3-token shingle, keyed by its start position
+    val hashed = toks
+      .withColumn("t1", lead("t", 1).over(byPos))
+      .withColumn("t2", lead("t", 2).over(byPos))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"), col("p"),
+        expr(graft.functions.PortableHash.spark("concat_ws(' ', t, t1, t2)"))
+          .as("h"))
+    // winnow: min of each FULL window of 4 consecutive shingle hashes.
+    // Shingle positions are consecutive ints, so a 4-row frame == a 4-
+    // position window; the count() guard drops the ragged tail frames so
+    // both engines enumerate exactly len(h) - 3 windows per document.
+    val frame = byPos.rowsBetween(0, 3)
+    val inc = hashed
+      .withColumn("fp", min("h").over(frame))
+      .withColumn("wn", count(lit(1)).over(frame))
+      .filter(col("wn") === 4)
+      .select(col("doc_id"), col("lang"), col("fp"))
+      .dropDuplicates("doc_id", "fp")
+      .persistScratch() // both join sides + the size aggregate
+    val sz = inc.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    val pairs = inc.select(col("doc_id").as("a_id"), col("lang"), col("fp"))
+      .join(inc.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("fp").as("b_fp")),
+        col("lang") === col("b_lang") && col("fp") === col("b_fp") &&
+        col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).cast("int").as("shared"))
+    // overlap >= 1/2 <=> 2*shared >= min(|A|,|B|) — exact ints, no fp drift
+    pairs
+      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .filter(col("shared") * 2 >= least(col("a_sz"), col("b_sz")))
+      .select(col("a_id"), col("b_id"), col("shared"),
+        round(col("shared").cast("double")
+          / least(col("a_sz"), col("b_sz")), 6).as("overlap"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Regex (BPE-ish) tokenization: alpha runs and digit runs as separate
     * tokens, counted per language — the cheap token-budget estimator a
     * training pipeline runs before the real tokenizer. */
@@ -696,7 +787,7 @@ object TextExtras {
   }
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
-    qDedupNgram, qDedupContainment, qTokenBpe, qMultimodalMeta,
+    qDedupNgram, qDedupContainment, qDedupWinnow, qTokenBpe, qMultimodalMeta,
     qMultimodalFrames, qTextCooccur, qTextTfidf, qDocTopkQuality,
     qPipelineFilter, qTextSearch, qTextPhrase, qMultimodalResize,
     qDecontaminate, qTextRepetition)

@@ -295,6 +295,57 @@ class DedupSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
   }
 
+  test("winnowing honors its match guarantee and compresses the index") {
+    val spk = spark
+    import spk.implicits._
+    // Winnowing guarantee (Schleimer et al. 2003): with k=3-token shingles
+    // and window w=4, any shared run of >= w+k-1 = 6 tokens shares at
+    // least one fingerprint. Doc 1 is an 8-token run; doc 2 embeds that
+    // run verbatim before 30 unrelated tokens, so every one of doc 1's
+    // windows also occurs in doc 2 -> overlap 1.0. Doc 3 is token-disjoint
+    // from both, so it can share no shingle, hence no fingerprint.
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    val tail30 = (1 to 30).map(i => s"u$i").mkString(" ")
+    val filler = (1 to 100).map(i => s"f${i % 37}x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    Seq((1L, run, "en"), (2L, s"$run $tail30", "en"), (3L, filler, "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.TextExtras.qDedupWinnow.fn(spk, dir)
+      .select("a_id", "b_id", "overlap").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(pairs === Seq((1L, 2L, 1.0)),
+      s"the embedded >=6-token run must be the one flagged pair, got $pairs")
+    // Compression: the 100-token filler doc has 98 shingles but winnowing
+    // must keep well under the theoretical-density ~2/(w+1) = 0.4 envelope
+    // of them (exact count is deterministic: md5 hashes of fixed tokens).
+    val m = 98
+    val keptFps = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = graft.sources.Tables.documents(spk, dir)
+        .filter(col("doc_id") === 3L)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "t")))
+      val byPos = Window.partitionBy("doc_id").orderBy("p")
+      val frame = byPos.rowsBetween(0, 3)
+      toks
+        .withColumn("t1", lead("t", 1).over(byPos))
+        .withColumn("t2", lead("t", 2).over(byPos))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("p"),
+          expr(graft.functions.PortableHash.spark(
+            "concat_ws(' ', t, t1, t2)")).as("h"))
+        .withColumn("fp", min("h").over(frame))
+        .withColumn("wn", count(lit(1)).over(frame))
+        .filter(col("wn") === 4)
+        .select("fp").distinct().count()
+    }
+    assert(keptFps > 0 && keptFps <= (m * 0.6).toInt,
+      s"winnowing kept $keptFps of $m shingle hashes — no compression")
+  }
+
   test("Scratch.releaseAll frees the CC loop's checkpoint blocks") {
     // localCheckpoint blocks bypass the CacheManager, so neither
     // Dataset.unpersist nor clearCache can release them — the Scratch
