@@ -396,6 +396,52 @@ object Joins {
       .orderBy("bucket")
   }
 
+  /** Blocked fuzzy self-join — entity resolution over the part-name
+    * dictionary. Collapse part to DISTINCT names first (a map-side-combine
+    * groupBy: at 100 TB the name dictionary is orders of magnitude smaller
+    * than the fact table, so everything after the first agg runs on the
+    * dictionary), block on the last name token (the head noun — the
+    * standard blocking key: candidate entities must agree on their type
+    * word), and evaluate levenshtein only inside blocks, behind a cheap
+    * length-difference prefilter. Edit distance never sees a cross-block
+    * pair, so cost is Σ_blk |blk|² over DICTIONARY entries, never table
+    * rows. Output: name pairs within edit distance 4 plus the number of
+    * part rows a merge of the pair would touch. */
+  val qJoinFuzzy = Q(
+    "q_join_fuzzy",
+    """WITH names AS (
+      |  SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name),
+      |blocked AS (
+      |  SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk
+      |  FROM names)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+      |  a.n_parts + b.n_parts AS n_affected
+      |FROM blocked a JOIN blocked b
+      |  ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE abs(len(a.p_name) - len(b.p_name)) <= 4
+      |  AND levenshtein(a.p_name, b.p_name) <= 4
+      |ORDER BY name_a, name_b""".stripMargin
+  ) { (spark, dir) =>
+    import graft.sources.Scratch.PersistSyntax
+    val names = Tables.part(spark, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      .persistScratch() // both sides of the dictionary self-join
+    val a = names.select(col("p_name").as("name_a"),
+      col("n_parts").as("a_n"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"),
+      col("n_parts").as("b_n"), col("blk").as("b_blk"))
+    a.join(b, col("blk") === col("b_blk") && col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 4 &&
+        levenshtein(col("name_a"), col("name_b")) <= 4)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"),
+        (col("a_n") + col("b_n")).as("n_affected"))
+      .orderBy("name_a", "name_b")
+  }
+
   def all: Seq[Q] = Seq(q05, q06, q07, q08, q09, q10, q11, q12,
-    qJoinAsofFwd, qJoinAsofNear, qSubqueryScalar, qSubqueryCorr, qJoinFull)
+    qJoinAsofFwd, qJoinAsofNear, qSubqueryScalar, qSubqueryCorr, qJoinFull,
+    qJoinFuzzy)
 }

@@ -256,7 +256,48 @@ object Scans {
       .orderBy("status")
   }
 
+  /** CSV file source ROUND-TRIP, graded end-to-end — the [[qSourceJson]]
+    * companion for the other ubiquitous ingest format. Exports an orders
+    * projection as headered CSV, reads it BACK through the declared-schema
+    * source ([[graft.sources.Sinks.readCsv]]), and aggregates per
+    * (priority, order year). The TIMESTAMP column is the deliberate stress:
+    * CSV is untyped text, so a timestamp that fails to round-trip through
+    * the default format under the pinned UTC session shifts year buckets
+    * and breaks the hash against the oracle (which reads the source
+    * parquet directly). */
+  val qSourceCsv = Q(
+    "q_source_csv",
+    """SELECT o_orderpriority AS priority, CAST(year(o_orderdate) AS INT) AS yr,
+      |  COUNT(*) AS n_orders,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |GROUP BY priority, yr
+      |ORDER BY priority, yr""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_src_csv").toString + "/orders_csv"
+    graft.sources.Sinks.writeCsv(
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate",
+          "o_totalprice"),
+      out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_totalprice", DoubleType)))
+    graft.sources.Sinks.readCsv(spark, schema, out)
+      .groupBy(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Det.exactSum(col("o_totalprice"), 100).as("revenue"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("priority", "yr")
+  }
+
   def all: Seq[Q] =
     Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
-      qSinkBucketedJoin, qSourceJson)
+      qSinkBucketedJoin, qSourceJson, qSourceCsv)
 }

@@ -94,4 +94,34 @@ object VecIndex {
       .filter(col("rk") <= k)
       .select("a_id", "b_id", "sim", "rk")
   }
+
+  // ---- persisted IVF index ------------------------------------------------
+  // The IVF counterpart of the LSH tables above: the expensive derivation
+  // worth persisting here is the cell-centroid table plus the corpus
+  // clustered BY CELL, so a probe reads only its p probed cells' buckets
+  // instead of re-deriving centroids and re-scanning the corpus per query.
+
+  /** Write the IVF index for `emb` (vec_id, label, embedding):
+    * `<name>_cent` — the (label, cv) centroid table (k rows, the broadcast
+    * side of every probe), and `<name>_cell` — the corpus payload bucketed
+    * on the cell id, so the probe's candidate join reads each probed cell
+    * already clustered. Centroids come from [[VectorOps.cellCentroids]] —
+    * the in-memory pipeline's exact formula. */
+  def ivfWrite(emb: DataFrame, name: String, buckets: Int = 4): Unit = {
+    Sinks.writeBucketed(VectorOps.cellCentroids(emb), 1, Seq("label"),
+      s"${name}_cent")
+    Sinks.writeBucketed(emb.select("vec_id", "label", "embedding"), buckets,
+      Seq("label"), s"${name}_cell")
+  }
+
+  /** Probe the persisted IVF index with a query batch (vec_id, embedding):
+    * rank the read-back centroid table, search the `p` nearest cells,
+    * exact-dot re-rank to top-k — `q_vec_ivf_probe2`'s output contract
+    * (a_id, b_id, sim, rk) against the disk artifact. Shares
+    * [[VectorOps.ivfRank]] with the in-memory pipeline, so the round-trip
+    * is bit-identical by construction. */
+  def ivfProbe(spark: SparkSession, name: String, batch: DataFrame,
+      p: Int = 2, k: Int = 3): DataFrame =
+    VectorOps.ivfRank(spark, batch, spark.table(s"${name}_cent"),
+      spark.table(s"${name}_cell"), p, k)
 }

@@ -44,7 +44,7 @@ object VectorOps {
     * silently lost: the validator is graded precisely so exclusions are
     * observable. */
   private val Dim = 64
-  private def cleanEmbeddings(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def cleanEmbeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .filter(size(col("embedding")) === Dim &&
         expr("forall(embedding, x -> abs(x) <= 1.0d)"))
@@ -386,6 +386,28 @@ object VectorOps {
       .orderBy("a_id", "rk")
   }
 
+  /** Persisted-IVF-index ROUND-TRIP, graded: write the (centroid table,
+    * cell-bucketed corpus) artifact via [[VecIndex.ivfWrite]], read it
+    * back through the catalog, probe with the query panel. The oracle is
+    * IDENTICAL to `q_vec_ivf_probe2` — the in-memory row grades the IVF
+    * semantics, this row grades that the centroid doubles and float
+    * payload survive the parquet round-trip and that the probe against
+    * the bucketed cell table returns the same neighbors. Both ANN index
+    * families (LSH via `q_vec_index_probe`, IVF here) now have persistence
+    * graded. */
+  val qVecIndexIvf = Q(
+    "q_vec_index_ivf",
+    s"""${ivfTop3Duck()}
+       |SELECT a_id, b_id, sim, rk FROM ivf3
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    VecIndex.ivfWrite(e, "graft_rt_ivf_idx")
+    VecIndex.ivfProbe(spark, "graft_rt_ivf_idx",
+      e.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")))
+      .orderBy("a_id", "rk")
+  }
+
   /** Recall@3 of the multi-table index vs brute-force ground truth — the
     * monitoring query for the OR-amplification lever (q_vec_recall_eval
     * is the same readout for the single-table index; comparing the two
@@ -593,20 +615,28 @@ object VectorOps {
     ivfTop3(spark, dir, 4).orderBy("a_id", "rk")
   }
 
-  /** Spark side of the shared IVF pipeline: exact top-3 per query vector
-    * across its 2 probed cells (columns a_id, b_id, sim, rk). */
-  private def ivfTop3(spark: SparkSession, dir: String, p: Int = 2): DataFrame = {
-    val e = cleanEmbeddings(spark, dir)
-    // k×64 centroid table from exact integer-unit sums (q_vec_centroid's
-    // arithmetic), reassembled into an ordered double array per cell
-    val cvec = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+  /** k×64 cell-centroid table (label, cv) from exact integer-unit sums
+    * (q_vec_centroid's arithmetic), reassembled into an ordered double
+    * array per cell. Shared by the in-memory IVF pipeline and the
+    * persisted index writer ([[VecIndex.ivfWrite]]) so the two can never
+    * disagree on the centroid formula. */
+  private[operators] def cellCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg((sum(round(col("v").cast("double") * 1000000000L).cast("decimal(38,0)"))
         .cast("double") / lit(1000000000.0) / count(lit(1))).as("c"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
-    val q = e.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding"))
+
+  /** The IVF probe core, parameterized over WHERE the index lives: rank
+    * the centroid table (broadcast — k rows), probe the p nearest cells,
+    * exact-dot re-rank the probed cells' members to top-k. `q` is the
+    * query batch (vec_id, embedding); `cvec`/`cells` are either the
+    * in-memory derivations ([[ivfTop3]]) or the read-back persisted
+    * tables ([[VecIndex.ivfProbe]]) — one code path, so index round-trips
+    * are bit-identical to the in-memory pipeline by construction. */
+  private[operators] def ivfRank(spark: SparkSession, q: DataFrame,
+      cvec: DataFrame, cells: DataFrame, p: Int, k: Int = 3): DataFrame = {
     val crkW = Window.partitionBy("vec_id")
       .orderBy(desc("csim"), asc("label"))
     val probes = q.crossJoin(broadcast(cvec))
@@ -617,7 +647,7 @@ object VectorOps {
       .withColumn("crk", row_number().over(crkW))
       .filter(col("crk") <= p)
       .select(col("vec_id"), col("label"))
-    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+    val b = cells.select(col("vec_id").as("b_id"), col("label").as("b_label"),
       col("embedding").as("b_vec"))
     val topW = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
     probes
@@ -627,8 +657,17 @@ object VectorOps {
       .select(col("a_id"), col("b_id"),
         round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
       .withColumn("rk", row_number().over(topW))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= k)
       .select("a_id", "b_id", "sim", "rk")
+  }
+
+  /** Spark side of the shared IVF pipeline: exact top-3 per query vector
+    * across its 2 probed cells (columns a_id, b_id, sim, rk). */
+  private def ivfTop3(spark: SparkSession, dir: String, p: Int = 2): DataFrame = {
+    val e = cleanEmbeddings(spark, dir)
+    ivfRank(spark,
+      e.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")),
+      cellCentroids(e), e, p)
   }
 
   /** Recall@3 of the 2-probe IVF index vs brute-force ground truth —
@@ -995,6 +1034,7 @@ object VectorOps {
 
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecIndexProbe, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
+    qVecIndexIvf,
     qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemantic)
 }

@@ -346,6 +346,32 @@ class DedupSpec extends SparkTestBase {
       s"winnowing kept $keptFps of $m shingle hashes — no compression")
   }
 
+  test("fuzzy name matching flags typo variants inside a block and nothing across blocks") {
+    val spk = spark
+    import spk.implicits._
+    // Entity resolution over the name dictionary: "stele anvil" is an
+    // le/el transposition typo of "steel anvil" (levenshtein 2, same
+    // head-noun block), so the pair must surface with n_affected = 3 + 2
+    // rows (a merge would touch all five parts). "steel bolt"
+    // is 4 edits from nothing in its own block, and cross-block pairs
+    // ("steel anvil" vs "steel bolt", dist 4) must NEVER be compared —
+    // blocking on the head noun is what keeps the quadratic term on the
+    // dictionary block, not the dictionary.
+    val parts = Seq(
+      (1L, "steel anvil"), (2L, "steel anvil"), (3L, "steel anvil"),
+      (4L, "stele anvil"), (5L, "stele anvil"),
+      (6L, "steel bolt"), (7L, "chrome gear")
+    ).toDF("p_partkey", "p_name")
+      .withColumn("p_brand", lit("B")).withColumn("p_type", lit("T"))
+      .withColumn("p_size", lit(1)).withColumn("p_retailprice", lit(1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    parts.write.parquet(s"$dir/part.parquet")
+    val out = graft.operators.Joins.qJoinFuzzy.fn(spk, dir)
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(out === Seq(("steel anvil", "stele anvil", 2, 5L)),
+      s"expected exactly the in-block typo pair, got $out")
+  }
+
   test("Scratch.releaseAll frees the CC loop's checkpoint blocks") {
     // localCheckpoint blocks bypass the CacheManager, so neither
     // Dataset.unpersist nor clearCache can release them — the Scratch

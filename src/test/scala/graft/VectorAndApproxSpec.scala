@@ -229,6 +229,28 @@ class VectorAndApproxSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_vecspec_idx_emb")
   }
 
+  test("persisted IVF index probe matches the in-memory 2-probe path") {
+    // IVF's write-once/probe-many artifact: centroid table + cell-bucketed
+    // corpus. Reading both back and probing must return exactly
+    // q_vec_ivf_probe2's neighbors — the centroid doubles and float
+    // payload must survive the parquet round-trip bit-for-bit, and the
+    // shared ivfRank core guarantees the ranking logic cannot diverge.
+    val spk = spark
+    import spk.implicits._
+    val dir = sf()
+    val out = graft.operators.VectorOps.qVecIndexIvf.fn(spark, dir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    graft.sources.Scratch.releaseAll()
+    val inMem = graft.operators.VectorOps.qVecIvfProbe2.fn(spark, dir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.nonEmpty, "IVF index probe returned no neighbors")
+    assert(out === inMem,
+      s"IVF index round-trip diverged from in-memory path: " +
+        s"${out.diff(inMem)} vs ${inMem.diff(out)}")
+    spark.sql("DROP TABLE IF EXISTS graft_rt_ivf_idx_cent")
+    spark.sql("DROP TABLE IF EXISTS graft_rt_ivf_idx_cell")
+  }
+
   test("VecIndex append maintenance: an admitted batch is visible to the next probe") {
     // Ingest-cycle loop: index half the corpus, append the other half,
     // then probe — the probe against the appended index must equal a
