@@ -297,7 +297,43 @@ object Scans {
       .orderBy("priority", "yr")
   }
 
+  /** ORC file source ROUND-TRIP, graded end-to-end — completes the
+    * declared-schema source matrix (parquet everywhere, JSON, CSV, ORC).
+    * ORC carries its own schema, so unlike CSV the stress here is the
+    * cross-format value fidelity of the OTHER columnar format: doubles,
+    * longs and strings written through the ORC writer and read back must
+    * aggregate to the same cents-exact totals as the parquet source the
+    * oracle reads. */
+  val qSourceOrc = Q(
+    "q_source_orc",
+    """SELECT l_returnflag AS flag, COUNT(*) AS n_items,
+      |  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+      |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+      |FROM lineitem
+      |GROUP BY flag
+      |ORDER BY flag""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_src_orc").toString + "/lineitem_orc"
+    graft.sources.Sinks.writeOrc(
+      Tables.lineitem(spark, dir)
+        .select("l_returnflag", "l_quantity", "l_extendedprice"),
+      out)
+    val schema = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    graft.sources.Sinks.readOrc(spark, schema, out)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity")).cast("bigint")).as("sum_qty"),
+        graft.functions.Det.exactSum(col("l_extendedprice"), 100)
+          .as("revenue"))
+      .orderBy("flag")
+  }
+
   def all: Seq[Q] =
     Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
-      qSinkBucketedJoin, qSourceJson, qSourceCsv)
+      qSinkBucketedJoin, qSourceJson, qSourceCsv, qSourceOrc)
 }

@@ -114,6 +114,17 @@ object VecIndex {
       Seq("label"), s"${name}_cell")
   }
 
+  /** ADMIT a batch into the IVF index: append payload rows to the cell
+    * table, assigned by their stored label. Centroids stay FIXED —
+    * standard IVF maintenance (re-deriving them would rescan the corpus,
+    * which is exactly what an append must not do); cell shape drifts
+    * until the next offline [[ivfWrite]] retrain, and appended vectors
+    * are immediately probe-visible because candidate generation joins on
+    * the stored cell id, never a re-derived centroid. */
+  def ivfAppend(batch: DataFrame, name: String, buckets: Int = 4): Unit =
+    Sinks.writeBucketed(batch.select("vec_id", "label", "embedding"),
+      buckets, Seq("label"), s"${name}_cell", SaveMode.Append)
+
   /** Probe the persisted IVF index with a query batch (vec_id, embedding):
     * rank the read-back centroid table, search the `p` nearest cells,
     * exact-dot re-rank to top-k — `q_vec_ivf_probe2`'s output contract

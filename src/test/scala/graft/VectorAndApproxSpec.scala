@@ -251,6 +251,39 @@ class VectorAndApproxSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_rt_ivf_idx_cell")
   }
 
+  test("IVF append maintenance: payload-only admit, fixed centroids, probe-visible") {
+    // IVF's admit path must be O(batch): payload rows append to the cell
+    // table, the centroid table stays byte-identical (retraining is the
+    // offline ivfWrite path). Appended vectors must surface as neighbors
+    // of the next probe — candidate generation joins on the stored label.
+    val spk = spark
+    import spk.implicits._
+    val dir = sf()
+    // fixture embeddings are all in-contract, so the raw table equals the
+    // pipeline's cleaned view
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    graft.operators.VecIndex.ivfWrite(
+      e.filter(col("vec_id") % 2 === 0), "graft_vecspec_ivf_app")
+    val centBefore = spk.table("graft_vecspec_ivf_app_cent")
+      .as[(Int, Seq[Double])].collect().toMap
+    graft.operators.VecIndex.ivfAppend(
+      e.filter(col("vec_id") % 2 === 1), "graft_vecspec_ivf_app")
+    val centAfter = spk.table("graft_vecspec_ivf_app_cent")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(centAfter === centBefore,
+      "append must not touch the centroid table")
+    graft.sources.Scratch.releaseAll()
+    val probed = graft.operators.VecIndex.ivfProbe(
+        spark, "graft_vecspec_ivf_app",
+        e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(probed.nonEmpty, "IVF probe returned no neighbors after append")
+    assert(probed.exists(_._2 % 2 == 1),
+      "no appended (odd-id) vector ever surfaced as a neighbor")
+    spark.sql("DROP TABLE IF EXISTS graft_vecspec_ivf_app_cent")
+    spark.sql("DROP TABLE IF EXISTS graft_vecspec_ivf_app_cell")
+  }
+
   test("VecIndex append maintenance: an admitted batch is visible to the next probe") {
     // Ingest-cycle loop: index half the corpus, append the other half,
     // then probe — the probe against the appended index must equal a
