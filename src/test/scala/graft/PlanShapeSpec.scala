@@ -318,4 +318,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges <= 2, // key shuffle + final ORDER BY range exchange
       s"interval build must shuffle the change log once, saw $exchanges:\n$finalSection")
   }
+
+  test("winnow rides one document shuffle; fuzzy match blocks before levenshtein") {
+    // q_dedup_winnow's shingle build and winnow min are BOTH windows over
+    // (doc_id, p) — they must share a single document exchange. A second
+    // Window-feeding shuffle means the winnow frame re-partitioned the
+    // corpus (per-token rows — the expensive frame at 100 TB).
+    val wPlan = finalPlan("q_dedup_winnow").split("== Initial Plan ==").head
+    assert(!wPlan.contains("BroadcastNestedLoopJoin") &&
+      !wPlan.contains("CartesianProduct"),
+      "q_dedup_winnow degraded to a nested loop")
+    val windowLines = wPlan.split('\n').count(_.contains("Window ("))
+    assert(windowLines == 2, s"expected the 2 winnow windows, saw $windowLines")
+    val docExchanges = wPlan.split('\n')
+      .count(l => l.contains("Exchange hashpartitioning(doc_id#") &&
+        !l.contains("fp#"))
+    assert(docExchanges <= 1,
+      s"winnow's two window passes must share ONE (doc_id) exchange, saw " +
+        s"$docExchanges:\n$wPlan")
+    // q_join_fuzzy: the join must be equi on the block key with
+    // levenshtein evaluated AFTER (join condition/filter), never a
+    // nested-loop over the dictionary; and the dictionary collapse must
+    // keep partial aggregation (map-side combine before the one shuffle).
+    val fPlan = finalPlan("q_join_fuzzy")
+    assert(!fPlan.contains("BroadcastNestedLoopJoin") &&
+      !fPlan.contains("CartesianProduct"),
+      "q_join_fuzzy degraded to a nested loop — the blocking key was lost")
+    assert(fPlan.contains("HashAggregate"),
+      "q_join_fuzzy's dictionary collapse lost its hash aggregate")
+  }
 }
