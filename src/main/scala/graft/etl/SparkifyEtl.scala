@@ -96,6 +96,55 @@ object SparkifyEtl {
         month(timestamp_millis(col("ts"))).as("month"))
   }
 
+  /** [[buildUsers]] plus the observation ts as a `seq_ts` column — the
+    * sequence key the STREAMING upsert resolves cross-batch latest-wins
+    * with (within one batch the window picks the latest row; across
+    * batches the stored seq decides, so replayed batches can't regress
+    * a user's level). */
+  def buildUsersWithSeq(logData: DataFrame): DataFrame = {
+    val plays = logData.filter(col("page") === "NextSong" && col("userId") =!= "")
+    val w = Window.partitionBy("userId").orderBy(desc("ts"))
+    plays.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("userId").cast("long").as("user_id"),
+        col("firstName").as("first_name"), col("lastName").as("last_name"),
+        col("gender"), col("level"), col("ts").as("seq_ts"))
+  }
+
+  /** The reference pipeline as a CONTINUOUS ingest — the streaming twin of
+    * [[run]]: a file-source stream over the JSON log directory, one
+    * foreachBatch cycle per micro-batch. Per cycle: songplays append
+    * exactly-once (each batch owns its `batch=<id>` directory, so an
+    * at-least-once replay overwrites identical content instead of
+    * duplicating), and the users dim MERGEs with latest-wins by event ts
+    * (idempotent under arbitrary replay via the stored seq —
+    * [[Sinks.upsertBatch]]). The song/artist dims stay the batch build:
+    * song metadata is reference-static, refresh = re-run [[run]].
+    * Trigger.AvailableNow drains what's on disk and stops; the production
+    * shape is the same query left running. Scale: every per-cycle join is
+    * batch-vs-broadcast-dim or batch-vs-keyed-table — cycle cost is
+    * O(batch), never a log-history rescan. */
+  def runStream(spark: SparkSession, songJsonPath: String, logJsonDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val songData = Sinks.readJson(spark, songSchema, songJsonPath)
+    spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", "1") // one log file = one micro-batch
+      .json(logJsonDir)
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          val b = batch.toDF()
+          Sinks.writeBatch(buildSongplays(b, songData),
+            s"$outDir/songplays_stream", id)
+          Sinks.upsertBatch(buildUsersWithSeq(b),
+            s"$outDir/users_stream", "user_id", "seq_ts")
+      }
+      .start()
+  }
+
   /** Full pipeline: JSON in → five parquet tables out, partitioned like
     * the reference (songplays/time by (year, month); songs by
     * (year, artist_id)). */

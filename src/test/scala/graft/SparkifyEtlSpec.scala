@@ -56,4 +56,47 @@ class SparkifyEtlSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(s"$out/songplays/year=2021/month=6")))
     assert(Files.exists(Paths.get(s"$out/songplays/year=2021/month=7")))
   }
+
+  test("streaming ETL twin: per-batch songplay append + replay-safe users merge") {
+    val spk = spark
+    import spk.implicits._
+    val dir = Files.createTempDirectory("graft_etl_stream").toString
+    val logDir = s"$dir/logs"; Files.createDirectories(Paths.get(logDir))
+    val out = s"$dir/out"
+    writeFixtures(dir) // songs.json + the 4-event logs.json (unused here)
+    // two log files -> two micro-batches (maxFilesPerTrigger=1): user 7
+    // plays on free in batch 0, upgrades to paid in batch 1
+    Files.writeString(Paths.get(s"$logDir/log0.json"),
+      """{"artist":"Neko","page":"NextSong","song":"Aurora","length":210.5,"userId":"7","firstName":"Ada","lastName":"L","gender":"F","level":"free","sessionId":1,"ts":1622505600000,"location":"X","userAgent":"ua","auth":"in","method":"PUT","status":200,"itemInSession":0,"registration":1.0}
+        |{"artist":"Unknown","page":"NextSong","song":"Nothere","length":1.0,"userId":"8","firstName":"Bo","lastName":"K","gender":"M","level":"paid","sessionId":2,"ts":1622592000000,"location":"Y","userAgent":"ua","auth":"in","method":"PUT","status":200,"itemInSession":0,"registration":1.0}
+        |""".stripMargin)
+    Files.writeString(Paths.get(s"$logDir/log1.json"),
+      """{"artist":"Piros","page":"NextSong","song":"Delta","length":180.0,"userId":"7","firstName":"Ada","lastName":"L","gender":"F","level":"paid","sessionId":3,"ts":1625097600000,"location":"X","userAgent":"ua","auth":"in","method":"PUT","status":200,"itemInSession":0,"registration":1.0}
+        |""".stripMargin)
+    SparkifyEtl.runStream(spark, s"$dir/songs.json", logDir, out)
+      .awaitTermination()
+    // songplays: one per NextSong event, appended across the batch dirs
+    val sp = spark.read.parquet(s"$out/songplays_stream")
+    assert(sp.count() === 3, "one songplay per NextSong event across batches")
+    assert(sp.select("batch").distinct().count() === 2,
+      "two micro-batches must have produced two batch partitions")
+    assert(sp.filter(col("song_id").isNotNull).count() === 2)
+    // users: cross-batch latest-wins — user 7's batch-1 upgrade sticks
+    val users = spark.read.parquet(s"$out/users_stream")
+    assert(users.count() === 2)
+    assert(users.filter(col("user_id") === 7).head().getAs[String]("level")
+      === "paid")
+    // replay safety: re-applying the STALE batch-0 users frame must not
+    // regress user 7 to free (the stored seq wins)
+    val stale = graft.etl.SparkifyEtl.buildUsersWithSeq(
+      graft.sources.Sinks.readJson(spark, SparkifyEtl.logSchema,
+        s"$logDir/log0.json"))
+    graft.sources.Sinks.upsertBatch(stale, s"$out/users_stream",
+      "user_id", "seq_ts")
+    val replayed = spark.read.parquet(s"$out/users_stream")
+    assert(replayed.count() === 2 &&
+      replayed.filter(col("user_id") === 7).head().getAs[String]("level")
+        === "paid",
+      "a stale replayed batch regressed the users dim")
+  }
 }
