@@ -161,11 +161,37 @@ object Sinks {
     // leaked stage copy.
     val tmp = s"$path.tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapInto(spark, tmp, path)
+  }
+
+  /** Small-file compaction for a parquet directory: one read, one
+    * `coalesce(files)` write of the same rows, staged and swapped into
+    * place like [[upsertBatch]]. The streaming sinks above produce one
+    * file set per micro-batch; left alone, a 100 TB table's read path
+    * degrades to an open() per tiny file and the scheduler drowns in
+    * splits — periodic compaction is the maintenance operator that keeps
+    * scan cost proportional to bytes, not batch count. `partitionCols`
+    * preserves an existing hive layout (the partition columns read back
+    * as data columns and must be re-materialized as directories);
+    * `coalesce` (not repartition) keeps the rewrite shuffle-free. */
+  def compact(spark: SparkSession, path: String, files: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(path).coalesce(files)
+    val tmp = s"$path.compact.tmp"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
+    swapInto(spark, tmp, path)
+  }
+
+  /** Replace `dst` with the staged directory `src` (delete + rename; the
+    * two-metadata-op window is the documented ACID non-goal). */
+  private def swapInto(spark: SparkSession, src: String, dst: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val fs = dst.getFileSystem(hconf)
-    fs.delete(dst, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-      throw new java.io.IOException(s"upsertBatch: rename $tmp -> $path failed")
+    val d = new org.apache.hadoop.fs.Path(dst)
+    val fs = d.getFileSystem(hconf)
+    fs.delete(d, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(src), d))
+      throw new java.io.IOException(s"swapInto: rename $src -> $dst failed")
   }
 }

@@ -223,4 +223,37 @@ class SinkSourceSpec extends SparkTestBase {
     assert(zx < (px * 8) / 10 && zy < (py * 8) / 10,
       s"z-sorted files are not narrower: plain=($px,$py) zsorted=($zx,$zy)")
   }
+
+  test("compaction collapses micro-batch small files without changing content") {
+    val spk = spark
+    import spk.implicits._
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(p))
+    }
+    val path = Files.createTempDirectory("graft_compact").toString + "/t"
+    // six micro-batches of 4 rows each — the streaming sink's file litter
+    (0 until 6).foreach { id =>
+      graft.sources.Sinks.writeBatch(
+        (0 until 4).map(i => (id.toLong * 10 + i, s"v$i")).toDF("k", "v"),
+        path, id)
+    }
+    val before = spark.read.parquet(path)
+      .select("k", "v", "batch").as[(Long, String, Long)].collect().toSet
+    val nBefore = parquetFiles(path).size
+    assert(nBefore >= 6, s"expected at least one file per batch, saw $nBefore")
+    // preserve the hive layout: batch is a partition column on disk
+    graft.sources.Sinks.compact(spark, path, 1, Seq("batch"))
+    val nAfter = parquetFiles(path).size
+    val after = spark.read.parquet(path)
+      .select("k", "v", "batch").as[(Long, String, Long)].collect().toSet
+    assert(after === before, "compaction changed table content")
+    assert(nAfter < nBefore,
+      s"compaction did not reduce file count: $nBefore -> $nAfter")
+    // partition directories survived the rewrite
+    assert(new java.io.File(s"$path/batch=0").isDirectory,
+      "hive partition layout lost in compaction")
+  }
 }
