@@ -49,7 +49,10 @@ object PlanAudit {
       "q_doc_shard", "q_text_heavy", "q_dedup_cluster_hist",
       "q_split_leakage",
       // round-10 continuation additions
-      "q_text_boilerplate", "q_doc_dup_mass", "q_vec_covariance")
+      "q_text_boilerplate", "q_doc_dup_mass", "q_vec_covariance",
+      // round-12 additions
+      "q_dedup_winnow", "q_join_fuzzy", "q_source_csv", "q_source_orc",
+      "q_vec_index_ivf", "q_dedup_index_probe", "q_sink_bucketed_join")
     val queries = graft.SparkEntry.queries
     val sb = new StringBuilder
     audited.foreach { name =>
