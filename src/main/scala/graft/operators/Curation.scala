@@ -715,7 +715,56 @@ object Curation {
       .orderBy("arm")
   }
 
+  /** Per-source document cap — domain balancing, the corpus-pipeline
+    * counterpart of the per-stratum sampler above: a hot domain (crawl
+    * dumps, boilerplate-heavy sites) must not dominate the training mix,
+    * so each source keeps at most CAP documents, chosen by deterministic
+    * portable-hash order (bit-reproducible across engines, runs and task
+    * retries — never engine RNG) with doc_id breaking ties. Output is the
+    * decision record: per source, how many documents existed, how many
+    * survive the cap, and the surviving character mass.
+    *
+    * Scale: one shuffle on source + a per-source ranking window. This
+    * DECISION-RECORD form must see every row (n_docs counts the whole
+    * domain), so no group-limit applies; the KEEP form a pipeline runs
+    * (filter rk <= CAP) plans a pre-shuffle WindowGroupLimit so each task
+    * retains ≤CAP rows per source before the exchange. A pathologically
+    * hot single domain is exactly the skew AQE splits; the cheaper
+    * two-phase form (hash-threshold prefilter to ~CAP·(1+ε), then exact
+    * rank) trades a second pass for never sorting the hot domain. */
+  val qDocSourceCap = Q(
+    "q_doc_source_cap",
+    s"""WITH ranked AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${graft.functions.PortableHash.duck("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS kept_chars
+       |FROM ranked
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(expr(graft.functions.PortableHash.spark(
+        "CAST(doc_id AS STRING)")).asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= 10, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= 10, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qEventsFunnel, qTextRedact,
+    qDocSourceCap,
     qDocMixBudget, qDocMixTemperature, qDocMedianGate, qEventsRetention,
     qClipOutliers,
     qEventsTwap, qEventsSessionize, qEventsAttribution, qEventsWau,
