@@ -333,7 +333,40 @@ object Scans {
       .orderBy("flag")
   }
 
+  /** Small-file compaction ROUND-TRIP, graded end-to-end: land an orders
+    * projection as four micro-batch file sets (the streaming sink's
+    * litter), compact the directory preserving the hive `batch=` layout,
+    * read the compacted tree back, and aggregate per order year. The
+    * oracle aggregates the source table directly, so a compaction that
+    * drops, duplicates, or corrupts rows — the failure modes of a
+    * rewrite-and-swap maintenance op — breaks the cross-engine hash. */
+  val qSinkCompact = Q(
+    "q_sink_compact",
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n_orders,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |GROUP BY yr
+      |ORDER BY yr""".stripMargin
+  ) { (spark, dir) =>
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sink_compact").toString + "/orders_t"
+    val src = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    (0 until 4).foreach { id =>
+      graft.sources.Sinks.writeBatch(
+        src.filter(col("o_orderkey") % 4 === id), path, id)
+    }
+    graft.sources.Sinks.compact(spark, path, 1, Seq("batch"))
+    spark.read.parquet(path)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Det.exactSum(col("o_totalprice"), 100).as("revenue"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("yr")
+  }
+
   def all: Seq[Q] =
     Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
-      qSinkBucketedJoin, qSourceJson, qSourceCsv, qSourceOrc)
+      qSinkBucketedJoin, qSourceJson, qSourceCsv, qSourceOrc, qSinkCompact)
 }
