@@ -92,12 +92,19 @@ object DedupIndex {
     * threshold as the whole minhash family) it has in the indexed corpus
     * and the smallest matching corpus id — `q_dedup_incremental`'s output
     * contract, but against the read-back artifact. */
-  def probe(spark: SparkSession, name: String, batch: DataFrame): DataFrame = {
-    val corpusBands = spark.table(s"${name}_bands")
-    val corpusTok = spark.table(s"${name}_tokens")
+  def probe(spark: SparkSession, name: String, batch: DataFrame): DataFrame =
     // batch tokens feed candidate-gen AND verify; the batch is the small,
     // per-cycle side — persisting it is bounded by ingest size
-    val btok = SketchDedup.tokenFrameOf(batch).persistScratch()
+    probeTokens(spark, name, SketchDedup.tokenFrameOf(batch).persistScratch())
+
+  /** [[probe]] body over a PRE-BUILT (and already persisted) batch token
+    * frame — the entry [[ingestBatch]] uses so its own persisted frame is
+    * reused instead of re-derived and re-cached (a canonically identical
+    * second persist is a guaranteed cache-warning per micro-batch). */
+  private def probeTokens(spark: SparkSession, name: String,
+      btok: DataFrame): DataFrame = {
+    val corpusBands = spark.table(s"${name}_bands")
+    val corpusTok = spark.table(s"${name}_tokens")
     val bbands = SketchDedup.bandsOfTokens(spark, btok)
       .select(col("doc_id").as("new_id"), col("lang").as("b_lang"),
         col("band").as("b_band"), col("sig").as("b_sig"))
@@ -151,12 +158,15 @@ object DedupIndex {
     // already-indexed = admitted by a previous run of this cycle (replay)
     val prior = b.join(indexed, Seq("doc_id"), "left_semi")
     val fresh = b.join(indexed, Seq("doc_id"), "left_anti")
-    val corpusDups = probe(spark, name, fresh)
+    // ONE token frame for the whole cycle: the corpus probe, the in-batch
+    // pass, and the verify joins all read it (probeTokens reuses it
+    // instead of re-deriving + re-persisting the identical plan)
+    val btok = SketchDedup.tokenFrameOf(fresh).persist()
+    val bbands = SketchDedup.bandsOfTokens(spark, btok).persist()
+    val corpusDups = probeTokens(spark, name, btok)
       .select(col("new_id").as("doc_id"))
     // in-batch pass: banded candidates among fresh docs, keep-first
     // (fresh-vs-prior pairs are already covered by the corpus probe)
-    val btok = SketchDedup.tokenFrameOf(fresh).persist()
-    val bbands = SketchDedup.bandsOfTokens(spark, btok).persist()
     val candIn = bbands
       .select(col("doc_id").as("keep_id"), col("lang"), col("band"), col("sig"))
       .join(bbands.select(col("doc_id").as("drop_id"), col("lang"), col("band"),
@@ -187,9 +197,15 @@ object DedupIndex {
   /** The streaming form: each micro-batch of `docs` (doc_id, text, lang)
     * runs one [[ingestBatch]] cycle against the persisted index `name`,
     * emitting admitted documents to `out/batch=<id>`. The dedup state IS
-    * the disk index — no in-memory streaming state to watermark or lose,
-    * and a restart resumes from the checkpoint with the index exactly as
-    * the last completed cycle left it. */
+    * the disk index — no in-memory streaming state to watermark or lose —
+    * and a restart WITHIN a catalog lifetime resumes from the checkpoint
+    * with the index exactly as the last completed cycle left it. The
+    * index must have been [[write]]-created before the stream starts, and
+    * the bucketed tables are registered in the session catalog: under the
+    * default in-memory catalog a brand-new session must re-create that
+    * registration (re-run [[write]] over the emitted batches, or run a
+    * persistent metastore, which is what a production deployment uses)
+    * before resuming the checkpoint. */
   def ingestStream(docs: DataFrame, name: String, out: String,
       checkpoint: String, buckets: Int = 8):
       org.apache.spark.sql.streaming.StreamingQuery =

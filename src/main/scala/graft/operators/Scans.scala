@@ -87,6 +87,22 @@ object Scans {
       .orderBy("priority")
   }
 
+  /** Fixed scratch location for a round-trip query's disk artifact,
+    * CLEARED on entry: repeated executions (bench, the heaviest-5 rerun,
+    * plan audits) reuse one location instead of leaking a table copy per
+    * run into a fresh createTempDirectory. */
+  private def rtDir(name: String): String = {
+    val p = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_rt", name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    if (p.toFile.exists()) rm(p.toFile)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   /** Partitioned-sink ROUND-TRIP, graded end-to-end: write orders
     * partitioned by priority ([[graft.sources.Sinks.writePartitioned]] —
     * repartition-first so files = partitions, not tasks × partitions),
@@ -106,8 +122,7 @@ object Scans {
       |GROUP BY prio
       |ORDER BY prio""".stripMargin
   ) { (spark, dir) =>
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_sink_rt").toString + "/orders_by_prio"
+    val out = rtDir("sink_roundtrip")
     graft.sources.Sinks.writePartitioned(
       Tables.orders(spark, dir).select("o_orderpriority", "o_totalprice"),
       Seq("o_orderpriority"), out)
@@ -158,8 +173,7 @@ object Scans {
       |ORDER BY key""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_merge_stream").toString + "/state"
+    val path = rtDir("merge_stream") + "/state"
     graft.sources.Sinks.write(
       Tables.customer(spark, dir).select(
         col("c_custkey").as("key"), lit(0).as("seq"),
@@ -239,8 +253,7 @@ object Scans {
       |ORDER BY status""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.types._
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_src_json").toString + "/orders_json"
+    val out = rtDir("source_json")
     Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .write.json(out)
@@ -276,8 +289,7 @@ object Scans {
       |ORDER BY priority, yr""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.types._
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_src_csv").toString + "/orders_csv"
+    val out = rtDir("source_csv")
     graft.sources.Sinks.writeCsv(
       Tables.orders(spark, dir)
         .select("o_orderkey", "o_orderpriority", "o_orderdate",
@@ -314,8 +326,7 @@ object Scans {
       |ORDER BY flag""".stripMargin
   ) { (spark, dir) =>
     import org.apache.spark.sql.types._
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_src_orc").toString + "/lineitem_orc"
+    val out = rtDir("source_orc")
     graft.sources.Sinks.writeOrc(
       Tables.lineitem(spark, dir)
         .select("l_returnflag", "l_quantity", "l_extendedprice"),
@@ -349,8 +360,7 @@ object Scans {
       |GROUP BY yr
       |ORDER BY yr""".stripMargin
   ) { (spark, dir) =>
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_sink_compact").toString + "/orders_t"
+    val path = rtDir("sink_compact") + "/orders_t"
     val src = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderdate", "o_totalprice")
     (0 until 4).foreach { id =>

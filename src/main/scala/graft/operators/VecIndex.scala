@@ -36,16 +36,10 @@ import org.apache.spark.sql.functions._
   */
 object VecIndex {
 
-  /** Long-form multi-table signatures of an embeddings frame: (vec_id,
-    * tbl, bucket), 4 rows per vector — VectorOps' shared hyperplane
-    * formula, so index and in-memory pipelines can never disagree. */
-  private def sigOf(emb: DataFrame): DataFrame = {
-    import VectorOps.{bucketExprSpark, nTables}
-    emb.select(col("vec_id") +:
-        (0 until nTables).map(t => expr(bucketExprSpark(t)).cast("int").as(s"b$t")): _*)
-      .selectExpr("vec_id",
-        s"stack($nTables, ${(0 until nTables).map(t => s"$t, b$t").mkString(", ")}) AS (tbl, bucket)")
-  }
+  /** Long-form multi-table signatures — [[VectorOps.sigLongForm]], the
+    * SAME function the in-memory pipeline runs, so index and in-memory
+    * paths cannot diverge (not a re-derivation from shared constants). */
+  private def sigOf(emb: DataFrame): DataFrame = VectorOps.sigLongForm(emb)
 
   /** Write the ANN index for `emb` (vec_id, embedding) as bucketed tables
     * `<name>_sig` / `<name>_emb`. One pass over the corpus: signatures are
@@ -58,12 +52,31 @@ object VecIndex {
 
   /** ADMIT a batch into the index: append its signature and payload rows.
     * Per-vector derivations — existing rows are untouched, and each
-    * appended file set is itself bucket-clustered. */
+    * appended file set is itself bucket-clustered.
+    *
+    * Idempotence guard (the DedupIndex.append discipline): only vec_ids
+    * the index does not already hold are appended, so replaying an
+    * admitted batch (foreachBatch's at-least-once contract) appends
+    * nothing — a duplicated payload row would give the same neighbor two
+    * ranks in probe's top-k and silently evict a genuine one. The guard
+    * reads the payload table this append writes, so the filtered batch is
+    * EAGERLY snapshotted (localCheckpoint) before either write: a lazy
+    * plan would re-read the updated table during the payload write and
+    * both see its own rows (self-read) and append nothing. */
   def append(batch: DataFrame, name: String, buckets: Int = 8): Unit = {
-    Sinks.writeBucketed(sigOf(batch), buckets, Seq("tbl", "bucket"),
-      s"${name}_sig", SaveMode.Append)
-    Sinks.writeBucketed(batch.select("vec_id", "embedding"), buckets,
-      Seq("vec_id"), s"${name}_emb", SaveMode.Append)
+    val spark = batch.sparkSession
+    val fresh = batch.select("vec_id", "embedding")
+      .join(spark.table(s"${name}_emb").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    try {
+      Sinks.writeBucketed(sigOf(fresh), buckets, Seq("tbl", "bucket"),
+        s"${name}_sig", SaveMode.Append)
+      Sinks.writeBucketed(fresh, buckets,
+        Seq("vec_id"), s"${name}_emb", SaveMode.Append)
+    } finally fresh.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
   }
 
   /** Probe the persisted index with a query batch (vec_id, embedding):
@@ -120,10 +133,21 @@ object VecIndex {
     * which is exactly what an append must not do); cell shape drifts
     * until the next offline [[ivfWrite]] retrain, and appended vectors
     * are immediately probe-visible because candidate generation joins on
-    * the stored cell id, never a re-derived centroid. */
-  def ivfAppend(batch: DataFrame, name: String, buckets: Int = 4): Unit =
-    Sinks.writeBucketed(batch.select("vec_id", "label", "embedding"),
-      buckets, Seq("label"), s"${name}_cell", SaveMode.Append)
+    * the stored cell id, never a re-derived centroid. Same replay guard
+    * and eager snapshot as [[append]]: only unseen vec_ids land, decided
+    * against the pre-append cell table. */
+  def ivfAppend(batch: DataFrame, name: String, buckets: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.select("vec_id", "label", "embedding")
+      .join(spark.table(s"${name}_cell").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    try Sinks.writeBucketed(fresh, buckets, Seq("label"), s"${name}_cell",
+      SaveMode.Append)
+    finally fresh.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+  }
 
   /** Probe the persisted IVF index with a query batch (vec_id, embedding):
     * rank the read-back centroid table, search the `p` nearest cells,

@@ -325,18 +325,24 @@ object VectorOps {
        |    JOIN embeddings b ON b.vec_id = c.b_id)
        |  WHERE rk <= 3)""".stripMargin
 
+  /** Long-form multi-table signatures of an embeddings frame: (vec_id,
+    * tbl, bucket), `nTables` ids+ints rows per vector, NO payload. The ONE
+    * formulation shared by the in-memory pipeline ([[multiTop3]]) and the
+    * persisted index writer/prober ([[VecIndex]]), so the disk artifact
+    * and the oracle twin can never disagree on the signature shape. */
+  private[operators] def sigLongForm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id") +:
+        (0 until nTables).map(t => expr(bucketExprSpark(t)).cast("int").as(s"b$t")): _*)
+      .selectExpr("vec_id",
+        s"stack($nTables, ${(0 until nTables).map(t => s"$t, b$t").mkString(", ")}) AS (tbl, bucket)")
+
   /** Spark side of the shared pipeline: exact top-3 per query vector over
     * the OR'd multi-table candidate set (columns a_id, b_id, sim, rk). */
   private def multiTop3(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    // long-form signatures: 4 (tbl, bucket) rows per vector, ids only —
-    // persisted because both sides of the candidate self-join read it
-    val sig = e
-      .select(col("vec_id") +:
-        (0 until nTables).map(t => expr(bucketExprSpark(t)).cast("int").as(s"b$t")): _*)
-      .selectExpr("vec_id",
-        s"stack($nTables, ${(0 until nTables).map(t => s"$t, b$t").mkString(", ")}) AS (tbl, bucket)")
-      .persistScratch()
+    // long-form signatures — persisted because both sides of the
+    // candidate self-join read it
+    val sig = sigLongForm(e).persistScratch()
     val cand = sig.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
       .join(sig.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),

@@ -116,10 +116,12 @@ object Sinks {
     * `seqCol`; against the table, one full outer equi-join on `keyCol`
     * where the row with the GREATER seq wins (ties go to the batch) —
     * the same single-join shape Delta/Iceberg run under streaming MERGE,
-    * never a per-row lookup. Because the table stores `seqCol` and the
-    * comparison is per key, replaying ANY earlier batch (not just the
-    * most recent) is a no-op: a stale seq loses to what's already stored,
-    * making the sink idempotent under arbitrary at-least-once replay.
+    * never a per-row lookup. The winner per key is the maximum of
+    * (seq, xxhash64 of the full row) — a TOTAL order, so equal-seq rows
+    * resolve deterministically instead of by arrival order. Because the
+    * stored state is always that maximum, replaying ANY earlier batch
+    * (in any order, any number of times) recomputes the same maximum:
+    * the sink converges under arbitrary at-least-once replay.
     *
     * Durability: the merge is staged to `<path>.tmp` and swapped in via
     * filesystem delete+rename, then the stage dir is gone. A crash before
@@ -130,23 +132,41 @@ object Sinks {
   def upsertBatch(batch: DataFrame, path: String, keyCol: String,
       seqCol: String): Unit = {
     val spark = batch.sparkSession
+    // deterministic total order per key: (seq, xxhash64(whole row)) —
+    // the hash is computed over the name-sorted column list so base and
+    // batch sides hash identically regardless of physical column order
+    def rowHash(cols: Seq[String], prefix: String = "") =
+      functions.xxhash64(cols.sorted.map(c => functions.col(s"$prefix$c")): _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(functions.col(seqCol).desc)
+      .partitionBy(keyCol)
+      .orderBy(functions.col(seqCol).desc, rowHash(batch.columns.toSeq).desc)
     val latest = batch
       .withColumn("__rn", functions.row_number().over(w))
       .filter(functions.col("__rn") === 1).drop("__rn")
+    // table existence via the PATH's filesystem (java.io.File would read
+    // the local disk even when the table lives on HDFS/S3 and silently
+    // replace the base table with the bare batch)
+    val tablePath = new org.apache.hadoop.fs.Path(path)
+    val tableExists = tablePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(tablePath)
     val merged =
-      if (!new java.io.File(path).exists()) latest
+      if (!tableExists) latest
       else {
         val base = spark.read.parquet(path)
         // prefix every batch column so the full-outer join is unambiguous;
-        // per key, the greater stored seq wins (batch on ties/inserts)
+        // per key, the greater (seq, row-hash) wins — batch on exact ties
+        // (identical row) and inserts
         val b = latest.columns.foldLeft(latest) { (d, c) =>
           d.withColumnRenamed(c, s"__b_$c")
         }
+        val baseHash = rowHash(base.columns.toSeq)
+        val batchHash = rowHash(base.columns.toSeq, "__b_")
         val batchWins = functions.col(s"__b_$keyCol").isNotNull &&
           (functions.col(keyCol).isNull ||
-            functions.col(s"__b_$seqCol") >= functions.col(seqCol))
+            functions.col(s"__b_$seqCol") > functions.col(seqCol) ||
+            (functions.col(s"__b_$seqCol") === functions.col(seqCol) &&
+              batchHash >= baseHash))
         base.join(b,
             functions.col(keyCol) === functions.col(s"__b_$keyCol"),
             "full_outer")

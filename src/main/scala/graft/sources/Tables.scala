@@ -129,11 +129,20 @@ object Tables {
     * regeneration's shift is diagnosable from the log alone. Cost: one
     * extra narrow-column scan per table per session (never per query —
     * the seen-set dedups), and a stats failure never fails the load. */
-  @volatile private var statsLogged: Set[(String, String)] = Set.empty
+  // guarded by synchronized: parallel loads of the same table must not
+  // both claim (and both run) the stats scan; a failed scan stays marked
+  // as logged — retrying a doomed full scan on every later load would
+  // violate the "never per query" cost claim above
+  private var statsLogged: Set[(String, String)] = Set.empty
+  private def claimStats(sfDir: String, name: String): Boolean =
+    synchronized {
+      val fresh = !statsLogged((sfDir, name))
+      if (fresh) statsLogged += ((sfDir, name))
+      fresh
+    }
   private def logFixtureStats(sfDir: String, name: String, df: DataFrame): Unit =
     if ((name == "documents" || name == "embeddings") &&
-        !statsLogged((sfDir, name))) {
-      statsLogged += ((sfDir, name))
+        claimStats(sfDir, name)) {
       try {
         val line =
           if (name == "documents") {
@@ -146,7 +155,6 @@ object Tables {
           }
         System.err.println(s"[graft] fixture $sfDir/$name.parquet: $line")
       } catch { case e: Throwable if scala.util.control.NonFatal(e) =>
-        statsLogged -= ((sfDir, name))
         System.err.println(
           s"[graft] fixture stats for $sfDir/$name failed: ${e.getMessage}")
       }

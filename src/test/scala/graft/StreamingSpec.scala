@@ -133,6 +133,19 @@ class StreamingSpec extends SparkTestBase {
     // the stage directory is renamed into place, not left behind
     assert(!new java.io.File(table + ".tmp").exists(),
       "upsertBatch must not leak its .tmp stage directory")
+    // EQUAL-seq determinism: two different values at the same seq resolve
+    // by the row-hash tiebreak (a total order), so applying them in either
+    // order — or replaying either afterwards — converges to one winner
+    graft.sources.Sinks.upsertBatch(
+      Seq((9L, "x", 5L)).toDF("key", "payload", "seq"), table, "key", "seq")
+    graft.sources.Sinks.upsertBatch(
+      Seq((9L, "y", 5L)).toDF("key", "payload", "seq"), table, "key", "seq")
+    val winner = state()(9L)
+    graft.sources.Sinks.upsertBatch( // replay the loser: must change nothing
+      Seq((9L, if (winner == "x") "y" else "x", 5L))
+        .toDF("key", "payload", "seq"), table, "key", "seq")
+    assert(state()(9L) === winner,
+      "equal-seq rows must resolve deterministically under replay")
   }
 
   test("stream-static enrichment joins each micro-batch against the dim") {

@@ -268,6 +268,11 @@ class VectorAndApproxSpec extends SparkTestBase {
       .as[(Int, Seq[Double])].collect().toMap
     graft.operators.VecIndex.ivfAppend(
       e.filter(col("vec_id") % 2 === 1), "graft_vecspec_ivf_app")
+    // replayed admit must append nothing (same guard as the LSH index)
+    graft.operators.VecIndex.ivfAppend(
+      e.filter(col("vec_id") % 2 === 1), "graft_vecspec_ivf_app")
+    assert(spk.table("graft_vecspec_ivf_app_cell").count() === e.count(),
+      "replayed IVF append duplicated cell rows")
     val centAfter = spk.table("graft_vecspec_ivf_app_cent")
       .as[(Int, Seq[Double])].collect().toMap
     assert(centAfter === centBefore,
@@ -296,6 +301,12 @@ class VectorAndApproxSpec extends SparkTestBase {
     val batch = e.filter(col("vec_id") < 20)
     graft.operators.VecIndex.write(e.filter(col("vec_id") % 2 === 0), "graft_vecspec_app_idx")
     graft.operators.VecIndex.append(e.filter(col("vec_id") % 2 === 1), "graft_vecspec_app_idx")
+    // REPLAY the append (foreachBatch at-least-once): the idempotence
+    // guard must admit nothing — a duplicated payload row would give the
+    // same neighbor two ranks in the probe top-k
+    graft.operators.VecIndex.append(e.filter(col("vec_id") % 2 === 1), "graft_vecspec_app_idx")
+    assert(spk.table("graft_vecspec_app_idx_emb").count() === e.count(),
+      "replayed append duplicated payload rows")
     graft.operators.VecIndex.write(e, "graft_vecspec_whole_idx")
     graft.sources.Scratch.releaseAll()
     val appended = graft.operators.VecIndex.probe(
