@@ -50,6 +50,32 @@ object DedupIndex {
       Seq("lang", "band", "sig"), s"${name}_bands")
   }
 
+  /** Re-REGISTER an existing index artifact in a fresh catalog. The
+    * bucketed tables [[write]] creates live in the session catalog, so
+    * under the default in-memory catalog a brand-new session must
+    * re-declare them (schema + bucketing DDL over the surviving parquet
+    * directories) before it can probe, append, or resume [[ingestStream]]
+    * from a checkpoint. The schema is read from the files themselves (no
+    * hardcoded DDL to drift); bucket files carry their bucket id in the
+    * file name, so the re-declared EXTERNAL table serves the bucket-aware
+    * probe scan exactly like the original registration — DedupSpec
+    * asserts probe-equality and that dropping the re-registration leaves
+    * the data intact. */
+  def register(spark: SparkSession, name: String, tokensPath: String,
+      bandsPath: String, buckets: Int = 8): Unit = {
+    def create(table: String, path: String, bucketCols: Seq[String]): Unit = {
+      val schema = spark.read.parquet(path).schema.toDDL
+      val bc = bucketCols.mkString(", ")
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(
+        s"""CREATE TABLE `$table` ($schema) USING parquet
+           |CLUSTERED BY ($bc) SORTED BY ($bc) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+    create(s"${name}_tokens", tokensPath, Seq("doc_id"))
+    create(s"${name}_bands", bandsPath, Seq("lang", "band", "sig"))
+  }
+
   /** ADMIT a probed batch into the index: append its token and band rows
     * to the same bucketed tables. Both derivations are per-document, so
     * an append never touches existing rows, and each appended file set is
@@ -202,9 +228,9 @@ object DedupIndex {
     * with the index exactly as the last completed cycle left it. The
     * index must have been [[write]]-created before the stream starts, and
     * the bucketed tables are registered in the session catalog: under the
-    * default in-memory catalog a brand-new session must re-create that
-    * registration (re-run [[write]] over the emitted batches, or run a
-    * persistent metastore, which is what a production deployment uses)
+    * default in-memory catalog a brand-new session re-declares them over
+    * the surviving parquet directories with [[register]] (a persistent
+    * metastore — the production deployment — makes even that unnecessary)
     * before resuming the checkpoint. */
   def ingestStream(docs: DataFrame, name: String, out: String,
       checkpoint: String, buckets: Int = 8):

@@ -295,6 +295,54 @@ class DedupSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
   }
 
+  test("DedupIndex.register re-declares an index artifact in a bare catalog") {
+    // Catalog-recovery path: a fresh session's in-memory catalog knows
+    // nothing about the index tables even though their parquet
+    // directories survive. register() must re-declare them (schema read
+    // from the files, bucketing DDL re-stated) such that a probe against
+    // the re-registration is row-identical and still bucket-aware — here
+    // proven by registering a SECOND name over the FIRST name's
+    // directories (exactly what a fresh session would do with the known
+    // warehouse paths).
+    val dir = sf()
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val name = "graft_dedupspec_reg_idx"
+    graft.operators.DedupIndex.write(
+      docs.filter(col("doc_id") % 5 =!= 4), name)
+    graft.sources.Scratch.releaseAll()
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val original = graft.operators.DedupIndex.probe(spark, name, batch)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.sources.Scratch.releaseAll()
+    def loc(t: String): String = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .location.toString
+    val (tokLoc, bandLoc) = (loc(s"${name}_tokens"), loc(s"${name}_bands"))
+    val reg = "graft_dedupspec_reg2_idx"
+    graft.operators.DedupIndex.register(spark, reg, tokLoc, bandLoc)
+    val recovered = graft.operators.DedupIndex.probe(spark, reg, batch)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(recovered.nonEmpty && recovered === original,
+      s"re-registered index diverged: ${recovered.diff(original)} vs " +
+        s"${original.diff(recovered)}")
+    graft.sources.Scratch.releaseAll()
+    // the re-declared table still serves the bucket-aware probe scan
+    val plan = graft.operators.DedupIndex.probe(spark, reg, batch)
+      .queryExecution.executedPlan.toString
+    val bandsScanSide = plan.linesIterator
+      .filter(l => l.contains(s"${reg}_bands")).mkString("\n")
+    assert(bandsScanSide.contains("SelectedBucketsCount") ||
+      plan.contains("Bucketed: true"),
+      s"re-registered bands scan is not bucket-aware:\n$plan")
+    // dropping the EXTERNAL re-registration must leave the data intact
+    spark.sql(s"DROP TABLE IF EXISTS ${reg}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${reg}_tokens")
+    assert(spark.read.parquet(tokLoc).count() > 0,
+      "dropping the re-registration deleted the index data")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
+  }
+
   test("winnowing honors its match guarantee and compresses the index") {
     val spk = spark
     import spk.implicits._
