@@ -63,17 +63,10 @@ object DedupIndex {
     * the data intact. */
   def register(spark: SparkSession, name: String, tokensPath: String,
       bandsPath: String, buckets: Int = 8): Unit = {
-    def create(table: String, path: String, bucketCols: Seq[String]): Unit = {
-      val schema = spark.read.parquet(path).schema.toDDL
-      val bc = bucketCols.mkString(", ")
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      spark.sql(
-        s"""CREATE TABLE `$table` ($schema) USING parquet
-           |CLUSTERED BY ($bc) SORTED BY ($bc) INTO $buckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
-    }
-    create(s"${name}_tokens", tokensPath, Seq("doc_id"))
-    create(s"${name}_bands", bandsPath, Seq("lang", "band", "sig"))
+    Sinks.registerBucketed(spark, s"${name}_tokens", tokensPath,
+      Seq("doc_id"), buckets)
+    Sinks.registerBucketed(spark, s"${name}_bands", bandsPath,
+      Seq("lang", "band", "sig"), buckets)
   }
 
   /** ADMIT a probed batch into the index: append its token and band rows

@@ -108,6 +108,18 @@ object VecIndex {
       .select("a_id", "b_id", "sim", "rk")
   }
 
+  /** Re-declare the LSH index artifact in a bare catalog (the
+    * [[DedupIndex.register]] recovery path for the ANN tables): a fresh
+    * session re-registers the surviving `_sig`/`_emb` directories and can
+    * probe/append without re-hashing the corpus. */
+  def register(spark: SparkSession, name: String, sigPath: String,
+      embPath: String, buckets: Int = 8): Unit = {
+    Sinks.registerBucketed(spark, s"${name}_sig", sigPath,
+      Seq("tbl", "bucket"), buckets)
+    Sinks.registerBucketed(spark, s"${name}_emb", embPath,
+      Seq("vec_id"), buckets)
+  }
+
   // ---- persisted IVF index ------------------------------------------------
   // The IVF counterpart of the LSH tables above: the expensive derivation
   // worth persisting here is the cell-centroid table plus the corpus
@@ -147,6 +159,14 @@ object VecIndex {
     finally fresh.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(false))
+  }
+
+  /** [[register]] for the IVF artifact: re-declare `_cent`/`_cell`. */
+  def ivfRegister(spark: SparkSession, name: String, centPath: String,
+      cellPath: String, buckets: Int = 4): Unit = {
+    Sinks.registerBucketed(spark, s"${name}_cent", centPath, Seq("label"), 1)
+    Sinks.registerBucketed(spark, s"${name}_cell", cellPath, Seq("label"),
+      buckets)
   }
 
   /** Probe the persisted IVF index with a query batch (vec_id, embedding):

@@ -89,6 +89,25 @@ object Sinks {
       .mode(mode).saveAsTable(table)
   }
 
+  /** Re-declare an existing bucketed-table artifact in a bare session
+    * catalog: schema is read from the parquet files themselves (no
+    * hardcoded DDL to drift) and the bucketing is re-stated, so a fresh
+    * session — whose default in-memory catalog died with its predecessor —
+    * can serve bucket-aware scans over the surviving directory. The
+    * re-registration is EXTERNAL (explicit LOCATION): dropping it leaves
+    * the data intact. Bucket files carry their bucket id in the file
+    * name, which is how the re-declared table stays bucket-aware. */
+  def registerBucketed(spark: SparkSession, table: String, path: String,
+      bucketCols: Seq[String], buckets: Int): Unit = {
+    val schema = spark.read.parquet(path).schema.toDDL
+    val bc = bucketCols.mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(
+      s"""CREATE TABLE `$table` ($schema) USING parquet
+         |CLUSTERED BY ($bc) SORTED BY ($bc) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
   /** One micro-batch of the exactly-once streaming parquet sink: each
     * batch owns the directory `batch=<id>` and OVERWRITES it whole. A
     * failure-replay of the same batch id (Structured Streaming's

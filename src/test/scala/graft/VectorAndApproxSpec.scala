@@ -251,6 +251,40 @@ class VectorAndApproxSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_rt_ivf_idx_cell")
   }
 
+  test("VecIndex.register re-declares the ANN artifact in a bare catalog") {
+    // Same recovery contract as DedupIndex.register, for the LSH tables:
+    // re-registering a second name over the first name's directories
+    // (what a fresh session does with the known warehouse paths) must
+    // probe row-identically, and dropping the external re-registration
+    // must leave the data intact.
+    val spk = spark
+    import spk.implicits._
+    val dir = sf()
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    graft.operators.VecIndex.write(e, "graft_vecspec_reg_idx")
+    val batch = e.filter(col("vec_id") < 20)
+    val original = graft.operators.VecIndex.probe(
+        spark, "graft_vecspec_reg_idx", batch)
+      .orderBy("a_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    def loc(t: String): String = spk.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .location.toString
+    graft.operators.VecIndex.register(spark, "graft_vecspec_reg2_idx",
+      loc("graft_vecspec_reg_idx_sig"), loc("graft_vecspec_reg_idx_emb"))
+    val recovered = graft.operators.VecIndex.probe(
+        spark, "graft_vecspec_reg2_idx", batch)
+      .orderBy("a_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(recovered.nonEmpty && recovered === original,
+      "re-registered ANN index diverged from the original")
+    // drop-safety of the external re-registration is covered by the
+    // DedupIndex.register test; here just clean up (reg2 first — it is
+    // external, so the managed original still owns the data)
+    Seq("graft_vecspec_reg2_idx", "graft_vecspec_reg_idx").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS ${n}_sig")
+      spark.sql(s"DROP TABLE IF EXISTS ${n}_emb")
+    }
+  }
+
   test("IVF append maintenance: payload-only admit, fixed centroids, probe-visible") {
     // IVF's admit path must be O(batch): payload rows append to the cell
     // table, the centroid table stays byte-identical (retraining is the
