@@ -7,9 +7,12 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * `binary` columns with typed metadata, processed by batched
   * per-partition transforms.
   *
-  * The DECODE step is a clearly-marked STUB — the real image/audio codecs
-  * are not in this container — implemented as a deterministic fake
-  * (dimensions/frames derived from the content digest) so every downstream
+  * DIMENSION extraction is real for self-describing containers
+  * (PNG/GIF/BMP/PPM/WAV header sniffing — the production shape at corpus
+  * scale, which never decodes pixels to learn a width); full PIXEL decode
+  * remains a clearly-marked STUB — the real image/audio codecs are not in
+  * this container — implemented as a deterministic fake (dimensions/frames
+  * derived from the content digest) for unknown magic so every downstream
   * shape is testable. Everything around it is the real Spark plumbing:
   * typed Datasets with product encoders, mapPartitions batching (one
   * MessageDigest per partition, not per row — the exact shape a JNI codec
@@ -40,10 +43,67 @@ object Multimodal {
   implicit val mediaRowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val mediaFeaturesEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
-  /** STUB decode: a real implementation hands `bytes` to an image/audio
-    * codec. This deterministic fake derives (width, height, frames) from
-    * the content digest so tests can assert exact values. Swap this single
-    * function for the codec call when the libs exist. */
+  /** REAL header sniffing for self-describing containers — no codec
+    * library needed, and also the production shape: corpus-scale
+    * dimension/duration extraction reads the first bytes of each blob,
+    * it never decodes pixels or samples. Covers PNG (IHDR), GIF (logical
+    * screen descriptor), BMP (BITMAPINFOHEADER), binary PPM (P6), and
+    * WAV/RIFF (frame count from the data chunk). Unknown magic → None,
+    * and the caller falls back to the declared deterministic stub, so
+    * synthetic test payloads keep their digest-derived shapes. */
+  private[graft] def sniffDimensions(
+      bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, n: Int): String =
+      new String(bytes, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length >= 24 && u8(0) == 0x89 && ascii(1, 3) == "PNG")
+      Some((be32(16), be32(20), 1))
+    else if (bytes.length >= 10 &&
+        (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a"))
+      Some((le16(6), le16(8), 1))
+    else if (bytes.length >= 26 && ascii(0, 2) == "BM")
+      Some((le32(18), math.abs(le32(22)), 1)) // height < 0 = top-down rows
+    else if (bytes.length >= 2 && ascii(0, 2) == "P6") {
+      // ASCII header: P6 <ws> width <ws> height <ws> maxval, '#' comments
+      var i = 2; var got = List.empty[Int]
+      while (i < bytes.length && got.length < 2) {
+        val c = u8(i)
+        if (c == '#') { while (i < bytes.length && u8(i) != '\n') i += 1 }
+        else if (Character.isDigit(c)) {
+          var v = 0
+          while (i < bytes.length && Character.isDigit(u8(i))) {
+            v = v * 10 + (u8(i) - '0'); i += 1
+          }
+          got = got :+ v
+        } else i += 1
+      }
+      got match { case w :: h :: Nil => Some((w, h, 1)); case _ => None }
+    } else if (bytes.length >= 44 && ascii(0, 4) == "RIFF" &&
+        ascii(8, 4) == "WAVE") {
+      // walk chunks: need fmt (block align) then data (byte size)
+      var i = 12; var blockAlign = 0; var frames = -1
+      while (i + 8 <= bytes.length && frames < 0) {
+        val id = ascii(i, 4); val sz = le32(i + 4)
+        if (id == "fmt " && i + 22 <= bytes.length)
+          blockAlign = le16(i + 20)
+        else if (id == "data" && blockAlign > 0)
+          frames = sz / blockAlign
+        i += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (frames >= 0) Some((0, 0, frames)) else None
+    } else None
+  }
+
+  /** STUB decode for payloads [[sniffDimensions]] cannot identify: a real
+    * implementation hands `bytes` to an image/audio codec. This
+    * deterministic fake derives (width, height, frames) from the content
+    * digest so tests can assert exact values. Swap this single function
+    * for the codec call when the libs exist. */
   private def decodeStub(digest: Array[Byte], kind: String): (Int, Int, Int) = {
     def b(i: Int): Int = digest(i) & 0xff
     kind match {
@@ -62,7 +122,8 @@ object Multimodal {
         md.reset()
         val dig = md.digest(r.bytes)
         val hex = dig.map(x => f"${x & 0xff}%02x").mkString
-        val (w, h, fr) = decodeStub(dig, r.kind)
+        val (w, h, fr) = sniffDimensions(r.bytes)
+          .getOrElse(decodeStub(dig, r.kind))
         MediaFeatures(r.media_id, r.kind, r.bytes.length, hex, w, h, fr)
       }
     }

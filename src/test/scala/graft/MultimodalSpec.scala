@@ -58,4 +58,48 @@ class MultimodalSpec extends SparkTestBase {
         s"formula diverges from sampler at n=$n")
     }
   }
+
+  test("header sniffing reads real dimensions from PNG/GIF/BMP/PPM/WAV bytes") {
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    // PNG: signature + IHDR length/type + width/height (big-endian)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 2)
+    assert(Multimodal.sniffDimensions(png) === Some((640, 480, 1)))
+    // GIF: signature + little-endian logical screen size
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0)
+    assert(Multimodal.sniffDimensions(gif) === Some((320, 200, 1)))
+    // BMP: BITMAPINFOHEADER with negative (top-down) height
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++ le32(800) ++ le32(-600) ++
+      new Array[Byte](4)
+    assert(Multimodal.sniffDimensions(bmp) === Some((800, 600, 1)))
+    // binary PPM with a comment line between the fields
+    val ppm = "P6\n# a comment 99\n1024 768\n255\n".getBytes ++
+      Array[Byte](0, 0, 0)
+    assert(Multimodal.sniffDimensions(ppm) === Some((1024, 768, 1)))
+    // WAV: RIFF/WAVE, fmt chunk (blockAlign=4 at +20), data chunk of 4000
+    // bytes -> 1000 frames
+    val fmtBody = le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++
+      le16(4) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(36 + 4000) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ fmtBody ++
+      "data".getBytes ++ le32(4000) ++ new Array[Byte](8)
+    assert(Multimodal.sniffDimensions(wav) === Some((0, 0, 1000)))
+    // unknown magic falls back to the declared stub (None here)
+    assert(Multimodal.sniffDimensions("not a container".getBytes) === None)
+    // end-to-end: a sniffable payload flows through extractFeatures with
+    // its REAL dimensions, an opaque one keeps the digest-derived fake
+    val spk = spark
+    import spk.implicits._
+    val ds = spk.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", "opaque".getBytes)))
+    val out = Multimodal.extractFeatures(ds).collect()
+      .map(f => f.media_id -> ((f.width, f.height, f.n_frames))).toMap
+    assert(out(1L) === ((640, 480, 1)))
+    assert(out(2L)._1 >= 64, "opaque payload must keep the stub shape")
+  }
 }
