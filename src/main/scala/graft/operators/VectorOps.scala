@@ -198,10 +198,19 @@ object VectorOps {
   private def plane(j: Int): IndexedSeq[Int] =
     (0 until dim).map(i => ((1103515245L * (j + 1) + 12345L * (i + 1)) % 1997L).toInt - 998)
 
+  // SUM semantics must match DuckDB's list_sum exactly even on
+  // out-of-contract rows: list_sum SKIPS NULL products and returns NULL
+  // for an all-NULL/empty list, while a plain aggregate(0.0, acc + x)
+  // NULL-poisons the whole sum the moment zip_with pads a ragged vector.
+  // So: filter the NULL products out and start the fold from NULL (first
+  // element coalesces it to 0.0) — identical on every in-contract vector
+  // (no NULLs, and 0.0 + x0 ≡ x0 for the sign test), and a ragged/empty
+  // vector yields NULL >= 0 = false on BOTH engines instead of bucketing
+  // differently per engine.
   private[operators] def bucketExprSpark(t: Int = 0): String =
     (0 until nPlanes).map { j =>
       val arr = plane(nPlanes * t + j).mkString("array(", ", ", ")")
-      s"IF(aggregate(zip_with(embedding, $arr, (x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0, ${1 << j}, 0)"
+      s"IF(aggregate(filter(zip_with(embedding, $arr, (x, h) -> CAST(x AS DOUBLE) * h), p -> p IS NOT NULL), CAST(NULL AS DOUBLE), (acc, x) -> coalesce(acc, CAST(0.0 AS DOUBLE)) + x) >= 0, ${1 << j}, 0)"
     }.mkString("(", " + ", ")")
 
   private def bucketExprDuck(t: Int = 0): String =
@@ -308,7 +317,7 @@ object VectorOps {
        |sig AS (
        |  SELECT vec_id, t.tbl,
        |    CASE t.tbl ${(0 until nTables).map(t => s"WHEN $t THEN b$t").mkString(" ")} END AS bucket
-       |  FROM s, (VALUES (0), (1), (2), (3)) AS t(tbl)),
+       |  FROM s, (VALUES ${(0 until nTables).map(t => s"($t)").mkString(", ")}) AS t(tbl)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM sig a JOIN sig b
