@@ -40,6 +40,58 @@ def norm(v):
     return v
 
 
+def canon_duck(t):
+    """Canonicalize a DuckDB DESCRIBE type to a comparable tag."""
+    t = t.upper()
+    if t.endswith("[]"):
+        return ("list", canon_duck(t[:-2]))
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return {"TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
+            "BIGINT": "int64", "HUGEINT": "int128", "UBIGINT": "uint64",
+            "UINTEGER": "uint32", "FLOAT": "float32", "REAL": "float32",
+            "DOUBLE": "float64", "VARCHAR": "string", "DATE": "date",
+            "BOOLEAN": "bool"}.get(t, t.lower())
+
+
+def canon_arrow(t):
+    """Canonicalize a pyarrow DataType to the same tag space."""
+    import pyarrow as pa
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", canon_arrow(t.value_type))
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    return {"int8": "int8", "int16": "int16", "int32": "int32",
+            "int64": "int64", "uint32": "uint32", "uint64": "uint64",
+            "float": "float32", "double": "float64",
+            "bool": "bool"}.get(str(t), str(t))
+
+
+def type_diff(con, sql, arrow_schema):
+    """DESCRIBE the oracle and diff column types vs the Spark parquet
+    schema. Catches the class crosscheck's value compare is blind to:
+    integer-width drift (DuckDB SUM(BIGINT) -> HUGEINT vs Spark BIGINT)
+    and decimal-vs-double drift — both arrive as identical Python values
+    but fail the driver's type-aware hash."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    d_types = {r[0]: canon_duck(r[1]) for r in desc}
+    s_types = {f.name: canon_arrow(f.type) for f in arrow_schema}
+    bad = []
+    for c in sorted(set(d_types) | set(s_types)):
+        dt, st = d_types.get(c), s_types.get(c)
+        if dt != st:
+            bad.append(f"{c}: spark={st} duckdb={dt}")
+    return bad
+
+
 def rows_of(cols, names):
     order = sorted(range(len(names)), key=lambda i: names[i])
     out = []
@@ -82,6 +134,11 @@ def main():
             continue
         if s_cols != d_cols_sorted:
             print(f"FAIL {name}: columns spark={s_cols} duckdb={d_cols_sorted}")
+            n_fail += 1
+            continue
+        tbad = type_diff(con, oracle[name], tbl.schema)
+        if tbad:
+            print(f"FAIL {name}: type drift: " + "; ".join(tbad))
             n_fail += 1
             continue
         if len(s_rows) != len(d_rows):

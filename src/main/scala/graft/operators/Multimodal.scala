@@ -66,8 +66,15 @@ object Multimodal {
     else if (bytes.length >= 10 &&
         (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a"))
       Some((le16(6), le16(8), 1))
-    else if (bytes.length >= 26 && ascii(0, 2) == "BM")
-      Some((le32(18), math.abs(le32(22)), 1)) // height < 0 = top-down rows
+    else if (bytes.length >= 26 && ascii(0, 2) == "BM") {
+      // only the le32-dimension DIB headers (BITMAPINFO/V4/V5); a
+      // BITMAPCOREHEADER (size 12, le16 dims) or corrupt size field would
+      // make the raw le32 reads below return garbage — reject instead
+      val dibSize = le32(14)
+      val ok = dibSize == 40 || dibSize == 108 || dibSize == 124
+      val w = le32(18); val h = math.abs(le32(22)) // height < 0 = top-down
+      if (ok && w > 0 && h > 0) Some((w, h, 1)) else None
+    }
     else if (bytes.length >= 2 && ascii(0, 2) == "P6") {
       // ASCII header: P6 <ws> width <ws> height <ws> maxval, '#' comments
       var i = 2; var got = List.empty[Int]
@@ -86,14 +93,20 @@ object Multimodal {
     } else if (bytes.length >= 44 && ascii(0, 4) == "RIFF" &&
         ascii(8, 4) == "WAVE") {
       // walk chunks: need fmt (block align) then data (byte size)
-      var i = 12; var blockAlign = 0; var frames = -1
-      while (i + 8 <= bytes.length && frames < 0) {
+      var i = 12; var blockAlign = 0; var frames = -1; var bad = false
+      while (!bad && i + 8 <= bytes.length && frames < 0) {
         val id = ascii(i, 4); val sz = le32(i + 4)
-        if (id == "fmt " && i + 22 <= bytes.length)
-          blockAlign = le16(i + 20)
-        else if (id == "data" && blockAlign > 0)
-          frames = sz / blockAlign
-        i += 8 + sz + (sz & 1) // chunks are word-aligned
+        // le32 is signed: a chunk size with the high bit set (malformed /
+        // hostile blob) would advance i by <= 0 and spin this loop
+        // forever on an executor — treat it as malformed and bail
+        if (sz < 0) bad = true
+        else {
+          if (id == "fmt " && i + 22 <= bytes.length)
+            blockAlign = le16(i + 20)
+          else if (id == "data" && blockAlign > 0)
+            frames = sz / blockAlign
+          i += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
       }
       if (frames >= 0) Some((0, 0, frames)) else None
     } else None

@@ -87,13 +87,19 @@ object Scans {
       .orderBy("priority")
   }
 
-  /** Fixed scratch location for a round-trip query's disk artifact,
+  /** Per-JVM scratch location for a round-trip query's disk artifact,
     * CLEARED on entry: repeated executions (bench, the heaviest-5 rerun,
     * plan audits) reuse one location instead of leaking a table copy per
-    * run into a fresh createTempDirectory. */
+    * run into a fresh createTempDirectory. The path carries a per-process
+    * unique component so two concurrent executions on one host (parallel
+    * test suites, two bench processes) never delete each other's in-use
+    * data — reuse stays within one JVM, isolation holds across JVMs. */
+  private lazy val rtSession: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private def rtDir(name: String): String = {
     val p = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_rt", name)
+      .get(sys.props("java.io.tmpdir"), s"graft_rt_$rtSession", name)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
@@ -319,7 +325,7 @@ object Scans {
   val qSourceOrc = Q(
     "q_source_orc",
     """SELECT l_returnflag AS flag, COUNT(*) AS n_items,
-      |  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
       |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
       |FROM lineitem
       |GROUP BY flag

@@ -62,7 +62,16 @@ object VecIndex {
     * reads the payload table this append writes, so the filtered batch is
     * EAGERLY snapshotted (localCheckpoint) before either write: a lazy
     * plan would re-read the updated table during the payload write and
-    * both see its own rows (self-read) and append nothing. */
+    * both see its own rows (self-read) and append nothing.
+    *
+    * Each of the two writes is guarded INDEPENDENTLY: `_emb` (written
+    * last) is the admission record, but a crash between the `_sig` and
+    * `_emb` writes would otherwise let the replay re-append signature
+    * rows already on disk — permanent duplicate sig rows that violate the
+    * artifact's clustering invariant (probe's candidate distinct() hides
+    * the correctness effect, not the bloat). So the sig write also
+    * anti-joins the existing `_sig` vec_ids: replay after any crash point
+    * appends only what is genuinely missing from each table. */
   def append(batch: DataFrame, name: String, buckets: Int = 8): Unit = {
     val spark = batch.sparkSession
     val fresh = batch.select("vec_id", "embedding")
@@ -70,7 +79,17 @@ object VecIndex {
         Seq("vec_id"), "left_anti")
       .localCheckpoint()
     try {
-      Sinks.writeBucketed(sigOf(fresh), buckets, Seq("tbl", "bucket"),
+      // `_sig` is bucketed on (tbl, bucket), not vec_id, so a plain
+      // anti-join on vec_id would shuffle the whole corpus sig table.
+      // Instead scan it once map-only: semi-join against the (small,
+      // broadcast) batch ids to get the handful of ids a crashed replay
+      // already wrote, then anti-join the batch sigs against that set.
+      val alreadySig = spark.table(s"${name}_sig").select("vec_id")
+        .join(broadcast(fresh.select("vec_id")), Seq("vec_id"), "left_semi")
+        .distinct()
+      val freshSig = sigOf(fresh)
+        .join(broadcast(alreadySig), Seq("vec_id"), "left_anti")
+      Sinks.writeBucketed(freshSig, buckets, Seq("tbl", "bucket"),
         s"${name}_sig", SaveMode.Append)
       Sinks.writeBucketed(fresh, buckets,
         Seq("vec_id"), s"${name}_emb", SaveMode.Append)

@@ -339,7 +339,7 @@ object VectorOps {
     * formulation shared by the in-memory pipeline ([[multiTop3]]) and the
     * persisted index writer/prober ([[VecIndex]]), so the disk artifact
     * and the oracle twin can never disagree on the signature shape. */
-  private[operators] def sigLongForm(emb: DataFrame): DataFrame =
+  private[graft] def sigLongForm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id") +:
         (0 until nTables).map(t => expr(bucketExprSpark(t)).cast("int").as(s"b$t")): _*)
       .selectExpr("vec_id",

@@ -72,10 +72,20 @@ class MultimodalSpec extends SparkTestBase {
     // GIF: signature + little-endian logical screen size
     val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0, 0, 0)
     assert(Multimodal.sniffDimensions(gif) === Some((320, 200, 1)))
-    // BMP: BITMAPINFOHEADER with negative (top-down) height
-    val bmp = "BM".getBytes ++ new Array[Byte](16) ++ le32(800) ++ le32(-600) ++
-      new Array[Byte](4)
+    // BMP: BITMAPINFOHEADER (DIB size 40 at offset 14) with negative
+    // (top-down) height
+    val bmp = "BM".getBytes ++ new Array[Byte](12) ++ le32(40) ++
+      le32(800) ++ le32(-600) ++ new Array[Byte](4)
     assert(Multimodal.sniffDimensions(bmp) === Some((800, 600, 1)))
+    // BITMAPCOREHEADER (DIB size 12, le16 dims) would be misread by the
+    // le32 path — must be rejected, not returned as garbage dimensions
+    val bmpCore = "BM".getBytes ++ new Array[Byte](12) ++ le32(12) ++
+      le16(800) ++ le16(600) ++ new Array[Byte](8)
+    assert(Multimodal.sniffDimensions(bmpCore) === None)
+    // corrupt INFOHEADER with zero width -> rejected
+    val bmpZero = "BM".getBytes ++ new Array[Byte](12) ++ le32(40) ++
+      le32(0) ++ le32(600) ++ new Array[Byte](4)
+    assert(Multimodal.sniffDimensions(bmpZero) === None)
     // binary PPM with a comment line between the fields
     val ppm = "P6\n# a comment 99\n1024 768\n255\n".getBytes ++
       Array[Byte](0, 0, 0)
@@ -88,6 +98,12 @@ class MultimodalSpec extends SparkTestBase {
       "fmt ".getBytes ++ le32(16) ++ fmtBody ++
       "data".getBytes ++ le32(4000) ++ new Array[Byte](8)
     assert(Multimodal.sniffDimensions(wav) === Some((0, 0, 1000)))
+    // hostile RIFF blob: a chunk size of 0xFFFFFFF8 reads back as a
+    // negative le32; the chunk walk must bail (return None), not advance
+    // by zero/negative and hang the executor task forever
+    val wavEvil = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xFFFFFFF8) ++ new Array[Byte](16)
+    assert(Multimodal.sniffDimensions(wavEvil) === None)
     // unknown magic falls back to the declared stub (None here)
     assert(Multimodal.sniffDimensions("not a container".getBytes) === None)
     // end-to-end: a sniffable payload flows through extractFeatures with

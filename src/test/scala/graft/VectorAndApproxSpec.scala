@@ -360,4 +360,32 @@ class VectorAndApproxSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS ${n}_emb")
     }
   }
+
+  test("VecIndex append replay after a crash between the two writes leaves no duplicate sig rows") {
+    // Crash model: append wrote `_sig` and died before `_emb`. The replay
+    // sees the batch absent from the admission record (`_emb`) and runs
+    // again — its sig write must skip the rows already on disk, or the
+    // artifact accumulates permanent duplicate signature rows.
+    val spk = spark
+    val dir = sf()
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    graft.operators.VecIndex.write(evens, "graft_vecspec_crash_idx")
+    // simulate the half-committed append: sig rows land, payload does not
+    graft.sources.Sinks.writeBucketed(
+      graft.operators.VectorOps.sigLongForm(odds), 8, Seq("tbl", "bucket"),
+      "graft_vecspec_crash_idx_sig", org.apache.spark.sql.SaveMode.Append)
+    // foreachBatch replays the batch
+    graft.operators.VecIndex.append(odds, "graft_vecspec_crash_idx")
+    val sig = spk.table("graft_vecspec_crash_idx_sig")
+    assert(sig.count() === sig.dropDuplicates("vec_id", "tbl").count(),
+      "replayed append duplicated signature rows after a simulated crash")
+    assert(sig.count() === e.count() * 4,
+      "sig table does not hold exactly 4 table-signatures per vector")
+    assert(spk.table("graft_vecspec_crash_idx_emb").count() === e.count(),
+      "payload table incomplete after the replayed append")
+    Seq("_sig", "_emb").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_vecspec_crash_idx$s"))
+  }
 }
