@@ -97,7 +97,7 @@ object Scans {
   private lazy val rtSession: String =
     java.util.UUID.randomUUID().toString.take(8)
 
-  private def rtDir(name: String): String = {
+  private[operators] def rtDir(name: String): String = {
     val p = java.nio.file.Paths
       .get(sys.props("java.io.tmpdir"), s"graft_rt_$rtSession", name)
     def rm(f: java.io.File): Unit = {

@@ -111,52 +111,95 @@ object TextExtras {
       .orderBy("source")
   }
 
-  /** n-gram (3-token shingle) Jaccard near-dup: far more discriminative
-    * than token-set Jaccard on a small vocabulary (word ORDER matters), so
-    * the threshold separates cleanly. Inverted-index join on the shingle
-    * (see body); same exact-integer threshold arithmetic as Q32. */
-  val qDedupNgram = Q(
-    "q_dedup_ngram",
-    """WITH t AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-      |  FROM documents)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-      |ORDER BY a_id, b_id""".stripMargin
-  ) { (spark, dir) =>
-    // Inverted-index plan: build the (doc, shingle) incidence list and
-    // equi-join ON THE SHINGLE — |A ∩ B| falls out of a groupBy count over
-    // the (pair, shared-shingle) incidences. No per-pair set operation ever
-    // runs, and cost scales with the incidence count (Σ_pairs |∩|), not the
-    // full pair count — the all-pairs-similarity shape that holds up on a
-    // 1000-executor cluster (the shuffle key is the shingle, which has high
-    // cardinality, unlike the 5-value lang block).
-    //
-    // Shingles come from posexplode + two lead() windows over token
-    // position — ONE tokenize per document. (The array formulation
-    // `transform(sequence, i -> slice(split(text), i, 3))` re-evaluates
-    // split(text) per shingle under CollapseProject: ~50x the work.)
+  /** Document-frequency ceiling for the shingle inverted index: a shingle
+    * present in more than this many documents (per language) is template
+    * boilerplate — it carries no near-dup signal, but its bucket's pair
+    * mass grows QUADRATICALLY with df, so one hot shingle can dominate
+    * the entire inverted-index join (the q_dedup_bucket_skew failure
+    * mode). Dropping df > cap shingles BEFORE the join bounds any single
+    * shingle's contribution at cap·(cap−1)/2 pairs while leaving every
+    * discriminative shingle intact; similarity is then computed over the
+    * capped sets on BOTH engines (the df ≥ 5 q_text_cooccur precedent,
+    * in the other direction). ScaleSpec proves a planted all-docs
+    * boilerplate shingle never reaches the join. */
+  private[operators] val shingleDfCap = 64
+
+  /** Shared (doc_id, lang, s) 3-token-shingle incidence for the n-gram
+    * near-dup family, df-capped per [[shingleDfCap]]. Shingles come from
+    * posexplode + two lead() windows over token position — ONE tokenize
+    * per document. (The array formulation `transform(sequence, i ->
+    * slice(split(text), i, 3))` re-evaluates split(text) per shingle
+    * under CollapseProject: ~50x the work.) The df count rides a window
+    * over the SAME (lang, s) shuffle the inverted-index join needs, so
+    * the cap costs no extra exchange of the incidence list. Persisted:
+    * both join sides and the per-doc size aggregate read it. */
+  private[graft] def shingleInc(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         posexplode(split(col("text"), " ")).as(Seq("p", "t")))
     val w = Window.partitionBy("doc_id").orderBy("p")
-    val inc = toks
+    toks
       .withColumn("t1", lead("t", 1).over(w))
       .withColumn("t2", lead("t", 2).over(w))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("lang"),
         concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
       .dropDuplicates("doc_id", "s")
-      // persist: the incidence list feeds both sides of the inverted-index
-      // join AND the per-doc size aggregate — three executions otherwise
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "s")))
+      .filter(col("df") <= shingleDfCap)
+      .drop("df")
       .persistScratch()
+  }
+
+  /** Shared DuckDB CTE chain mirroring [[shingleInc]] + the inverted-index
+    * intersection counts: capped incidence `keep`, per-doc capped size
+    * `sz`, unordered-pair intersection `inter`. */
+  private val shingleIncDuck =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+       |  FROM documents),
+       |inc AS (SELECT doc_id, lang, unnest(sh) AS s FROM t),
+       |hot AS (SELECT lang, s FROM inc GROUP BY lang, s
+       |        HAVING COUNT(*) > $shingleDfCap),
+       |keep AS (SELECT i.doc_id, i.lang, i.s FROM inc i
+       |  ANTI JOIN hot h ON i.lang = h.lang AND i.s = h.s),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS sz
+       |       FROM keep GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(COUNT(*) AS INT) AS inter
+       |  FROM keep a JOIN keep b
+       |    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  /** n-gram (3-token shingle) Jaccard near-dup: far more discriminative
+    * than token-set Jaccard on a small vocabulary (word ORDER matters), so
+    * the threshold separates cleanly. Inverted-index join on the shingle
+    * (see [[shingleInc]]); same exact-integer threshold arithmetic as Q32;
+    * similarity is over the df-capped shingle sets ([[shingleDfCap]]) —
+    * boilerplate-blind on both engines. */
+  val qDedupNgram = Q(
+    "q_dedup_ngram",
+    s"""$shingleIncDuck
+       |SELECT a_id, b_id,
+       |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = a_id
+       |           JOIN sz sb ON sb.doc_id = b_id
+       |WHERE 3 * inter >= sa.sz + sb.sz
+       |ORDER BY a_id, b_id""".stripMargin
+  ) { (spark, dir) =>
+    // Inverted-index plan: equi-join the capped (doc, shingle) incidence
+    // ON THE SHINGLE — |A ∩ B| falls out of a groupBy count over the
+    // (pair, shared-shingle) incidences. No per-pair set operation ever
+    // runs, and cost scales with the incidence count (Σ_pairs |∩|), not
+    // the full pair count — the all-pairs-similarity shape that holds up
+    // on a 1000-executor cluster (the shuffle key is the shingle, which
+    // has high cardinality, unlike the 5-value lang block), and the df
+    // cap bounds any one bucket's quadratic pair mass.
+    val inc = shingleInc(spark, dir)
     val sz = inc.groupBy("doc_id", "lang").agg(count(lit(1)).cast("int").as("sz"))
     val inter = inc.select(col("doc_id").as("a_id"), col("lang"), col("s"))
       .join(inc.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
@@ -185,37 +228,24 @@ object TextExtras {
     * doc embedded verbatim in a long one): Jaccard dilutes by the big
     * doc's size and misses them, C(small→big) stays ~1. Same
     * inverted-index join as q_dedup_ngram (cost ∝ Σ|∩|, shuffle key =
-    * the high-cardinality shingle); the a<b intersection counts fan out
-    * to BOTH directions afterwards — one row per (contained, container)
-    * passing the exact integer threshold 5·|∩| ≥ 4·|A| (C ≥ 0.8). */
+    * the high-cardinality shingle, df-capped per [[shingleDfCap]]); the
+    * a<b intersection counts fan out to BOTH directions afterwards — one
+    * row per (contained, container) passing the exact integer threshold
+    * 5·|∩| ≥ 4·|A| (C ≥ 0.8). */
   val qDedupContainment = Q(
     "q_dedup_containment",
-    """WITH t AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-      |  FROM documents)
-      |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
-      |    AS containment
-      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-      |WHERE len(a.sh) > 0
-      |  AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
-      |ORDER BY contained_id, container_id""".stripMargin
+    s"""$shingleIncDuck,
+       |directed AS (
+       |  SELECT a_id AS contained_id, b_id AS container_id, inter FROM inter
+       |  UNION ALL
+       |  SELECT b_id AS contained_id, a_id AS container_id, inter FROM inter)
+       |SELECT contained_id, container_id,
+       |  round(CAST(inter AS DOUBLE) / sz, 6) AS containment
+       |FROM directed JOIN sz ON sz.doc_id = contained_id
+       |WHERE 5 * inter >= 4 * sz
+       |ORDER BY contained_id, container_id""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("p", "t")))
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val inc = toks
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
-      .dropDuplicates("doc_id", "s")
-      .persistScratch() // both join sides + the size aggregate
+    val inc = shingleInc(spark, dir)
     val sz = inc.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     // intersections once per unordered pair, then both directions
     val inter = inc.select(col("doc_id").as("a_id"), col("lang"), col("s"))

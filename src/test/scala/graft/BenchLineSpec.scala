@@ -73,6 +73,39 @@ class BenchLineSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("Scratch checkpoint release emits no WARN into the log stream") {
+    // The driver's perf artifact is a bounded stdout tail — the
+    // "was locally checkpointed, its lineage has been truncated" WARN
+    // (by-design noise from Scratch's release of never-recomputed
+    // checkpoint RDDs) must be filtered by the shipped log4j2 config or
+    // it buries the one JSON line. Capture at the root logger: an event
+    // suppressed at category level never reaches any appender.
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender(
+      "graft-rdd-warn-probe", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLevel == org.apache.logging.log4j.Level.WARN &&
+            e.getLoggerName.startsWith("org.apache.spark.rdd"))
+          seen.add(e.getMessage.getFormattedMessage)
+    }
+    app.start()
+    val root = LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    root.addAppender(app)
+    try {
+      val ds = spark.range(1000).toDF("id").localCheckpoint()
+      ds.count()
+      graft.sources.Scratch.registerCkpt(ds)
+      graft.sources.Scratch.releaseAll()
+      assert(seen.isEmpty,
+        s"checkpoint release leaked WARNs into the tail: ${seen}")
+    } finally root.removeAppender(app)
+  }
+
   test("full bench.json carries every query and the error map") {
     import spark.implicits._
     val rs = fakeResults :+ ("q_broken" -> -1.0)

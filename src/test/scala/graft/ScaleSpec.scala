@@ -131,4 +131,38 @@ class ScaleSpec extends SparkTestBase {
       spark.catalog.clearCache() // drop frames persisted by either session
     }
   }
+
+  test("shingle df cap: planted all-docs boilerplate never reaches the inverted-index join") {
+    // One template shingle shared by every document would contribute
+    // n·(n−1)/2 candidate pairs to the shingle self-join — the quadratic
+    // mega-bucket q_dedup_bucket_skew warns about. The df ceiling must
+    // drop it from the incidence BEFORE the join while genuinely similar
+    // documents still pair on their discriminative shingles.
+    val spk = spark
+    import spk.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    val boiler = "standard footer text"
+    val docs =
+      // 70 docs (> cap 64), each: the boilerplate + a unique 5-token tail
+      (0 until 70).map { i =>
+        (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e", "en", "src")
+      } ++ Seq(
+        // a genuine near-dup pair: identical text beyond the boilerplate
+        (100L, s"$boiler alpha beta gamma delta", "en", "src"),
+        (101L, s"$boiler alpha beta gamma delta", "en", "src"))
+    docs.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    try {
+      val inc = graft.operators.TextExtras.shingleInc(spk, dir)
+      assert(inc.filter(col("s") === boiler).count() === 0,
+        "df > cap boilerplate shingle reached the join input")
+      assert(inc.filter(col("doc_id") === 0L).count() > 0,
+        "cap must drop only the hot shingle, not the document")
+      val pairs = graft.operators.TextExtras.qDedupNgram.fn(spk, dir)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((100L, 101L)),
+        s"expected exactly the planted near-dup pair, got $pairs")
+    } finally graft.sources.Scratch.releaseAll()
+  }
 }
