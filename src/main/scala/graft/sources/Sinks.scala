@@ -116,7 +116,11 @@ object Sinks {
     * overwrite-per-batch-directory discipline, and readers see the batch
     * id as a partition column (write lineage for free). */
   def writeBatch(batch: DataFrame, path: String, batchId: Long): Unit =
-    batch.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+    // pointer-aware: after a compaction published a versioned data dir,
+    // later micro-batches keep landing inside the LIVE version (readers
+    // resolve through the same pointer and see litter + compacted rows)
+    batch.write.mode(SaveMode.Overwrite).parquet(
+      s"${resolveTable(batch.sparkSession, path)}/batch=$batchId")
 
   /** Exactly-once streaming parquet sink via foreachBatch — the seam a
     * production pipeline uses when the sink needs transactional behavior
@@ -142,12 +146,10 @@ object Sinks {
     * (in any order, any number of times) recomputes the same maximum:
     * the sink converges under arbitrary at-least-once replay.
     *
-    * Durability: the merge is staged to `<path>.tmp` and swapped in via
-    * filesystem delete+rename, then the stage dir is gone. A crash before
-    * the delete leaves the previous table intact; the delete→rename
-    * window itself is NOT atomic (two metadata ops) — a real table format
-    * closes that gap with a single metadata commit, which is exactly the
-    * ACID-layer non-goal documented in README. */
+    * Durability: the merge is staged to a fresh versioned dir inside the
+    * table root and committed via the manifest-pointer [[publish]] — ONE
+    * atomic pointer rename, so a crash at any point leaves readers (who
+    * resolve through [[readTable]]) on a complete table version. */
   def upsertBatch(batch: DataFrame, path: String, keyCol: String,
       seqCol: String): Unit = {
     val spark = batch.sparkSession
@@ -164,15 +166,23 @@ object Sinks {
       .filter(functions.col("__rn") === 1).drop("__rn")
     // table existence via the PATH's filesystem (java.io.File would read
     // the local disk even when the table lives on HDFS/S3 and silently
-    // replace the base table with the bare batch)
-    val tablePath = new org.apache.hadoop.fs.Path(path)
-    val tableExists = tablePath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(tablePath)
+    // replace the base table with the bare batch). A root holding only
+    // staged `data-*` dirs and no pointer is a crashed initial publish —
+    // nothing was ever committed, so the table does not exist yet.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    val pointer = readPointer(fs, root)
+    val resolved = pointer.map(n => s"$path/$n").getOrElse(path)
+    val tableExists =
+      if (pointer.isDefined) fs.exists(new org.apache.hadoop.fs.Path(resolved))
+      else fs.exists(root) && fs.listStatus(root).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("data-") && !n.startsWith(".")
+      }
     val merged =
       if (!tableExists) latest
       else {
-        val base = spark.read.parquet(path)
+        val base = spark.read.parquet(resolved)
         // prefix every batch column so the full-outer join is unambiguous;
         // per key, the greater (seq, row-hash) wins — batch on exact ties
         // (identical row) and inserts
@@ -194,13 +204,12 @@ object Sinks {
               .otherwise(functions.col(c)).as(c)
           }: _*)
       }
-    // Stage, then swap by rename: materialize the merge fully (it reads
-    // the live table, so the old dir must survive until the plan is done),
-    // drop the old dir, move the stage into place. No second rewrite, no
-    // leaked stage copy.
-    val tmp = s"$path.tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    swapInto(spark, tmp, path)
+    // Stage fully (the merge reads the live version, which the publish
+    // protocol keeps intact until one more cycle completes), then commit
+    // with the single atomic pointer swap.
+    val staged = stageName()
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
+    publish(spark, path, staged)
   }
 
   /** Small-file compaction for a parquet directory: one read, one
@@ -215,22 +224,92 @@ object Sinks {
     * `coalesce` (not repartition) keeps the rewrite shuffle-free. */
   def compact(spark: SparkSession, path: String, files: Int,
       partitionCols: Seq[String] = Nil): Unit = {
-    val df = spark.read.parquet(path).coalesce(files)
-    val tmp = s"$path.compact.tmp"
+    // resolve through the pointer so repeated compactions (and compaction
+    // after more writeBatch litter landed in the live version) read the
+    // current data dir; commit via the same atomic pointer swap
+    val df = spark.read.parquet(resolveTable(spark, path)).coalesce(files)
+    val staged = stageName()
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp)
-    swapInto(spark, tmp, path)
+      .parquet(s"$path/$staged")
+    publish(spark, path, staged)
   }
 
-  /** Replace `dst` with the staged directory `src` (delete + rename; the
-    * two-metadata-op window is the documented ACID non-goal). */
-  private def swapInto(spark: SparkSession, src: String, dst: String): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val d = new org.apache.hadoop.fs.Path(dst)
-    val fs = d.getFileSystem(hconf)
-    fs.delete(d, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(src), d))
-      throw new java.io.IOException(s"swapInto: rename $src -> $dst failed")
+  // ---- Manifest-pointer table publish ------------------------------------
+  // A rewritten table (streaming MERGE, compaction) is published by writing
+  // the new data to a fresh versioned directory INSIDE the table root and
+  // then atomically swapping a single pointer file (`CURRENT`, containing
+  // the live data-dir name) that every reader resolves through. The commit
+  // is ONE atomic metadata op (rename-with-overwrite of the pointer), so a
+  // crash at any point leaves readers on a complete table version:
+  //   - crash while staging → CURRENT still names the old version;
+  //   - crash between pointer-tmp write and rename → same;
+  //   - crash after the swap, before retirement → new version live, stale
+  //     dirs leak until the next publish retires them.
+  // The PREDECESSOR version survives one extra publish cycle, so a reader
+  // that resolved CURRENT just before a swap can finish its scan. This is
+  // the minimal slice of a table format's commit protocol — no manifest
+  // lists, no snapshot history — sized to the delete→rename window it
+  // closes (SinkSourceSpec simulates the crash points).
+
+  private val PointerFile = "CURRENT"
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(root, PointerFile)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Resolve a table root through its `CURRENT` pointer to the live data
+    * directory. A root without a pointer (a plain parquet dir, or the
+    * streaming sink's raw `batch=` litter) resolves to itself, so every
+    * reader can go through this unconditionally. */
+  def resolveTable(spark: SparkSession, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    readPointer(fsOf(spark, root), root)
+      .map(name => s"$path/$name").getOrElse(path)
+  }
+
+  /** Read a (possibly pointer-published) table — the reader half of the
+    * publish protocol. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(resolveTable(spark, path))
+
+  private def stageName(): String =
+    s"data-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  /** Commit `stagedName` (a data dir already fully written inside the
+    * table root) as the live version: atomic pointer swap, then retire
+    * every root entry except the new version, its predecessor, and the
+    * pointer itself — which also absorbs a legacy (pre-pointer) layout's
+    * root-level files on first publish. */
+  private def publish(spark: SparkSession, rootPath: String,
+      stagedName: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = fsOf(spark, root)
+    val prev = readPointer(fs, root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$PointerFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(stagedName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename-with-overwrite is the one atomic metadata op of the commit
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, PointerFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val keep = Set(PointerFile, stagedName) ++ prev
+    fs.listStatus(root).foreach { st =>
+      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
   }
 }

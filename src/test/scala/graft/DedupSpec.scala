@@ -295,6 +295,49 @@ class DedupSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
   }
 
+  test("DedupIndex append replay heals a crash between the token and band writes") {
+    // Crash model: a previous append wrote the batch's token rows and
+    // died before the band rows. With a single guard on the first-written
+    // table the replay would see the docs as admitted and never write
+    // their bands — permanently invisible to every future probe. The
+    // per-table guards must instead complete the bands (reading the
+    // tokens back from the bucketed table, not re-tokenizing) without
+    // duplicating token rows, and a further replay must append nothing.
+    val common = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"uniq$i").mkString(" ")
+    val corpus = Seq((3L, s"$common alpha", "en")).toDF("doc_id", "text", "lang")
+    val batch1 = Seq((10L, s"$other beta", "en")).toDF("doc_id", "text", "lang")
+    val batch2 = Seq((20L, s"$other gamma", "en")).toDF("doc_id", "text", "lang")
+    val name = "graft_dedupspec_crash_idx"
+    graft.operators.DedupIndex.write(corpus, name)
+    graft.sources.Scratch.releaseAll()
+    // simulate the half-committed admit: token rows land, band rows do not
+    graft.sources.Sinks.writeBucketed(
+      graft.operators.SketchDedup.tokenFrameOf(batch1), 8, Seq("doc_id"),
+      s"${name}_tokens", org.apache.spark.sql.SaveMode.Append)
+    // foreachBatch replays the admit
+    graft.operators.DedupIndex.append(batch1, name)
+    graft.sources.Scratch.releaseAll()
+    assert(spark.table(s"${name}_tokens").count() === 2,
+      "replayed append duplicated token rows")
+    val nBands = spark.table(s"${name}_bands").count()
+    assert(spark.table(s"${name}_bands").select("doc_id").distinct().count() === 2,
+      "replay did not heal the missing band rows")
+    // the healed doc is now visible to a probe
+    val hits = graft.operators.DedupIndex.probe(spark, name, batch2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits === Seq((20L, 1L, 10L)),
+      s"probe after healed append found $hits, expected the batch-1 match")
+    graft.sources.Scratch.releaseAll()
+    // a fully-completed admit replayed once more appends nothing
+    graft.operators.DedupIndex.append(batch1, name)
+    assert(spark.table(s"${name}_tokens").count() === 2 &&
+      spark.table(s"${name}_bands").count() === nBands,
+      "replay of a completed append was not a no-op")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
+  }
+
   test("DedupIndex.register re-declares an index artifact in a bare catalog") {
     // Catalog-recovery path: a fresh session's in-memory catalog knows
     // nothing about the index tables even though their parquet

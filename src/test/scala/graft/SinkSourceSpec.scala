@@ -246,14 +246,52 @@ class SinkSourceSpec extends SparkTestBase {
     assert(nBefore >= 6, s"expected at least one file per batch, saw $nBefore")
     // preserve the hive layout: batch is a partition column on disk
     graft.sources.Sinks.compact(spark, path, 1, Seq("batch"))
-    val nAfter = parquetFiles(path).size
-    val after = spark.read.parquet(path)
+    val resolved = graft.sources.Sinks.resolveTable(spark, path)
+    val nAfter = parquetFiles(resolved).size
+    val after = graft.sources.Sinks.readTable(spark, path)
       .select("k", "v", "batch").as[(Long, String, Long)].collect().toSet
     assert(after === before, "compaction changed table content")
     assert(nAfter < nBefore,
       s"compaction did not reduce file count: $nBefore -> $nAfter")
-    // partition directories survived the rewrite
-    assert(new java.io.File(s"$path/batch=0").isDirectory,
+    // partition directories survived the rewrite inside the live version
+    assert(new java.io.File(s"$resolved/batch=0").isDirectory,
       "hive partition layout lost in compaction")
+  }
+
+  test("manifest-pointer publish: readers see a complete table at every crash point") {
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_publish").toString + "/t"
+    def state(): Set[(Long, String, Long)] =
+      graft.sources.Sinks.readTable(spk, table)
+        .as[(Long, String, Long)].collect().toSet
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("key", "v", "seq"),
+      table, "key", "seq")
+    val v1 = state()
+    assert(v1.map(_._1) === Set(1L, 2L))
+    // Crash point 1: a later publish fully staged its data dir and died
+    // before the pointer swap — readers must still resolve the committed
+    // version, never the orphan.
+    Seq((1L, "CRASH", 9L)).toDF("key", "v", "seq")
+      .write.parquet(s"$table/data-crashed00000")
+    assert(state() === v1, "reader saw an uncommitted staged version")
+    // Crash point 2: the pointer-tmp file was written but the atomic
+    // rename never ran.
+    Files.writeString(java.nio.file.Paths.get(s"$table/.CURRENT.tmp"),
+      "data-crashed00000")
+    assert(state() === v1, "reader resolved through an uncommitted pointer tmp")
+    // The replayed cycle commits normally and retires the crash debris.
+    graft.sources.Sinks.upsertBatch(
+      Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("key", "v", "seq"),
+      table, "key", "seq")
+    assert(state() === Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 1L)))
+    val entries = new java.io.File(table).listFiles().map(_.getName).toSet
+    assert(!entries.contains("data-crashed00000") &&
+      !entries.contains(".CURRENT.tmp"),
+      s"completed publish must retire crash debris, root holds $entries")
+    // the predecessor version survives one cycle for in-flight readers
+    assert(entries.count(_.startsWith("data-")) === 2,
+      s"expected live + predecessor versions, root holds $entries")
   }
 }

@@ -82,7 +82,7 @@ class SparkifyEtlSpec extends SparkTestBase {
       "two micro-batches must have produced two batch partitions")
     assert(sp.filter(col("song_id").isNotNull).count() === 2)
     // users: cross-batch latest-wins — user 7's batch-1 upgrade sticks
-    val users = spark.read.parquet(s"$out/users_stream")
+    val users = graft.sources.Sinks.readTable(spark, s"$out/users_stream")
     assert(users.count() === 2)
     assert(users.filter(col("user_id") === 7).head().getAs[String]("level")
       === "paid")
@@ -93,7 +93,7 @@ class SparkifyEtlSpec extends SparkTestBase {
         s"$logDir/log0.json"))
     graft.sources.Sinks.upsertBatch(stale, s"$out/users_stream",
       "user_id", "seq_ts")
-    val replayed = spark.read.parquet(s"$out/users_stream")
+    val replayed = graft.sources.Sinks.readTable(spark, s"$out/users_stream")
     assert(replayed.count() === 2 &&
       replayed.filter(col("user_id") === 7).head().getAs[String]("level")
         === "paid",

@@ -104,7 +104,7 @@ class StreamingSpec extends SparkTestBase {
           graft.sources.Sinks.upsertBatch(batch.toDF(), table, "key", "seq")
       }
       .option("checkpointLocation", ckpt).start()
-    def state(): Map[Long, String] = spk.read.parquet(table)
+    def state(): Map[Long, String] = graft.sources.Sinks.readTable(spk, table)
       .select("key", "payload").as[(Long, String)].collect().toMap
     try {
       // batch 1: two inserts, with an in-batch duplicate key (seq 2 wins)
@@ -130,9 +130,13 @@ class StreamingSpec extends SparkTestBase {
       table, "key", "seq")
     assert(state() === Map(1L -> "a3", 2L -> "b1", 3L -> "c1"),
       "a replayed stale batch must lose to greater stored seqs")
-    // the stage directory is renamed into place, not left behind
-    assert(!new java.io.File(table + ".tmp").exists(),
-      "upsertBatch must not leak its .tmp stage directory")
+    // pointer-published layout: CURRENT names the live data dir, and at
+    // most the predecessor version is retained alongside it
+    assert(new java.io.File(table + "/CURRENT").exists(),
+      "upsertBatch must publish through the CURRENT pointer")
+    assert(new java.io.File(table).listFiles()
+      .count(_.getName.startsWith("data-")) <= 2,
+      "publish must retire all but the live version and its predecessor")
     // EQUAL-seq determinism: two different values at the same seq resolve
     // by the row-hash tiebreak (a total order), so applying them in either
     // order — or replaying either afterwards — converges to one winner
