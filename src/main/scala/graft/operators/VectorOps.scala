@@ -980,7 +980,20 @@ object VectorOps {
     * the collected d×d matrix — 2 080 upper-triangle entries, bounded by
     * dim² like the TokenBits vocab collect, NEVER by the corpus — because
     * a 64×64 eigenproblem distributed across executors would be pure
-    * overhead. 40 fixed iterations from the deterministic uniform start
+    * overhead.
+    *
+    * DRIVER-MEMORY BOUND: the collect is d(d+1)/2 rows ≈ 16·d² bytes as
+    * Row objects — negligible at d = 64 (2 080 entries), ~50 MB at
+    * d = 2 048, ~134 MB of raw doubles (≈ 500 MB with Row overhead) at
+    * d = 4 096. The driver-side iteration is therefore sized for
+    * d ≲ 2 000; beyond that, keep the matvec distributed: hold the tri
+    * entries as a (i, j, c) DataFrame, broadcast the current d-vector,
+    * and compute v' = normalize(Σ_j c·v_j grouped by i) per iteration —
+    * 40 short shuffle rounds whose cost is d²-bounded and
+    * corpus-independent (the Gramian scan, which IS corpus-sized, is
+    * unchanged and runs once either way). See BASELINE.md §PCA.
+    *
+    * 40 fixed iterations from the deterministic uniform start
     * vector; the sign is normalized so the largest-|loading| component is
     * positive (eigenvectors are sign-ambiguous). Eigen-extraction is not
     * SQL-expressible, so like the sketch estimates this is contractually
