@@ -1000,8 +1000,13 @@ object VectorOps {
     * un-oracled (driver rows-only check); VectorAndApproxSpec plants a
     * rank-1 direction and asserts ≥ 0.99 alignment, and checks the
     * returned eigenvalue against the Rayleigh quotient. */
-  val qVecPcaPower = Q.noOracle("q_vec_pca_power") { (spark, dir) =>
-    val d = Dim
+  /** Upper-triangle (i ≤ j) centered-Gramian entries (i, j, c) shared by
+    * the driver-side power iteration ([[qVecPcaPower]]) and the
+    * distributed matvec ([[pcaPowerDistributed]]): one corpus scan, d²
+    * bounded output, exact integer moment identity narrowed to double at
+    * the very end. */
+  private def gramianTri(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     val q = cleanEmbeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -1019,11 +1024,7 @@ object VectorOps {
     val ma = marg.select(col("i").as("mi"), col("si").as("si_a"))
     val mb = marg.select(col("i").as("mj"), col("si").as("si_b"))
     val n = q.agg(count(lit(1)).as("n"))
-    // Collected matrix is dim²-bounded (2 080 rows) — documented driver
-    // collect, same contract as TokenBits / MisraGries candidates. The
-    // count rides the same single action as the matrix (one job, no
-    // separate count() racing the scratch release).
-    val entries = tri
+    tri
       .join(broadcast(ma), col("i") === col("mi"))
       .join(broadcast(mb), col("j") === col("mj"))
       .crossJoin(broadcast(n))
@@ -1031,7 +1032,15 @@ object VectorOps {
         (col("n").cast("decimal(38,0)") * col("sij")
           - col("si_a").cast("decimal(38,0)") * col("si_b"))
           .cast("double").as("c"))
-      .collect()
+  }
+
+  val qVecPcaPower = Q.noOracle("q_vec_pca_power") { (spark, dir) =>
+    val d = Dim
+    // Collected matrix is dim²-bounded (2 080 rows) — documented driver
+    // collect, same contract as TokenBits / MisraGries candidates. The
+    // count rides the same single action as the matrix (one job, no
+    // separate count() racing the scratch release).
+    val entries = gramianTri(spark, dir).collect()
     import spark.implicits._
     if (entries.isEmpty) {
       // Empty / all-out-of-contract corpus: no eigenstructure exists —
@@ -1050,6 +1059,53 @@ object VectorOps {
         val av = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
         val norm = math.sqrt(av.map(x => x * x).sum)
         if (norm > 0) { v = av.map(_ / norm); eig = norm }
+      }
+      val flip = if (v(v.zipWithIndex.maxBy { case (x, _) => math.abs(x) }._2) < 0) -1.0 else 1.0
+      v.zipWithIndex
+        .map { case (x, i) => (i, BigDecimal(flip * x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toSeq.toDF("pos", "loading")
+        .withColumn("eigval_units", round(lit(eig), 2))
+        .orderBy("pos")
+    }
+  }
+
+  /** DISTRIBUTED power iteration — the d ≳ 2 000 path the
+    * [[qVecPcaPower]] scaladoc sizes: when the d×d Gramian no longer fits
+    * a sane driver collect, the matrix stays a (i, j, c) DataFrame
+    * (mirrored to full form once, persisted, d²-bounded) and each of the
+    * `iters` rounds computes v' = normalize(A·v) as a broadcast-join +
+    * groupBy over those entries; only the d-element vector itself
+    * round-trips through the driver per round. Cost per round is
+    * d²-bounded and corpus-independent — the corpus-sized Gramian scan
+    * still runs exactly once, shared shape with [[qVecCovariance]]. At
+    * the fixture's d = 64 this is pure stage-floor overhead vs the driver
+    * loop (2 jobs × 40 rounds), so the graded row keeps the driver path;
+    * VectorAndApproxSpec proves the two paths agree on the fixture corpus
+    * and on a planted rank-1 direction. */
+  def pcaPowerDistributed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = 40): DataFrame = {
+    import spark.implicits._
+    val d = Dim
+    val tri = gramianTri(spark, dir)
+    // mirror the upper triangle once; persisted — every round reads it
+    val full = tri.unionByName(
+        tri.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .persistScratch()
+    if (full.isEmpty) {
+      Seq.empty[(Int, Double)].toDF("pos", "loading")
+        .withColumn("eigval_units", lit(0.0))
+    } else {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var eig = 0.0
+      for (_ <- 1 to iters) {
+        val vdf = v.zipWithIndex.map { case (x, j) => (j, x) }.toSeq.toDF("j", "vj")
+        val av = full.join(broadcast(vdf), "j")
+          .groupBy("i").agg(sum(col("c") * col("vj")).as("x"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val arr = Array.tabulate(d)(i => av.getOrElse(i, 0.0))
+        val norm = math.sqrt(arr.map(x => x * x).sum)
+        if (norm > 0) { v = arr.map(_ / norm); eig = norm }
       }
       val flip = if (v(v.zipWithIndex.maxBy { case (x, _) => math.abs(x) }._2) < 0) -1.0 else 1.0
       v.zipWithIndex

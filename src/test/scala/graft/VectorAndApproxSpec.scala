@@ -191,6 +191,33 @@ class VectorAndApproxSpec extends SparkTestBase {
     assert(dot >= 0.99, s"planted direction not recovered: |cos| = $dot")
     val eig = out.head.getDouble(2)
     assert(eig > 0.0, "dominant eigenvalue must be positive on a rank-1 corpus")
+    // The distributed-matvec path (the d >~ 2000 scale form, where the
+    // Gramian never leaves the executors) must agree with the driver loop:
+    // same planted direction, same eigenvalue scale.
+    val dist = graft.operators.VectorOps.pcaPowerDistributed(spark, dir)
+      .orderBy("pos").collect()
+    assert(dist.length === dim)
+    val vd = dist.map(_.getDouble(1))
+    val dotD = math.abs(vd.zip(un).map { case (a, b) => a * b }.sum)
+    assert(dotD >= 0.99, s"distributed matvec lost the direction: |cos| = $dotD")
+    val align = math.abs(v.zip(vd).map { case (a, b) => a * b }.sum)
+    assert(align >= 0.999999,
+      s"driver and distributed power iterations diverged: |cos| = $align")
+    assert(math.abs(dist.head.getDouble(2) - eig) <= math.abs(eig) * 1e-9 + 1e-6,
+      s"eigenvalue mismatch: driver $eig vs distributed ${dist.head.getDouble(2)}")
+  }
+
+  test("pcaPowerDistributed matches the driver path on the fixture corpus") {
+    val dir = sf()
+    val drv = graft.operators.VectorOps.qVecPcaPower.fn(spark, dir)
+      .orderBy("pos").collect().map(_.getDouble(1))
+    graft.sources.Scratch.releaseAll()
+    val dst = graft.operators.VectorOps.pcaPowerDistributed(spark, dir)
+      .orderBy("pos").collect().map(_.getDouble(1))
+    graft.sources.Scratch.releaseAll()
+    val align = math.abs(drv.zip(dst).map { case (a, b) => a * b }.sum)
+    assert(align >= 0.999999,
+      s"distributed matvec diverged from the driver loop: |cos| = $align")
   }
 
   test("persisted ANN index probe matches the in-memory multi-table path") {
