@@ -868,6 +868,79 @@ object VectorOps {
     * without a matching document simply drop out (inner join — embedding
     * coverage is a pipeline reality, counted by the validator, never
     * silently invented). */
+  /** SemDeDup-style cluster-scoped embedding dedup (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): k-means-assign every vector to its nearest of
+    * k fixed centroids, then search for near-duplicate pairs ONLY within
+    * each cluster — the clustering bounds the quadratic pair search at
+    * Σ|cluster|² instead of n², which is the entire reason the method
+    * scales to web corpora. Within a cluster the keep-first policy drops
+    * the larger vec_id of any pair with rounded cosine ≥ 0.3 (the
+    * q_vec_neardup threshold; rounding to 6 dp BEFORE the comparison
+    * pins the boundary cross-engine). Output per cluster: member count,
+    * dropped count, and the dropped-id checksum. Plan shape: centroid
+    * assignment is a broadcast cross join + per-vector rank (map-side);
+    * the only corpus shuffle is the equi-join on the cluster id — and a
+    * skew-limited cluster would surface in q_dedup_bucket_skew fashion
+    * as a hot cid partition, handled by AQE skew-join at scale. */
+  val qDedupSemdedup = Q(
+    "q_dedup_semdedup",
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+       |s AS (SELECT vec_id AS cid, embedding AS cvec FROM emb WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, s.cid,
+       |      CAST(row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(e.embedding, s.cvec),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) DESC,
+       |          s.cid) AS INT) AS rk
+       |    FROM emb e CROSS JOIN s)
+       |  WHERE rk = 1),
+       |pr AS (
+       |  SELECT a.cid, b.vec_id AS b_id
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round($sqlDot, 6) >= 0.3),
+       |drp AS (SELECT DISTINCT cid, b_id FROM pr),
+       |g AS (SELECT cid, COUNT(*) AS n FROM asg GROUP BY cid),
+       |d AS (SELECT cid, COUNT(*) AS nd, SUM(b_id) AS idsum
+       |      FROM drp GROUP BY cid)
+       |SELECT g.cid, CAST(g.n AS BIGINT) AS n_members,
+       |  CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dropped,
+       |  CAST(coalesce(d.idsum, 0) AS BIGINT) AS dropped_id_sum
+       |FROM g LEFT JOIN d ON g.cid = d.cid
+       |ORDER BY g.cid""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
+    val asg = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("sim", round(dot(spark)(col("embedding"), col("cvec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "embedding", "cid")
+      // feeds both sides of the in-cluster pair join AND the member count
+      .persistScratch()
+    val a = asg.select(col("cid"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val b = asg.select(col("cid").as("b_cid"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    val dropped = a
+      .join(b, col("cid") === col("b_cid") && col("a_id") < col("b_id"))
+      .filter(round(dot(spark)(col("a_vec"), col("b_vec")), 6) >= 0.3)
+      .select("cid", "b_id").distinct()
+    val members = asg.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    members
+      .join(dropped.groupBy("cid")
+          .agg(count(lit(1)).as("nd"), sum("b_id").as("idsum")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("nd"), lit(0L)).cast("bigint").as("n_dropped"),
+        coalesce(col("idsum"), lit(0L)).cast("bigint").as("dropped_id_sum"))
+      .orderBy("cid")
+  }
+
   val qDedupSemantic = Q(
     "q_dedup_semantic",
     s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
@@ -1120,5 +1193,6 @@ object VectorOps {
     qVecLshMulti, qVecIndexProbe, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
     qVecIndexIvf,
     qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,
-    qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemantic)
+    qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,
+    qDedupSemantic)
 }
