@@ -332,26 +332,85 @@ object PipelineOps {
       |  round(SUM(units) / 1000000.0 / COUNT(*), 6) AS nll
       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
+    bigramNll(spark, dir)
+      .select("doc_id", "n_bigrams", "nll")
+      .orderBy("doc_id")
+  }
+
+  /** Per-document bigram NLL under the corpus MLE LM — the scored frame
+    * (doc_id, lang, n_bigrams, nll) shared by [[qTextNgramLm]] (the raw
+    * scores) and [[qDocLmFilter]] (the banding decision). */
+  private def bigramNll(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w1")))
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "w1")))
     val w = Window.partitionBy("doc_id").orderBy("p")
     val bigrams = toks
       .withColumn("w2", lead("w1", 1).over(w))
       .filter(col("w2").isNotNull)
-      .select("doc_id", "w1", "w2")
+      .select("doc_id", "lang", "w1", "w2")
       // feeds both count aggregates AND the scoring join
       .persistScratch()
     val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
     bigrams.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         round(log(col("c1").cast("double") / col("c12")) * 1000000)
           .cast("bigint").as("units"))
-      .groupBy("doc_id")
+      .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("units").cast("decimal(38,0)")).cast("double")
           / lit(1000000.0) / count(lit(1)), 6).as("nll"))
-      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity FILTER banding (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * 2020): split each language's documents into head/middle/tail
+    * TERTILES by LM score — CCNet keeps head+middle and drops the tail as
+    * likely junk. This is the decision operator on top of
+    * [[qTextNgramLm]]'s raw scores: ntile(3) per language over (rounded
+    * nll, doc_id) — both keys exact cross-engine, so the band boundary
+    * is deterministic — reported as per-(lang, band) doc counts, bigram
+    * mass, and the nll range, i.e. exactly the cut table a curation run
+    * records before materializing the keep set. Documents under 2 tokens
+    * have no bigrams and are out of scope on both engines (they fall to
+    * the length gate, not the fluency gate). Scale: the scored frame is
+    * corpus-linear and the banding is one window over (lang) — no new
+    * shuffle beyond the LM scoring itself. */
+  val qDocLmFilter = Q(
+    "q_doc_lm_filter",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+      |      FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM t)),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1),
+      |u AS (
+      |  SELECT doc_id, lang,
+      |    CAST(round(ln(CAST(c1 AS DOUBLE) / c12) * 1000000) AS BIGINT) AS units
+      |  FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+      |nll AS (SELECT doc_id, lang, COUNT(*) AS nb,
+      |    round(SUM(units) / 1000000.0 / COUNT(*), 6) AS nll
+      |  FROM u GROUP BY doc_id, lang),
+      |bd AS (SELECT lang, nb, nll,
+      |    CAST(ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS INT)
+      |      AS band
+      |  FROM nll)
+      |SELECT lang, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+      |  round(MIN(nll), 6) AS min_nll, round(MAX(nll), 6) AS max_nll
+      |FROM bd GROUP BY lang, band
+      |ORDER BY lang, band""".stripMargin
+  ) { (spark, dir) =>
+    val wb = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    bigramNll(spark, dir)
+      .withColumn("band", ntile(3).over(wb))
+      .groupBy("lang", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).cast("bigint").as("n_bigrams"),
+        round(min("nll"), 6).as("min_nll"),
+        round(max("nll"), 6).as("max_nll"))
+      .orderBy("lang", "band")
   }
 
 
@@ -523,6 +582,6 @@ object PipelineOps {
 
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
-    qTextNgramLm, qDocPackContent, qProfileNumeric, qLayoutZorder,
+    qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
     qDocShard)
 }
