@@ -381,6 +381,42 @@ object TextExtras {
       .orderBy("lang")
   }
 
+  /** Tokenizer FERTILITY per language — subword tokens emitted per
+    * whitespace word, the standard tokenizer-evaluation metric (a
+    * fertility far above ~1.3 for a language means the vocabulary
+    * under-serves it and its documents pay more sequence length per
+    * word). The subword stand-in is a deterministic greedy 4-char
+    * chunker: a word of length L costs ceil(L/4) = (L+3) div 4 tokens —
+    * exact integer arithmetic on both engines, so the per-language sums
+    * hash-match and only the final ratio is a (deterministic) double
+    * division. One corpus scan, per-row array arithmetic, one tiny
+    * aggregate — the cheapest possible shape. */
+  val qTokenFertility = Q(
+    "q_token_fertility",
+    """SELECT lang,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+      |  CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+      |    w -> (length(w) + 3) // 4))) AS BIGINT) AS n_subwords,
+      |  round(CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+      |      w -> (length(w) + 3) // 4))) AS DOUBLE)
+      |    / SUM(len(string_split(text, ' '))), 6) AS fertility
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    val nw = size(split(col("text"), " "))
+    // `div` yields BIGINT, so the fold's zero must be BIGINT too
+    val nsw = expr(
+      "aggregate(transform(split(text, ' '), w -> (length(w) + 3) div 4), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)")
+    Tables.documents(spark, dir)
+      .select(col("lang"), nw.as("nw"), nsw.as("nsw"))
+      .groupBy("lang")
+      .agg(sum("nw").as("n_words"), sum("nsw").as("n_subwords"),
+        round(sum("nsw").cast("double") / sum("nw"), 6).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** Multimodal-column metadata: treat the text as an opaque binary
     * payload (stand-in for image/audio bytes — see operators.Multimodal
     * for the typed decode plumbing) and extract byte length + content
@@ -817,7 +853,8 @@ object TextExtras {
   }
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
-    qDedupNgram, qDedupContainment, qDedupWinnow, qTokenBpe, qMultimodalMeta,
+    qDedupNgram, qDedupContainment, qDedupWinnow, qTokenBpe, qTokenFertility,
+    qMultimodalMeta,
     qMultimodalFrames, qTextCooccur, qTextTfidf, qDocTopkQuality,
     qPipelineFilter, qTextSearch, qTextPhrase, qMultimodalResize,
     qDecontaminate, qTextRepetition)

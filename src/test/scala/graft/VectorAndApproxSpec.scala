@@ -207,6 +207,46 @@ class VectorAndApproxSpec extends SparkTestBase {
       s"eigenvalue mismatch: driver $eig vs distributed ${dist.head.getDouble(2)}")
   }
 
+  test("q_dedup_semdedup: keep-first inside clusters, clusters bound the search") {
+    val spk = spark
+    import spk.implicits._
+    val dim = 64
+    // two orthogonal unit directions -> two clean clusters around seeds
+    // 0 and 1; vectors 2,3 duplicate seed 0's direction exactly (cos 1),
+    // vector 4 is seed 1's direction; vector 5 sits in cluster 1 nearly
+    // orthogonal to 4 so it must NOT be dropped
+    def unit(f: Int => Double) = {
+      val u = Array.tabulate(dim)(f); val n = math.sqrt(u.map(x => x * x).sum)
+      u.map(x => (x / n).toFloat)
+    }
+    val a = unit(i => if (i < 32) 1.0 else 0.0)
+    val b = unit(i => if (i >= 32) 1.0 else 0.0)
+    // one-hot inside b's half: assigned to cluster 1 (cos 1/sqrt(32) vs 0)
+    // but below the 0.3 dup threshold against every cluster-1 member
+    val lone = unit(i => if (i == 32) 1.0 else 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    Seq((0L, a, 0), (1L, b, 0), (2L, a, 0), (3L, a, 0), (4L, b, 0), (5L, lone, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.VectorOps.qDedupSemdedup.fn(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    graft.sources.Scratch.releaseAll()
+    // all six vectors are seeds (vec_id < 8); exact-tie assignments break
+    // to the LOWEST cid, so the a-copies {0,2,3} collapse into cluster 0
+    // and the b-copies {1,4} into cluster 1; the one-hot sits alone
+    assert(out.keySet === Set(0L, 1L, 5L), s"unexpected clusters: $out")
+    // keep-first: 2 and 3 drop against keeper 0 (dropped-id sum 5)
+    assert(out(0L) === ((3L, 2L, 5L)),
+      s"cluster 0 expected 2 drops of ids 2+3, got ${out(0L)}")
+    assert(out(1L) === ((2L, 1L, 4L)),
+      s"cluster 1 expected only id 4 dropped, got ${out(1L)}")
+    // below-threshold loner survives with zero drops — similarity is
+    // checked inside the cluster, not mere membership
+    assert(out(5L) === ((1L, 0L, 0L)),
+      s"cluster 5 expected untouched loner, got ${out(5L)}")
+  }
+
   test("pcaPowerDistributed matches the driver path on the fixture corpus") {
     val dir = sf()
     val drv = graft.operators.VectorOps.qVecPcaPower.fn(spark, dir)
