@@ -347,4 +347,53 @@ class PlanShapeSpec extends SparkTestBase {
     assert(fPlan.contains("HashAggregate"),
       "q_join_fuzzy's dictionary collapse lost its hash aggregate")
   }
+
+  test("semdedup: 8-row centroid broadcast, in-cluster pair join stays equi") {
+    // SemDeDup's scale contract: the ONLY nested-loop is the k-row
+    // centroid assignment cross join (broadcast by construction, the IVF
+    // centroid precedent); the pair search must be an equi-join on the
+    // cluster id — a corpus-level cartesian here is exactly the n² the
+    // clustering exists to avoid.
+    // final-plan section only (the Initial Plan section renumbers nodes);
+    // distinct node ids, not lines — the formatted output repeats each
+    // node in tree + details + cached-plan sections
+    val plan = finalPlan("q_dedup_semdedup").split("== Initial Plan ==").head
+    val bnljIds = "BroadcastNestedLoopJoin[^(]*\\((\\d+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(bnljIds.size <= 2, s"semdedup has ${bnljIds.size} distinct " +
+      "nested-loop joins — only the centroid cross join is sanctioned")
+    // and each one must be the build-right cross of the 8-row seed frame
+    plan.split('\n').filter(_.contains("BroadcastNestedLoopJoin")).foreach {
+      l => assert(!l.contains("BuildLeft"),
+        s"semdedup nested-loop builds the corpus side: $l")
+    }
+    assert(!plan.contains("CartesianProduct"),
+      "semdedup degraded to a corpus cartesian")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "semdedup lost its equi in-cluster pair join")
+    // the static broadcast hint must be the 8-row seed frame, never the
+    // corpus: every hinted side exposes the centroid columns
+    hintedSideOutputs("q_dedup_semdedup").foreach { out =>
+      assert(out.contains("cid") || out.contains("cvec"),
+        s"semdedup broadcast-hints a non-centroid side: ${out.mkString(", ")}")
+    }
+  }
+
+  test("lm filter banding adds one lang window over the shared scored frame") {
+    // The banding must ride the LM scoring — its plan may add the ntile
+    // window and the final aggregate, but never a second corpus tokenize
+    // (the bigram frame is built once and persisted for both halves of
+    // the scoring join).
+    val plan = finalPlan("q_doc_lm_filter").split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "q_doc_lm_filter degraded to a nested loop")
+    val ntiles = plan.split('\n').count(l => l.contains("Window (") ||
+      l.contains("RunningWindowFunction"))
+    assert(ntiles >= 1, "q_doc_lm_filter lost its banding window")
+    val scans = plan.split('\n').count(_.contains("Scan parquet"))
+    assert(scans <= 2,
+      s"q_doc_lm_filter re-scans the corpus: $scans parquet scans")
+  }
 }
