@@ -868,6 +868,88 @@ object VectorOps {
     * without a matching document simply drop out (inner join — embedding
     * coverage is a pipeline reality, counted by the validator, never
     * silently invented). */
+  /** HYBRID retrieval — keyword scoring fused with embedding re-ranking
+    * by Reciprocal Rank Fusion, the standard two-tower serving shape
+    * (Cormack, Clarke & Buettcher, "Reciprocal Rank Fusion outperforms
+    * Condorcet and individual rank learning methods", SIGIR 2009). Text
+    * stage: TF-IDF over the query terms in exact integer units (per-term
+    * ln(N/df) rounded to 1e-6 units once, multiplied by tf, summed —
+    * partial aggregation, no double accumulation ordering), global
+    * top-50 candidates via TakeOrderedAndProject (rank materialized by a
+    * 50-row window, never a corpus-wide single-partition sort). Vector
+    * stage: candidates inner-join the validated embeddings on doc id,
+    * cosine against the planted query vector (vec_id 0, broadcast),
+    * rank over (rounded sim, doc_id). Fusion: rrf = 1/(60+rt) +
+    * 1/(60+rv) — ranks are exact integers, so the fused ordering is
+    * deterministic cross-engine. Scale: the corpus-sized work is the one
+    * token scan and the score aggregate; everything after the top-50 cut
+    * is candidate-bounded. */
+  val qHybridSearch = Q(
+    "q_hybrid_search",
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+       |nn AS (SELECT COUNT(*) AS n FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok
+       |       WHERE t IN ('data', 'query', 'vector') GROUP BY doc_id, t),
+       |df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok
+       |       WHERE t IN ('data', 'query', 'vector') GROUP BY t),
+       |score AS (SELECT tf.doc_id,
+       |    SUM(tf.tf * CAST(round(ln(CAST(nn.n AS DOUBLE) / df.df)
+       |      * 1000000) AS BIGINT)) AS su
+       |  FROM tf JOIN df USING (t) CROSS JOIN nn GROUP BY tf.doc_id),
+       |rt AS (SELECT doc_id, rank_text FROM (
+       |    SELECT doc_id,
+       |      CAST(row_number() OVER (ORDER BY su DESC, doc_id) AS INT)
+       |        AS rank_text
+       |    FROM score) WHERE rank_text <= 50),
+       |qv AS (SELECT embedding AS qvec FROM emb WHERE vec_id = 0),
+       |vr AS (SELECT doc_id, rank_text,
+       |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT)
+       |      AS rank_vec
+       |  FROM (SELECT rt.doc_id, rt.rank_text,
+       |      round(list_sum(list_transform(list_zip(e.embedding, qv.qvec),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS sim
+       |    FROM rt JOIN emb e ON e.vec_id = rt.doc_id CROSS JOIN qv))
+       |SELECT doc_id, rank_text, rank_vec,
+       |  round(1.0 / (60 + rank_text) + 1.0 / (60 + rank_vec), 6) AS rrf
+       |FROM vr
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  ) { (spark, dir) =>
+    val terms = Seq("data", "query", "vector")
+    val docs = Tables.documents(spark, dir)
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .persistScratch() // feeds tf AND df
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dft = tok.groupBy("t").agg(countDistinct("doc_id").as("df"))
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val score = tf.join(broadcast(dft), "t").crossJoin(broadcast(nDf))
+      .select(col("doc_id"),
+        (col("tf") * round(log(col("n").cast("double") / col("df")) * 1000000)
+          .cast("bigint")).as("u"))
+      .groupBy("doc_id").agg(sum("u").as("su"))
+    // global top-50 via TakeOrderedAndProject; the rank window then runs
+    // over 50 rows, never the corpus
+    val wT = Window.orderBy(desc("su"), asc("doc_id"))
+    val top = score.orderBy(desc("su"), asc("doc_id")).limit(50)
+      .withColumn("rank_text", row_number().over(wT).cast("int"))
+    val e = cleanEmbeddings(spark, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val wV = Window.orderBy(desc("sim"), asc("doc_id"))
+    top
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .crossJoin(broadcast(qv))
+      .withColumn("sim", round(dot(spark)(col("embedding"), col("qvec")), 6))
+      .withColumn("rank_vec", row_number().over(wV).cast("int"))
+      .select(col("doc_id"), col("rank_text"), col("rank_vec"),
+        round(lit(1.0) / (lit(60) + col("rank_text"))
+          + lit(1.0) / (lit(60) + col("rank_vec")), 6).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+  }
+
   /** SemDeDup-style cluster-scoped embedding dedup (Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", 2023): k-means-assign every vector to its nearest of
@@ -1194,5 +1276,5 @@ object VectorOps {
     qVecIndexIvf,
     qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,
-    qDedupSemantic)
+    qDedupSemantic, qHybridSearch)
 }
