@@ -14,13 +14,14 @@ class RobustnessSpec extends SparkTestBase {
   private val docOnly = Seq(
     "q_text_tokens", "q_text_wordcount", "q_dedup_hash", "q_dedup_near",
     "q_dedup_ngram", "q_dedup_minhash", "q_dedup_minhash_keep",
-    "q_dedup_incremental", "q_dedup_index_probe", "q_dedup_recall",
-    "q_dedup_bucket_skew",
+    "q_dedup_incremental", "q_dedup_index_probe", "q_dedup_ingest",
+    "q_dedup_recall", "q_dedup_bucket_skew",
     "q_dedup_cc", "q_doc_mix_temperature",
     "q_text_oov", "q_text_zipf", "q_doc_novelty", "q_doc_median_gate",
     "q_dedup_simhash", "q_dedup_simhash_r1", "q_dedup_simhash_wide",
     "q_dedup_containment", "q_text_quality", "q_lang_id", "q_text_entropy",
-    "q_text_ngram_lm", "q_text_tfidf", "q_text_cooccur", "q_text_phrase",
+    "q_text_ngram_lm", "q_doc_lm_filter", "q_token_fertility",
+    "q_text_tfidf", "q_text_cooccur", "q_text_phrase",
     "q_text_fingerprint", "q_text_repetition", "q_token_bpe",
     "q_doc_chunk", "q_doc_chunk_dedup", "q_doc_topk_quality",
     "q_sample_weighted", "q_multimodal_meta", "q_multimodal_frames",
@@ -98,7 +99,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_vec_lsh_bucketed", "q_vec_lsh_multi", "q_vec_ivf_probe2",
     "q_vec_lsh_neardup", "q_vec_recall_eval", "q_vec_recall_multi",
     "q_vec_recall_ivf", "q_vec_ivf_probe4", "q_vec_recall_ivf4", "q_vec_drift",
-    "q_vec_covariance", "q_vec_pca_power")
+    "q_vec_covariance", "q_vec_pca_power", "q_dedup_semdedup")
 
   test("vector queries survive out-of-contract embeddings; the validator counts them") {
     // Zero vector, EMPTY array, ragged dim, Float.MaxValue junk, exact
