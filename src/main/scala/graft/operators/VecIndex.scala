@@ -198,4 +198,60 @@ object VecIndex {
       p: Int = 2, k: Int = 3): DataFrame =
     VectorOps.ivfRank(spark, batch, spark.table(s"${name}_cent"),
       spark.table(s"${name}_cell"), p, k)
+
+  /** One cycle of the streaming embedding-ingest loop — the ANN twin of
+    * [[DedupIndex.ingestBatch]]: probe the persisted LSH index with the
+    * micro-batch, REJECT vectors whose nearest indexed neighbor is
+    * already ≥ `dupSim` (embedding-level near-duplicates — the SemDeDup
+    * policy applied at ingest time instead of post-hoc), write survivors
+    * to `out/batch=<id>`, and [[append]] them into the index.
+    *
+    * Replay safety mirrors the dedup loop: a batch vector whose vec_id is
+    * already indexed was admitted by a previous run of this cycle — it is
+    * re-emitted, not re-probed (probing would self-match at sim 1 and
+    * wrongly reject it); writeBatch overwrites its own directory; append
+    * carries the per-table guards. Cycle cost is O(batch): every join
+    * probes a bucketed disk table or is batch×batch. */
+  def ingestBatch(batch: DataFrame, name: String, out: String,
+      batchId: Long, dupSim: Double = 0.99, buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select("vec_id", "embedding")
+    val indexed = spark.table(s"${name}_emb").select("vec_id").distinct()
+    val prior = b.join(indexed, Seq("vec_id"), "left_semi")
+    val fresh = b.join(indexed, Seq("vec_id"), "left_anti").persist()
+    try {
+      val dupIds = probe(spark, name, fresh, k = 1)
+        .filter(col("rk") === 1 && col("sim") >= dupSim)
+        .select(col("a_id").as("vec_id"))
+      // in-batch pass: keep-first by vec_id among fresh near-dup pairs
+      // (batch×batch — bounded by micro-batch size, never the corpus)
+      val a = fresh.select(col("vec_id").as("ka"), col("embedding").as("va"))
+      val bb = fresh.select(col("vec_id").as("kb"), col("embedding").as("vb"))
+      val inBatch = a.join(bb, col("ka") < col("kb"))
+        .filter(round(graft.functions.VecExprs.dot(spark, col("va"), col("vb")), 6)
+          >= dupSim)
+        .select(col("kb").as("vec_id"))
+      val admitted = fresh
+        .join(dupIds.union(inBatch), Seq("vec_id"), "left_anti")
+        .unionByName(prior)
+        .persist()
+      try {
+        Sinks.writeBatch(admitted, out, batchId)
+        append(admitted, name, buckets)
+      } finally admitted.unpersist()
+    } finally fresh.unpersist()
+  }
+
+  /** The streaming form: each micro-batch of `vectors` (vec_id,
+    * embedding) runs one [[ingestBatch]] cycle — the disk index IS the
+    * dedup state, exactly as [[DedupIndex.ingestStream]]. */
+  def ingestStream(vectors: DataFrame, name: String, out: String,
+      checkpoint: String, dupSim: Double = 0.99, buckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, name, out, batchId, dupSim, buckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

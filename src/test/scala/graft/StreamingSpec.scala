@@ -577,4 +577,56 @@ class StreamingSpec extends SparkTestBase {
     spk.sql(s"DROP TABLE IF EXISTS ${name}_bands")
     spk.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
   }
+
+  test("streaming embedding ingest: ANN probe -> admit loop rejects vector near-dups") {
+    // The ANN twin of the ingest-dedup loop (VecIndex.ingestStream): each
+    // micro-batch probes the persisted LSH index, rejects vectors whose
+    // nearest indexed neighbor reaches the dup threshold OR that match a
+    // smaller-id vector in the same batch, writes survivors to
+    // batch=<id>, and admits them. One-hot unit vectors pin the cosines
+    // exactly (1 for an identical direction, 0 otherwise).
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val dim = 64
+    def e(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    val name = "graft_streamspec_vecingest_idx"
+    val out = java.nio.file.Files.createTempDirectory("graft_vingest_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vingest_ck").toString
+    graft.operators.VecIndex.write(
+      Seq((3L, e(0))).toDF("vec_id", "embedding"), name)
+    def admitted(): Set[Long] = spk.read.parquet(out)
+      .select("vec_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.operators.VecIndex.ingestStream(
+      input.toDF().toDF("vec_id", "embedding"), name, out, ckpt)
+    val batch1 = Seq((20L, e(1)), (21L, e(2)), (22L, e(2)), (23L, e(3)))
+    withQuery(q) {
+      // batch 0: vec 10 fresh; vec 11 duplicates corpus direction e0
+      input.addData((10L, e(1)), (11L, e(0)))
+      q.processAllAvailable()
+      assert(admitted() === Set(10L), "batch 0: corpus vector dup must be rejected")
+      // batch 1: 20 duplicates ADMITTED 10 (the append is live); 21/22
+      // duplicate each other in-batch (keep-first admits 21); 23 fresh
+      batch1.foreach(r => input.addData(r))
+      q.processAllAvailable()
+      assert(admitted() === Set(10L, 21L, 23L),
+        "batch 1: cross-batch + in-batch vector dups must be rejected")
+    }
+    // at-least-once replay of the completed cycle: prior vectors re-emit,
+    // nothing appends twice
+    graft.operators.VecIndex.ingestBatch(
+      batch1.toDF("vec_id", "embedding"), name, out, 1L)
+    assert(admitted() === Set(10L, 21L, 23L),
+      "replaying a completed cycle must rewrite identical output")
+    val ids = spk.table(s"${name}_emb")
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(ids === Set(3L, 10L, 21L, 23L),
+      s"index must hold exactly the admitted vectors, got $ids")
+    assert(spk.table(s"${name}_emb").count() === 4,
+      "payload table must hold one row per admitted vector")
+    spk.sql(s"DROP TABLE IF EXISTS ${name}_sig")
+    spk.sql(s"DROP TABLE IF EXISTS ${name}_emb")
+  }
 }
