@@ -451,4 +451,67 @@ class InvariantSpec extends SparkTestBase with Matchers {
       val b = r.getAs[Number]("bucket").longValue; b >= 0 && b < 16
     })
   }
+
+  test("lm-filter tertiles conserve the scored corpus and stay balanced") {
+    // Every scored doc (>= 2 tokens) lands in exactly one band; ntile
+    // bands within a language differ in size by at most one; bands are
+    // ordered by nll (band 1's max <= band 2's min, etc. up to the
+    // rounded-score tie at the boundary).
+    val dir = sf()
+    val out = SparkEntry.queries("q_doc_lm_filter")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    val scored = graft.sources.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.size(split(col("text"), " ")) >= 2).count()
+    assert(out.map(_._3).sum === scored,
+      "banding lost or duplicated scored documents")
+    out.groupBy(_._1).foreach { case (lang, bands) =>
+      val sizes = bands.map(_._3)
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang tertiles unbalanced: ${sizes.mkString(",")}")
+      val sorted = bands.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, hiMax), (_, _, _, loMin, _)) =>
+          assert(hiMax <= loMin,
+            s"$lang band boundaries out of order: $hiMax > $loMin")
+        case _ =>
+      }
+    }
+  }
+
+  test("semdedup never drops a cluster's keeper; counts partition members") {
+    val dir = sf()
+    val out = SparkEntry.queries("q_dedup_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (cid, n, nd) =>
+      assert(nd < n, s"cluster $cid dropped all $n members (keep-first " +
+        "guarantees the smallest id survives)")
+      assert(nd >= 0 && n > 0)
+    }
+    // clusters partition the validated corpus
+    val valid = graft.sources.Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64 &&
+        !exists(col("embedding"), x => org.apache.spark.sql.functions.abs(x) > 1.0f))
+      .count()
+    assert(out.map(_._2).sum === valid,
+      "cluster membership does not partition the validated corpus")
+  }
+
+  test("hybrid search ranks are candidate-bounded and rrf recomputes exactly") {
+    val dir = sf()
+    val out = SparkEntry.queries("q_hybrid_search")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length === 10)
+    out.foreach { case (id, rt, rv, rrf) =>
+      assert(rt >= 1 && rt <= 50 && rv >= 1 && rv <= 50,
+        s"doc $id carries an out-of-candidate-set rank ($rt, $rv)")
+      val expect = BigDecimal(1.0 / (60 + rt) + 1.0 / (60 + rv))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf === expect, s"doc $id rrf $rrf != recomputed $expect")
+    }
+    // fused ordering is by (rrf desc, doc_id) — already the output order
+    val resorted = out.sortBy { case (id, _, _, rrf) => (-rrf, id) }
+    assert(out.toSeq === resorted.toSeq, "output violates the fused ordering")
+  }
 }
