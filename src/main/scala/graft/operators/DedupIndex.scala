@@ -102,28 +102,35 @@ object DedupIndex {
   private def appendImpl(batch: DataFrame, freshTok: Option[DataFrame],
       name: String, buckets: Int): Unit = {
     val spark = batch.sparkSession
-    // One probe of the admission record classifies the batch: replayed
-    // (already hold token rows — a previous run of this very append got
-    // at least that far) vs fresh. EAGER snapshot (localCheckpoint): the
-    // classification must be pinned to the PRE-append table state — the
+    // ONE probe of the admission record classifies the batch — replayed
+    // (already hold token rows: a previous run of this very append got at
+    // least that far) vs fresh — and carries the fresh docs' token rows
+    // alongside, so the whole pre-write decision is a single EAGER
+    // snapshot (localCheckpoint) job per cycle. Eager because the
+    // classification must be pinned to the PRE-append table state: the
     // first write's refreshTable recaches dependent plans, and a lazy
     // frame re-evaluated against the updated table would see every just-
     // written doc as replayed and silently append zero band rows. Blocks
     // are freed in the finally; block loss on a real cluster fails the
     // cycle → the cycle retries (the at-least-once contract this op
-    // already holds).
+    // already holds). On the generic path the tokenizer runs over the
+    // whole batch (replayed docs' rows are discarded below — replays are
+    // the rare case); the ingest path hands in its already-persisted
+    // fresh-token frame instead, so nothing tokenizes twice.
+    val tokSrc = freshTok.getOrElse(SketchDedup.tokenFrameOf(batch))
     val marked = batch.select("doc_id").distinct()
       .join(spark.table(s"${name}_tokens")
           .select(col("doc_id"), lit(true).as("replayed")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("replayed"), lit(false)).as("replayed"))
+      .join(tokSrc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("replayed"), lit(false)).as("replayed"),
+        col("lang"), col("tk"), col("sz"))
       .localCheckpoint()
     val replayIds = marked.filter(col("replayed")).select("doc_id")
     val anyReplay = !replayIds.isEmpty
-    val fresh = batch.join(replayIds, Seq("doc_id"), "left_anti")
-    val tok = freshTok.map(_.join(replayIds, Seq("doc_id"), "left_anti"))
-      .getOrElse(SketchDedup.tokenFrameOf(fresh))
-      .localCheckpoint()
+    val tok = marked.filter(!col("replayed"))
+      .select("doc_id", "lang", "tk", "sz")
     try {
       Sinks.writeBucketed(tok, buckets, Seq("doc_id"), s"${name}_tokens",
         org.apache.spark.sql.SaveMode.Append)
@@ -147,10 +154,9 @@ object DedupIndex {
       Sinks.writeBucketed(guarded, buckets,
         Seq("lang", "band", "sig"), s"${name}_bands",
         org.apache.spark.sql.SaveMode.Append)
-    } finally Seq(marked, tok).foreach(
-      _.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(false)))
+    } finally marked.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
   }
 
   /** Probe the persisted index with a new batch: per new document, how
