@@ -223,11 +223,21 @@ object VecIndex {
       val dupIds = probe(spark, name, fresh, k = 1)
         .filter(col("rk") === 1 && col("sim") >= dupSim)
         .select(col("a_id").as("vec_id"))
-      // in-batch pass: keep-first by vec_id among fresh near-dup pairs
-      // (batch×batch — bounded by micro-batch size, never the corpus)
+      // in-batch pass: keep-first by vec_id among fresh near-dup pairs.
+      // Candidates come from the SAME multi-table LSH banding the index
+      // probe uses (signature equi-join on (tbl, bucket)) — never an
+      // all-pairs batch×batch cartesian, so the pass stays sub-quadratic
+      // even for a large micro-batch, with the exact dot verify touching
+      // only banded candidates.
+      val sig = VectorOps.sigLongForm(fresh)
+      val candIn = sig.select(col("vec_id").as("ka"), col("tbl"), col("bucket"))
+        .join(sig.select(col("vec_id").as("kb"), col("tbl"), col("bucket")),
+          Seq("tbl", "bucket"))
+        .filter(col("ka") < col("kb"))
+        .select("ka", "kb").distinct()
       val a = fresh.select(col("vec_id").as("ka"), col("embedding").as("va"))
       val bb = fresh.select(col("vec_id").as("kb"), col("embedding").as("vb"))
-      val inBatch = a.join(bb, col("ka") < col("kb"))
+      val inBatch = candIn.join(a, "ka").join(bb, "kb")
         .filter(round(graft.functions.VecExprs.dot(spark, col("va"), col("vb")), 6)
           >= dupSim)
         .select(col("kb").as("vec_id"))
