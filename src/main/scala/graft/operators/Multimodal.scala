@@ -97,15 +97,21 @@ object Multimodal {
       while (!bad && i + 8 <= bytes.length && frames < 0) {
         val id = ascii(i, 4); val sz = le32(i + 4)
         // le32 is signed: a chunk size with the high bit set (malformed /
-        // hostile blob) would advance i by <= 0 and spin this loop
-        // forever on an executor — treat it as malformed and bail
+        // hostile blob) reads back negative and would advance i by <= 0,
+        // spinning this loop forever on an executor — bail. A huge
+        // POSITIVE size is legitimate (sniffing reads only a blob's head,
+        // so the final data chunk routinely extends past the bytes we
+        // hold) but `8 + sz` overflows Int — advance in Long and clamp to
+        // the end so the walk terminates instead of wrapping negative.
         if (sz < 0) bad = true
         else {
           if (id == "fmt " && i + 22 <= bytes.length)
             blockAlign = le16(i + 20)
           else if (id == "data" && blockAlign > 0)
             frames = sz / blockAlign
-          i += 8 + sz + (sz & 1) // chunks are word-aligned
+          // chunks are word-aligned
+          val next = i.toLong + 8L + sz.toLong + (sz & 1)
+          i = if (next > bytes.length) bytes.length else next.toInt
         }
       }
       if (frames >= 0) Some((0, 0, frames)) else None

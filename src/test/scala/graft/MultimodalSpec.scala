@@ -104,6 +104,11 @@ class MultimodalSpec extends SparkTestBase {
     val wavEvil = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
       "junk".getBytes ++ le32(0xFFFFFFF8) ++ new Array[Byte](16)
     assert(Multimodal.sniffDimensions(wavEvil) === None)
+    // huge POSITIVE chunk size: 8 + sz overflows Int into a negative
+    // advance — must also be rejected, not looped on or thrown from
+    val wavHuge = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0x7FFFFFF8) ++ new Array[Byte](16)
+    assert(Multimodal.sniffDimensions(wavHuge) === None)
     // unknown magic falls back to the declared stub (None here)
     assert(Multimodal.sniffDimensions("not a container".getBytes) === None)
     // end-to-end: a sniffable payload flows through extractFeatures with
