@@ -146,10 +146,20 @@ object DedupIndex {
       val guarded =
         if (!anyReplay) bands
         else {
-          val already = spark.table(s"${name}_bands").select("doc_id")
+          // ROW-granular guard, not doc-granular: a crash inside the
+          // previous attempt's job COMMIT can persist a subset of that
+          // append's task files, leaving a doc with only some of its
+          // band rows (they hash across bucket files). Anti-joining on
+          // the full band row lets the replay write exactly the missing
+          // rows — a doc-id guard would see "has bands" and never heal
+          // the remainder. Only complete task files survive a crash
+          // (incomplete ones stay in the commit protocol's temporary
+          // area), so missing whole rows IS the failure unit.
+          val already = spark.table(s"${name}_bands")
+            .select("doc_id", "lang", "band", "sig")
             .join(broadcast(marked.select("doc_id")), Seq("doc_id"), "left_semi")
-            .distinct()
-          bands.join(broadcast(already), Seq("doc_id"), "left_anti")
+          bands.join(broadcast(already),
+            Seq("doc_id", "lang", "band", "sig"), "left_anti")
         }
       Sinks.writeBucketed(guarded, buckets,
         Seq("lang", "band", "sig"), s"${name}_bands",

@@ -67,11 +67,13 @@ object Multimodal {
         (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a"))
       Some((le16(6), le16(8), 1))
     else if (bytes.length >= 26 && ascii(0, 2) == "BM") {
-      // only the le32-dimension DIB headers (BITMAPINFO/V4/V5); a
-      // BITMAPCOREHEADER (size 12, le16 dims) or corrupt size field would
-      // make the raw le32 reads below return garbage — reject instead
+      // only the le32-dimension DIB headers — BITMAPINFOHEADER (40), the
+      // V2/V3 alpha-mask variants (52/56), OS/2 BITMAPINFOHEADER2 (64),
+      // V4 (108) and V5 (124) all store le32 width/height at offsets
+      // 18/22; a BITMAPCOREHEADER (size 12, le16 dims) or corrupt size
+      // field would make the raw le32 reads below return garbage — reject
       val dibSize = le32(14)
-      val ok = dibSize == 40 || dibSize == 108 || dibSize == 124
+      val ok = Set(40, 52, 56, 64, 108, 124).contains(dibSize)
       val w = le32(18); val h = math.abs(le32(22)) // height < 0 = top-down
       if (ok && w > 0 && h > 0) Some((w, h, 1)) else None
     }

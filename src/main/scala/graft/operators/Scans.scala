@@ -94,8 +94,31 @@ object Scans {
     * unique component so two concurrent executions on one host (parallel
     * test suites, two bench processes) never delete each other's in-use
     * data — reuse stays within one JVM, isolation holds across JVMs. */
-  private lazy val rtSession: String =
-    java.util.UUID.randomUUID().toString.take(8)
+  private lazy val rtSession: String = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    // the per-JVM scratch root would otherwise leak one full round-trip
+    // table copy per process run into tmpdir — remove it on clean exit
+    // (a kill -9 leaks one tree; the next host cleanup or tmp reaper
+    // takes it, and no other process ever reuses the unique name)
+    val root = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), s"graft_rt_$id").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(root)
+    }))
+    id
+  }
+
+  /** Per-JVM CATALOG name for a round-trip query's table artifact — the
+    * warehouse directory is shared between processes running in the same
+    * working dir, so a fixed table name would let two concurrent JVMs
+    * DROP/overwrite each other's live index files (the same hazard
+    * [[rtDir]] solves for path artifacts). */
+  private[graft] def rtTable(name: String): String =
+    s"graft_rt_${rtSession}_$name"
 
   private[operators] def rtDir(name: String): String = {
     val p = java.nio.file.Paths
@@ -227,13 +250,13 @@ object Scans {
   ) { (spark, dir) =>
     graft.sources.Sinks.writeBucketed(
       Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
-      8, Seq("o_orderkey"), "graft_rt_orders_b")
+      8, Seq("o_orderkey"), rtTable("orders_b"))
     graft.sources.Sinks.writeBucketed(
       Tables.lineitem(spark, dir)
         .select("l_orderkey", "l_extendedprice", "l_discount"),
-      8, Seq("l_orderkey"), "graft_rt_lineitem_b")
-    spark.table("graft_rt_orders_b")
-      .join(spark.table("graft_rt_lineitem_b"),
+      8, Seq("l_orderkey"), rtTable("lineitem_b"))
+    spark.table(rtTable("orders_b"))
+      .join(spark.table(rtTable("lineitem_b")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy((col("o_orderkey") % 16).as("bucket"))
       .agg(count(lit(1)).as("n_items"),

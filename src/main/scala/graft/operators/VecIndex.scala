@@ -82,13 +82,17 @@ object VecIndex {
       // `_sig` is bucketed on (tbl, bucket), not vec_id, so a plain
       // anti-join on vec_id would shuffle the whole corpus sig table.
       // Instead scan it once map-only: semi-join against the (small,
-      // broadcast) batch ids to get the handful of ids a crashed replay
-      // already wrote, then anti-join the batch sigs against that set.
-      val alreadySig = spark.table(s"${name}_sig").select("vec_id")
+      // broadcast) batch ids to get the rows a crashed replay already
+      // wrote, then anti-join the batch sigs against those FULL rows —
+      // row-granular, so a crash inside the previous attempt's job
+      // commit (a subset of sig rows persisted across bucket files)
+      // heals to exactly the missing rows instead of being skipped as
+      // "already present" at vec_id granularity.
+      val alreadySig = spark.table(s"${name}_sig")
+        .select("vec_id", "tbl", "bucket")
         .join(broadcast(fresh.select("vec_id")), Seq("vec_id"), "left_semi")
-        .distinct()
       val freshSig = sigOf(fresh)
-        .join(broadcast(alreadySig), Seq("vec_id"), "left_anti")
+        .join(broadcast(alreadySig), Seq("vec_id", "tbl", "bucket"), "left_anti")
       Sinks.writeBucketed(freshSig, buckets, Seq("tbl", "bucket"),
         s"${name}_sig", SaveMode.Append)
       Sinks.writeBucketed(fresh, buckets,
@@ -106,10 +110,18 @@ object VecIndex {
     * derives its own signatures (bounded by batch size); the corpus side
     * is the pre-clustered disk tables. */
   def probe(spark: SparkSession, name: String, batch: DataFrame,
-      k: Int = 3): DataFrame = {
+      k: Int = 3): DataFrame =
+    probeWithSig(spark, name, batch, sigOf(batch), k)
+
+  /** [[probe]] body over a PRE-BUILT (usually persisted) batch signature
+    * frame — [[ingestBatch]]'s entry, so one cycle derives the 32
+    * hyperplane dot products per vector exactly once and feeds both the
+    * corpus probe and the in-batch candidate pass from the same frame. */
+  private def probeWithSig(spark: SparkSession, name: String,
+      batch: DataFrame, bsig: DataFrame, k: Int): DataFrame = {
     val corpusSig = spark.table(s"${name}_sig")
     val corpusEmb = spark.table(s"${name}_emb")
-    val cand = sigOf(batch).select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
+    val cand = bsig.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
       .join(corpusSig.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("a_id") =!= col("b_id"))
@@ -220,7 +232,12 @@ object VecIndex {
     val prior = b.join(indexed, Seq("vec_id"), "left_semi")
     val fresh = b.join(indexed, Seq("vec_id"), "left_anti").persist()
     try {
-      val dupIds = probe(spark, name, fresh, k = 1)
+      // ONE signature derivation per cycle (32 hyperplane dot products
+      // per vector — the expensive half of the index): the persisted
+      // frame feeds the corpus probe AND both sides of the in-batch
+      // candidate join.
+      val sig = VectorOps.sigLongForm(fresh).persist()
+      val dupIds = probeWithSig(spark, name, fresh, sig, k = 1)
         .filter(col("rk") === 1 && col("sim") >= dupSim)
         .select(col("a_id").as("vec_id"))
       // in-batch pass: keep-first by vec_id among fresh near-dup pairs.
@@ -229,7 +246,6 @@ object VecIndex {
       // all-pairs batch×batch cartesian, so the pass stays sub-quadratic
       // even for a large micro-batch, with the exact dot verify touching
       // only banded candidates.
-      val sig = VectorOps.sigLongForm(fresh)
       val candIn = sig.select(col("vec_id").as("ka"), col("tbl"), col("bucket"))
         .join(sig.select(col("vec_id").as("kb"), col("tbl"), col("bucket")),
           Seq("tbl", "bucket"))
@@ -248,7 +264,7 @@ object VecIndex {
       try {
         Sinks.writeBatch(admitted, out, batchId)
         append(admitted, name, buckets)
-      } finally admitted.unpersist()
+      } finally { admitted.unpersist(); sig.unpersist() }
     } finally fresh.unpersist()
   }
 

@@ -396,8 +396,8 @@ object VectorOps {
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
     val e = Tables.embeddings(spark, dir)
-    VecIndex.write(e, "graft_rt_vec_idx")
-    VecIndex.probe(spark, "graft_rt_vec_idx", e.filter(col("vec_id") < 50))
+    VecIndex.write(e, Scans.rtTable("vec_idx"))
+    VecIndex.probe(spark, Scans.rtTable("vec_idx"), e.filter(col("vec_id") < 50))
       .orderBy("a_id", "rk")
   }
 
@@ -417,8 +417,8 @@ object VectorOps {
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
     val e = cleanEmbeddings(spark, dir)
-    VecIndex.ivfWrite(e, "graft_rt_ivf_idx")
-    VecIndex.ivfProbe(spark, "graft_rt_ivf_idx",
+    VecIndex.ivfWrite(e, Scans.rtTable("ivf_idx"))
+    VecIndex.ivfProbe(spark, Scans.rtTable("ivf_idx"),
       e.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")))
       .orderBy("a_id", "rk")
   }

@@ -334,6 +334,27 @@ class DedupSpec extends SparkTestBase {
     assert(spark.table(s"${name}_tokens").count() === 2 &&
       spark.table(s"${name}_bands").count() === nBands,
       "replay of a completed append was not a no-op")
+    // PARTIAL-COMMIT crash: a new doc's tokens land and only SOME of its
+    // band rows (a crash inside the band write's job commit persists a
+    // subset of task files). The replay's row-granular guard must write
+    // exactly the missing band rows — no duplicates, no permanent hole.
+    val batchP = Seq((30L, (1 to 40).map(i => s"part$i").mkString(" ") +
+      " theta", "en")).toDF("doc_id", "text", "lang")
+    val tok2 = graft.operators.SketchDedup.tokenFrameOf(batchP)
+    graft.sources.Sinks.writeBucketed(tok2, 8, Seq("doc_id"),
+      s"${name}_tokens", org.apache.spark.sql.SaveMode.Append)
+    graft.sources.Sinks.writeBucketed(
+      graft.operators.SketchDedup.bandsOfTokens(spark, tok2)
+        .filter(col("band") < 2), // half the doc's bands committed
+      8, Seq("lang", "band", "sig"), s"${name}_bands",
+      org.apache.spark.sql.SaveMode.Append)
+    graft.operators.DedupIndex.append(batchP, name)
+    graft.sources.Scratch.releaseAll()
+    val bands30 = spark.table(s"${name}_bands")
+      .filter(col("doc_id") === 30L)
+    assert(bands30.count() === 4 &&
+      bands30.select("band").distinct().count() === 4,
+      "partial band commit was not healed to exactly one row per band")
     spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
   }

@@ -489,10 +489,13 @@ class InvariantSpec extends SparkTestBase with Matchers {
         "guarantees the smallest id survives)")
       assert(nd >= 0 && n > 0)
     }
-    // clusters partition the validated corpus
+    // clusters partition the validated corpus. forall, not !exists(>1):
+    // for a NaN component abs(x) > 1 is false AND abs(x) <= 1 is false,
+    // so only the forall form matches cleanEmbeddings' exclusion.
     val valid = graft.sources.Tables.embeddings(spark, dir)
       .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64 &&
-        !exists(col("embedding"), x => org.apache.spark.sql.functions.abs(x) > 1.0f))
+        forall(col("embedding"),
+          x => org.apache.spark.sql.functions.abs(x) <= 1.0f))
       .count()
     assert(out.map(_._2).sum === valid,
       "cluster membership does not partition the validated corpus")

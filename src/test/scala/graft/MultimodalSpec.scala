@@ -82,6 +82,11 @@ class MultimodalSpec extends SparkTestBase {
     val bmpCore = "BM".getBytes ++ new Array[Byte](12) ++ le32(12) ++
       le16(800) ++ le16(600) ++ new Array[Byte](8)
     assert(Multimodal.sniffDimensions(bmpCore) === None)
+    // the V3 alpha-mask variant (DIB size 56) stores le32 dims at the
+    // same offsets as size 40 and must be read, not stubbed
+    val bmpV3 = "BM".getBytes ++ new Array[Byte](12) ++ le32(56) ++
+      le32(1280) ++ le32(720) ++ new Array[Byte](4)
+    assert(Multimodal.sniffDimensions(bmpV3) === Some((1280, 720, 1)))
     // corrupt INFOHEADER with zero width -> rejected
     val bmpZero = "BM".getBytes ++ new Array[Byte](12) ++ le32(40) ++
       le32(0) ++ le32(600) ++ new Array[Byte](4)

@@ -314,8 +314,8 @@ class VectorAndApproxSpec extends SparkTestBase {
     assert(out === inMem,
       s"IVF index round-trip diverged from in-memory path: " +
         s"${out.diff(inMem)} vs ${inMem.diff(out)}")
-    spark.sql("DROP TABLE IF EXISTS graft_rt_ivf_idx_cent")
-    spark.sql("DROP TABLE IF EXISTS graft_rt_ivf_idx_cell")
+    Seq("_cent", "_cell").foreach(sfx => spark.sql(
+      s"DROP TABLE IF EXISTS ${graft.operators.Scans.rtTable("ivf_idx")}$sfx"))
   }
 
   test("VecIndex.register re-declares the ANN artifact in a bare catalog") {
