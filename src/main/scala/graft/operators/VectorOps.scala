@@ -389,6 +389,81 @@ object VectorOps {
     * artifact each probe cycle reads back pre-clustered on the candidate
     * join key, never a re-hash (VectorAndApproxSpec asserts the
     * bucket-aware corpus scan and probe↔in-memory equality). */
+  /** The streaming EMBEDDING-ingest loop, graded end-to-end — the ANN
+    * twin of q_dedup_ingest: seed a persisted LSH index with 40% of the
+    * embedding corpus, run THREE [[VecIndex.ingestBatch]] cycles over the
+    * remaining thirds (each probing the index, rejecting vectors whose
+    * banded-candidate cosine reaches the dup threshold against the
+    * corpus or a smaller-id vector in the same batch, landing survivors
+    * in `batch=<id>` and admitting them), then read the SINK back: per
+    * batch, how many vectors survived and their id sum. The oracle
+    * replays the keep-first policy declaratively over the same
+    * multi-table signature relation the probe uses — LSH-candidate AND
+    * rounded cosine ≥ 0.3 — so a cycle that re-probes admitted vectors,
+    * misses a cross-batch dup, or leaks an in-batch pair breaks the
+    * cross-engine hash. Scale: each cycle derives the batch signatures
+    * once and every corpus-side join reads a bucketed disk table. */
+  val qVecIngest = Q(
+    "q_vec_ingest",
+    s"""WITH s AS (SELECT vec_id,
+       |    ${(0 until nTables).map(t => s"CAST(${bucketExprDuck(t)} AS INT) AS b$t").mkString(", ")}
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, t.tbl,
+       |    CASE t.tbl ${(0 until nTables).map(t => s"WHEN $t THEN b$t").mkString(" ")} END AS bucket
+       |  FROM s, (VALUES ${(0 until nTables).map(t => s"($t)").mkString(", ")}) AS t(tbl)),
+       |nd AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sig a JOIN sig b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ndv AS (SELECT n.a_id, n.b_id FROM nd n
+       |  JOIN embeddings ea ON ea.vec_id = n.a_id
+       |  JOIN embeddings eb ON eb.vec_id = n.b_id
+       |  WHERE round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0.3),
+       |seed AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 <= 1),
+       |c1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 2),
+       |c2 AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 3),
+       |c3 AS (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 4),
+       |adm1 AS (SELECT vec_id FROM c1 d
+       |  WHERE NOT EXISTS (SELECT 1 FROM ndv n JOIN seed s ON n.a_id = s.vec_id
+       |                    WHERE n.b_id = d.vec_id)
+       |    AND NOT EXISTS (SELECT 1 FROM ndv n JOIN c1 x ON n.a_id = x.vec_id
+       |                    WHERE n.b_id = d.vec_id AND n.a_id < d.vec_id)),
+       |adm2 AS (SELECT vec_id FROM c2 d
+       |  WHERE NOT EXISTS (SELECT 1 FROM ndv n WHERE n.b_id = d.vec_id
+       |      AND n.a_id IN (SELECT vec_id FROM seed
+       |                     UNION ALL SELECT vec_id FROM adm1))
+       |    AND NOT EXISTS (SELECT 1 FROM ndv n JOIN c2 x ON n.a_id = x.vec_id
+       |                    WHERE n.b_id = d.vec_id AND n.a_id < d.vec_id)),
+       |adm3 AS (SELECT vec_id FROM c3 d
+       |  WHERE NOT EXISTS (SELECT 1 FROM ndv n WHERE n.b_id = d.vec_id
+       |      AND n.a_id IN (SELECT vec_id FROM seed
+       |                     UNION ALL SELECT vec_id FROM adm1
+       |                     UNION ALL SELECT vec_id FROM adm2))
+       |    AND NOT EXISTS (SELECT 1 FROM ndv n JOIN c3 x ON n.a_id = x.vec_id
+       |                    WHERE n.b_id = d.vec_id AND n.a_id < d.vec_id)),
+       |res AS (SELECT 0 AS batch, vec_id FROM adm1
+       |  UNION ALL SELECT 1 AS batch, vec_id FROM adm2
+       |  UNION ALL SELECT 2 AS batch, vec_id FROM adm3)
+       |SELECT CAST(batch AS INT) AS batch,
+       |  CAST(COUNT(*) AS BIGINT) AS n_admitted,
+       |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+       |FROM res GROUP BY batch ORDER BY batch""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    VecIndex.write(e.filter(col("vec_id") % 5 <= 1), Scans.rtTable("vec_ing_idx"))
+    val out = Scans.rtDir("vec_ingest")
+    Seq(2, 3, 4).zipWithIndex.foreach { case (m, i) =>
+      VecIndex.ingestBatch(e.filter(col("vec_id") % 5 === m),
+        Scans.rtTable("vec_ing_idx"), out, i.toLong, dupSim = 0.3)
+    }
+    spark.read.parquet(out)
+      .groupBy(col("batch").cast("int").as("batch"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum("vec_id").cast("bigint").as("id_sum"))
+      .orderBy("batch")
+  }
+
   val qVecIndexProbe = Q(
     "q_vec_index_probe",
     s"""$multiTop3Duck
@@ -1272,7 +1347,8 @@ object VectorOps {
   }
 
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
-    qVecLshMulti, qVecIndexProbe, qVecLshNearDup, qVecQuantize, qVecKmeans, qVecIvfProbe2,
+    qVecLshMulti, qVecIndexProbe, qVecIngest, qVecLshNearDup, qVecQuantize,
+    qVecKmeans, qVecIvfProbe2,
     qVecIndexIvf,
     qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,
