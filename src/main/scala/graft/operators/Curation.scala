@@ -82,6 +82,101 @@ object Curation {
       .orderBy("lang", "rk")
   }
 
+  /** DSIR data selection (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling", NeurIPS 2023): score every document by
+    * how much more likely its hashed-n-gram bag is under a TARGET domain
+    * than under the raw corpus, then keep the top quarter per language.
+    * Features are unigrams hashed into 1024 buckets with the portable md5
+    * hash; bucket distributions use add-1 smoothing; the per-bucket
+    * log-ratio is fixed to exact millionth units (the bigramNll
+    * discipline) so per-doc scores sum order-independently and rank
+    * identically cross-engine (doc_id breaks exact-score ties). Target
+    * here is the `src0` slice — the "trusted exemplar set" a real run
+    * would point at curated text.
+    *
+    * Scale: the bucket vocabulary is FIXED (1024 rows), so both
+    * distribution tables collapse via map-side partial aggregation and
+    * the scoring join is an explicit broadcast — the corpus-sized token
+    * frame never shuffles to be scored. The only corpus-keyed exchange is
+    * the per-doc sum (groupBy doc_id). Exact per-stratum top-25% is one
+    * rank window per language here; at 100 TB the same scores feed a
+    * threshold-refinement pass (count docs above a candidate cut, then
+    * filter) so no stratum is ever single-task sorted. */
+  val qDsir = Q(
+    "q_dsir",
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |hb AS (SELECT doc_id, lang, source,
+       |    ${graft.functions.PortableHash.duck("t")} % 1024 AS b
+       |  FROM toks),
+       |raw AS (SELECT b, COUNT(*) AS cq FROM hb GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS cp FROM hb WHERE source = 'src0' GROUP BY b),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq,
+       |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM hb),
+       |u AS (SELECT r.b,
+       |    CAST(round(ln(((COALESCE(t.cp, 0) + 1.0) / (tot.np + 1024.0))
+       |        / ((r.cq + 1.0) / (tot.nq + 1024.0))) * 1000000) AS BIGINT) AS units
+       |  FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot),
+       |d AS (SELECT hb.doc_id, hb.lang, CAST(SUM(u.units) AS BIGINT) AS lw
+       |  FROM hb JOIN u ON hb.b = u.b GROUP BY hb.doc_id, hb.lang),
+       |r2 AS (SELECT lang, doc_id, lw,
+       |    row_number() OVER (PARTITION BY lang ORDER BY lw DESC, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM d)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rk * 4 <= n + 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_selected,
+       |  round(CAST(SUM(lw) AS BIGINT) / 1000000.0 / COUNT(*), 6) AS mean_logw,
+       |  round(CAST(SUM(CASE WHEN rk * 4 <= n + 3 THEN lw ELSE 0 END) AS BIGINT)
+       |      / 1000000.0
+       |      / SUM(CASE WHEN rk * 4 <= n + 3 THEN 1 ELSE 0 END), 6)
+       |    AS mean_logw_sel
+       |FROM r2 GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("t"))
+      .withColumn("b",
+        expr(s"(${graft.functions.PortableHash.spark("t")}) % 1024"))
+      .drop("t")
+      // feeds both distribution counts, the totals, and the scoring join
+      .persistScratch()
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cq"))
+    val tgt = toks.filter(col("source") === "src0")
+      .groupBy("b").agg(count(lit(1)).as("cp"))
+    val tot = toks.agg(count(lit(1)).cast("bigint").as("nq"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L))
+        .cast("bigint").as("np"))
+    // ≤1024 rows after the fixed-vocabulary collapse: broadcast, so the
+    // corpus-sized token frame is scored without moving
+    val u = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(((coalesce(col("cp"), lit(0L)) + lit(1.0))
+            / (col("np") + lit(1024.0)))
+          / ((col("cq") + lit(1.0)) / (col("nq") + lit(1024.0)))) * 1000000)
+          .cast("bigint").as("units"))
+    val d = toks.join(broadcast(u), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("units")).cast("bigint").as("lw"))
+    val sel = col("rk") * 4 <= col("n") + 3
+    d.withColumn("rk",
+        row_number().over(
+          Window.partitionBy("lang").orderBy(col("lw").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(sel, 1L).otherwise(0L)).cast("bigint").as("n_selected"),
+        round(sum(col("lw")).cast("bigint") / lit(1000000.0)
+          / count(lit(1)), 6).as("mean_logw"),
+        round(sum(when(sel, col("lw")).otherwise(0L)).cast("bigint")
+          / lit(1000000.0)
+          / sum(when(sel, 1L).otherwise(0L)), 6).as("mean_logw_sel"))
+      .orderBy("lang")
+  }
+
   /** Ordered funnel with a 48 h conversion window: first view → first
     * click within 48 h of it → first purchase within 48 h of that click.
     * Three conditional-min aggregations keyed on user_id, left-joined on
@@ -763,7 +858,8 @@ object Curation {
       .orderBy("source")
   }
 
-  def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qEventsFunnel, qTextRedact,
+  def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qDsir,
+    qEventsFunnel, qTextRedact,
     qDocSourceCap,
     qDocMixBudget, qDocMixTemperature, qDocMedianGate, qEventsRetention,
     qClipOutliers,

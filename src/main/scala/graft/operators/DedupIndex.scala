@@ -169,6 +169,52 @@ object DedupIndex {
     }.foreach(_.unpersist(false))
   }
 
+  /** Small-file COMPACTION for the index artifact — the maintenance twin
+    * of [[append]]. Every append cycle adds one task-file set per bucket,
+    * so after N cycles a probe pays N file opens per bucket and the
+    * scheduler drowns in splits — the classic streaming-ingest read-path
+    * decay. This rewrites each table into the SAME bucket spec with ONE
+    * file per bucket: the rewrite repartitions on the bucket keys into
+    * `buckets` partitions, and Spark's repartition hash IS the bucket
+    * hash (murmur3 pmod), so every writing task holds exactly one
+    * bucket's rows and the bucketed writer emits exactly one file for it.
+    * Probe plans are unchanged — same bucketing metadata, so the
+    * zero-corpus-shuffle probe join survives (DedupSpec asserts
+    * probe-equality before/after and the one-file-per-bucket layout).
+    *
+    * Swap protocol: stage the compacted table under `<t>__compact`, then
+    * DROP the live name and RENAME the staged table into it. The two
+    * catalog ops are not atomic; the crash window is closed by a heal at
+    * the NEXT call (live name missing + staged present → finish the
+    * rename, nothing recompacted), and the staged data is complete before
+    * the first metadata op runs, so no crash point loses rows. An index
+    * [[register]]-ed over an EXTERNAL location keeps its original files
+    * (DROP on external deletes metadata only) — the caller owns that
+    * path's retirement; the compacted table is managed either way. */
+  def compactIndex(spark: SparkSession, name: String,
+      buckets: Int = 8): Unit = {
+    Seq(s"${name}_tokens" -> Seq("doc_id"),
+      s"${name}_bands" -> Seq("lang", "band", "sig")).foreach {
+      case (t, keys) => compactTable(spark, t, keys, buckets)
+    }
+  }
+
+  private def compactTable(spark: SparkSession, t: String,
+      keys: Seq[String], buckets: Int): Unit = {
+    val staged = s"${t}__compact"
+    if (!spark.catalog.tableExists(t)) {
+      // heal a crash between the DROP and RENAME of a previous compaction
+      require(spark.catalog.tableExists(staged),
+        s"index table $t missing and no staged compaction to heal")
+      spark.sql(s"ALTER TABLE `$staged` RENAME TO `$t`")
+      return
+    }
+    val df = spark.table(t).repartition(buckets, keys.map(col): _*)
+    Sinks.writeBucketed(df, buckets, keys, staged)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$t`")
+  }
+
   /** Probe the persisted index with a new batch: per new document, how
     * many near-duplicates (exact Jaccard ≥ 0.9, the same 19/9 integer
     * threshold as the whole minhash family) it has in the indexed corpus

@@ -229,6 +229,68 @@ object Scans {
       .select("key", "seq", "bal").orderBy("key")
   }
 
+  /** TIME-TRAVEL read, graded end-to-end: seed a keyed table, apply TWO
+    * MERGE batches through the pointer-publish protocol, then read the
+    * table AS OF one publish back ([[graft.sources.Sinks
+    * .readTablePrevious]]) — the state after batch 1, before batch 2.
+    * The oracle states that intermediate state declaratively (latest-wins
+    * over base ∪ batch 1) and knows nothing about versions, so the graded
+    * hash proves the retained predecessor dir really is the pre-batch-2
+    * table, byte-exact — the "what did this table say before last night's
+    * MERGE" question of every incident review. The predecessor name rides
+    * in the SAME atomically-renamed pointer file as the current version
+    * (line 2), so current/previous can never disagree; retention depth is
+    * exactly one version by design (deeper history is a table format's
+    * snapshot log, a non-goal). Scale: time travel is a metadata read —
+    * cost is identical to reading the live table. */
+  val qSinkTimeTravel = Q(
+    "q_sink_time_travel",
+    """WITH base AS (
+      |  SELECT c_custkey AS key, 0 AS seq, c_acctbal AS bal FROM customer),
+      |b1 AS (
+      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN -o_custkey
+      |              ELSE o_custkey END AS key,
+      |    1 AS seq, o_totalprice AS bal
+      |  FROM (
+      |    SELECT o_custkey, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM b1)
+      |SELECT key, seq, bal FROM (
+      |  SELECT key, seq, bal,
+      |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      |  FROM u)
+      |WHERE rn = 1
+      |ORDER BY key""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val path = rtDir("time_travel") + "/state"
+    graft.sources.Sinks.write(
+      Tables.customer(spark, dir).select(
+        col("c_custkey").as("key"), lit(0).as("seq"),
+        col("c_acctbal").as("bal")),
+      path)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val b1 = Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        when(col("o_custkey") % 2 === 1, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("key"),
+        lit(1).as("seq"), col("o_totalprice").as("bal"))
+    val b2 = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("key"), lit(2).as("seq"),
+        lit(0.0).as("bal"))
+    graft.sources.Sinks.upsertBatch(b1, path, "key", "seq") // publishes v1
+    graft.sources.Sinks.upsertBatch(b2, path, "key", "seq") // publishes v2
+    graft.sources.Sinks.readTablePrevious(spark, path)
+      .getOrElse(sys.error(s"no predecessor version at $path"))
+      .select("key", "seq", "bal").orderBy("key")
+  }
+
   /** Bucketed-sink co-located join ROUND-TRIP, graded end-to-end: write
     * orders and lineitem as bucketed tables hash-clustered on the join key
     * ([[graft.sources.Sinks.writeBucketed]], 8 buckets, bucket-sorted),
@@ -410,5 +472,6 @@ object Scans {
 
   def all: Seq[Q] =
     Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
+      qSinkTimeTravel,
       qSinkBucketedJoin, qSourceJson, qSourceCsv, qSourceOrc, qSinkCompact)
 }

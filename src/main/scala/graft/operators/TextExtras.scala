@@ -601,6 +601,87 @@ object TextExtras {
       .orderBy("lang", "rk")
   }
 
+  /** Gopher-style quality-rule FUNNEL with per-rule drop attribution
+    * (Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+    * from Training Gopher", 2021, §A1.1 adapted to whitespace tokens):
+    * five deterministic rules — word count in [50, 100000], mean word
+    * length in [3, 10], ≥2 stopwords, top-word fraction ≤ 0.2, ≥80% of
+    * words containing an alphabetic character — reported per language as
+    * HOW MANY documents each rule fails plus the survivors. Per-rule
+    * attribution (not just the kept set) is what a curation run actually
+    * ships: it's how you notice one mis-tuned threshold deleting a
+    * language. Every ratio test is integer cross-multiplication
+    * (5·topc > nw, 5·nalpha < 4·nw, chars < 3·nw), so no float boundary
+    * can flip cross-engine. Scale: one corpus scan computes four rules
+    * per-row; the top-word rule is explode → count → max keyed on doc_id
+    * (corpus-linear, the q_text_wordcount shuffle shape) — never a
+    * per-row O(len²) array self-scan, which would blow up on a single
+    * 100k-token document. */
+  val qDocQualityFunnel = Q(
+    "q_doc_quality_funnel",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |base AS (SELECT doc_id, lang, n_chars, len(ws) AS nw,
+       |    len(list_filter(ws, x -> x IN ($stopsSql))) AS nstop,
+       |    len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha
+       |  FROM t),
+       |topw AS (SELECT doc_id, MAX(c) AS topc FROM (
+       |    SELECT doc_id, w, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |f AS (SELECT b.lang,
+       |    CASE WHEN b.nw < 50 OR b.nw > 100000 THEN 1 ELSE 0 END AS f_wc,
+       |    CASE WHEN b.n_chars - (b.nw - 1) < 3 * b.nw
+       |           OR b.n_chars - (b.nw - 1) > 10 * b.nw THEN 1 ELSE 0 END AS f_mwl,
+       |    CASE WHEN b.nstop < 2 THEN 1 ELSE 0 END AS f_stop,
+       |    CASE WHEN 5 * w.topc > b.nw THEN 1 ELSE 0 END AS f_rep,
+       |    CASE WHEN 5 * b.nalpha < 4 * b.nw THEN 1 ELSE 0 END AS f_alpha
+       |  FROM base b JOIN topw w ON b.doc_id = w.doc_id)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(f_wc) AS BIGINT) AS fail_wordcount,
+       |  CAST(SUM(f_mwl) AS BIGINT) AS fail_meanwordlen,
+       |  CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+       |  CAST(SUM(f_rep) AS BIGINT) AS fail_repetition,
+       |  CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha,
+       |  CAST(SUM(CASE WHEN f_wc = 0 AND f_mwl = 0 AND f_stop = 0
+       |                 AND f_rep = 0 AND f_alpha = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    val tk = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      size(tk).cast("bigint").as("nw"),
+      size(filter(tk, t => t.isin(stops: _*))).cast("bigint").as("nstop"),
+      size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast("bigint").as("nalpha"))
+    val topw = docs
+      .select(col("doc_id"), explode(tk).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("topc"))
+    val fWc = when(col("nw") < 50 || col("nw") > 100000, 1L).otherwise(0L)
+    val fMwl = when(col("n_chars") - (col("nw") - 1) < lit(3) * col("nw") ||
+      col("n_chars") - (col("nw") - 1) > lit(10) * col("nw"), 1L).otherwise(0L)
+    val fStop = when(col("nstop") < 2, 1L).otherwise(0L)
+    val fRep = when(lit(5) * col("topc") > col("nw"), 1L).otherwise(0L)
+    val fAlpha = when(lit(5) * col("nalpha") < lit(4) * col("nw"), 1L)
+      .otherwise(0L)
+    base.join(topw, Seq("doc_id"))
+      .select(col("lang"), fWc.as("f_wc"), fMwl.as("f_mwl"),
+        fStop.as("f_stop"), fRep.as("f_rep"), fAlpha.as("f_alpha"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("f_wc").cast("bigint").as("fail_wordcount"),
+        sum("f_mwl").cast("bigint").as("fail_meanwordlen"),
+        sum("f_stop").cast("bigint").as("fail_stopwords"),
+        sum("f_rep").cast("bigint").as("fail_repetition"),
+        sum("f_alpha").cast("bigint").as("fail_alpha"),
+        sum(when(col("f_wc") === 0 && col("f_mwl") === 0 &&
+          col("f_stop") === 0 && col("f_rep") === 0 && col("f_alpha") === 0,
+          1L).otherwise(0L)).cast("bigint").as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** Composite training-data curation pipeline as ONE dataflow: exact
     * dedup (keep min doc_id per sha-256) → quality gate (token count band
     * + stopword ratio cap) → per-(lang, source) corpus stats. This is the
@@ -856,6 +937,7 @@ object TextExtras {
     qDedupNgram, qDedupContainment, qDedupWinnow, qTokenBpe, qTokenFertility,
     qMultimodalMeta,
     qMultimodalFrames, qTextCooccur, qTextTfidf, qDocTopkQuality,
-    qPipelineFilter, qTextSearch, qTextPhrase, qMultimodalResize,
+    qDocQualityFunnel, qPipelineFilter, qTextSearch, qTextPhrase,
+    qMultimodalResize,
     qDecontaminate, qTextRepetition)
 }

@@ -257,18 +257,27 @@ object Sinks {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[String] = {
+  /** Pointer file contents: line 1 = live data dir, line 2 (optional) =
+    * predecessor data dir. Both lines land in the ONE atomically-renamed
+    * file, so "current" and "one version back" always agree — there is no
+    * second metadata op to crash between. */
+  private def readPointerLines(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
     val ptr = new org.apache.hadoop.fs.Path(root, PointerFile)
-    if (!fs.exists(ptr)) None
+    if (!fs.exists(ptr)) Nil
     else {
       val in = fs.open(ptr)
-      try Some(new String(
+      try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
       finally in.close()
     }
   }
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[String] =
+    readPointerLines(fs, root).headOption
 
   /** Resolve a table root through its `CURRENT` pointer to the live data
     * directory. A root without a pointer (a plain parquet dir, or the
@@ -285,6 +294,25 @@ object Sinks {
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(resolveTable(spark, path))
 
+  /** Time-travel read, one publish back: the PREDECESSOR version that the
+    * publish protocol retains for in-flight readers doubles as a
+    * single-step snapshot history — "what did this table say before the
+    * last MERGE/compaction" is the question every incident review asks
+    * first. The predecessor's name rides in the pointer file's second
+    * line (written in the same atomic rename as the current version), so
+    * this is a metadata read, never a directory-listing heuristic over
+    * retired dirs. Returns None for a table that has no published
+    * predecessor (plain dir, or first publish). Deeper history is a
+    * documented non-goal: retention is exactly one version, so `steps`
+    * beyond 1 would need a real table format's snapshot log. */
+  def readTablePrevious(spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    readPointerLines(fsOf(spark, root), root) match {
+      case _ +: prev +: _ => Some(spark.read.parquet(s"$path/$prev"))
+      case _ => None
+    }
+  }
+
   private def stageName(): String =
     s"data-${java.util.UUID.randomUUID().toString.take(12)}"
 
@@ -300,7 +328,9 @@ object Sinks {
     val prev = readPointer(fs, root)
     val tmp = new org.apache.hadoop.fs.Path(root, s".$PointerFile.tmp")
     val out = fs.create(tmp, true)
-    try out.write(stagedName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // line 2 records the predecessor so time travel needs no dir listing
+    val content = (stagedName +: prev.toSeq).mkString("\n")
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // rename-with-overwrite is the one atomic metadata op of the commit
     org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
