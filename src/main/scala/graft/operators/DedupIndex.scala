@@ -174,10 +174,12 @@ object DedupIndex {
     * so after N cycles a probe pays N file opens per bucket and the
     * scheduler drowns in splits — the classic streaming-ingest read-path
     * decay. This rewrites each table into the SAME bucket spec with ONE
-    * file per bucket: the rewrite repartitions on the bucket keys into
-    * `buckets` partitions, and Spark's repartition hash IS the bucket
-    * hash (murmur3 pmod), so every writing task holds exactly one
-    * bucket's rows and the bucketed writer emits exactly one file for it.
+    * file per bucket: the rewrite reads the table with the bucketed scan
+    * pinned ON, so every read partition is exactly one bucket (all its
+    * file generations together) and the bucketed writer maps it back to
+    * one file; the explicit repartition on the bucket keys (whose hash IS
+    * the bucket hash, murmur3 pmod) is the belt-and-braces guard and is
+    * elided as redundant over the bucket-partitioned scan.
     * Probe plans are unchanged — same bucketing metadata, so the
     * zero-corpus-shuffle probe join survives (DedupSpec asserts
     * probe-equality before/after and the one-file-per-bucket layout).
@@ -209,8 +211,22 @@ object DedupIndex {
       spark.sql(s"ALTER TABLE `$staged` RENAME TO `$t`")
       return
     }
-    val df = spark.table(t).repartition(buckets, keys.map(col): _*)
-    Sinks.writeBucketed(df, buckets, keys, staged)
+    // Pin the BUCKETED scan for the rewrite: the source table advertises
+    // HashPartitioning on the bucket keys, so the explicit repartition is
+    // elided as redundant — and then DisableUnnecessaryBucketedScan (no
+    // downstream exchange left to justify the bucketed read) degrades the
+    // scan to size-split file partitions, leaving each writer task with a
+    // mix of buckets and one file per (task, bucket) instead of one per
+    // bucket. With auto-bucketed-scan off, the read IS one partition per
+    // bucket (all its file generations together), which the writer maps
+    // 1:1 back to bucket files.
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try {
+      val df = spark.table(t).repartition(buckets, keys.map(col): _*)
+      Sinks.writeBucketed(df, buckets, keys, staged)
+    } finally spark.conf.set(k, old)
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$t`")
   }

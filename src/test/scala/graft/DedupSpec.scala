@@ -407,6 +407,80 @@ class DedupSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
   }
 
+  test("compactIndex rewrites append litter to one file per bucket, probe-equal") {
+    // The maintenance operator's contract: after write + append each
+    // bucket holds two file generations; compaction must collapse to ONE
+    // file per bucket, keep the bucketing metadata (zero-corpus-shuffle
+    // probe survives), and change no probe decision.
+    val dir = sf()
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val name = "graft_dedupspec_cpt_idx"
+    graft.operators.DedupIndex.write(docs.filter(col("doc_id") % 5 <= 2), name)
+    graft.sources.Scratch.releaseAll()
+    graft.operators.DedupIndex.append(docs.filter(col("doc_id") % 5 === 3), name)
+    graft.sources.Scratch.releaseAll()
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val before = graft.operators.DedupIndex.probe(spark, name, batch)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.sources.Scratch.releaseAll()
+    val filesBefore = spark.table(s"${name}_tokens").inputFiles.length
+    assert(filesBefore > 8,
+      s"write+append should leave >1 file generation per bucket, saw $filesBefore")
+    graft.operators.DedupIndex.compactIndex(spark, name)
+    assert(spark.table(s"${name}_tokens").inputFiles.length <= 8,
+      "tokens table not compacted to one file per bucket")
+    assert(spark.table(s"${name}_bands").inputFiles.length <= 8,
+      "bands table not compacted to one file per bucket")
+    val after = graft.operators.DedupIndex.probe(spark, name, batch)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(after === before,
+      s"compaction changed probe results: ${after.diff(before)} vs ${before.diff(after)}")
+    graft.sources.Scratch.releaseAll()
+    // bucketing metadata survived: the probe's corpus scan is bucket-aware
+    val plan = graft.operators.DedupIndex.probe(spark, name, batch)
+      .queryExecution.executedPlan.toString
+    val bandsScanSide = plan.linesIterator
+      .filter(l => l.contains(s"${name}_bands")).mkString("\n")
+    assert(bandsScanSide.contains("SelectedBucketsCount") ||
+      plan.contains("Bucketed: true"),
+      s"compacted bands scan is not bucket-aware:\n$plan")
+    graft.sources.Scratch.releaseAll()
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
+  }
+
+  test("compactIndex heals a crash between its DROP and RENAME") {
+    // Crash model: a previous compaction fully staged the compacted table
+    // and died after DROPping the live name but before the RENAME — the
+    // live name is missing, the staged table holds the complete data. The
+    // next compactIndex call must finish the rename instead of failing.
+    val common = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((3L, s"$common alpha", "en"), (7L, s"zz yy xx ww", "en"))
+      .toDF("doc_id", "text", "lang")
+    val name = "graft_dedupspec_heal_idx"
+    graft.operators.DedupIndex.write(corpus, name)
+    graft.sources.Scratch.releaseAll()
+    val t = s"${name}_tokens"
+    // simulate the crash window by hand: stage, then drop the live table
+    graft.sources.Sinks.writeBucketed(
+      spark.table(t).repartition(8, col("doc_id")), 8, Seq("doc_id"),
+      s"${t}__compact")
+    spark.sql(s"DROP TABLE `$t`")
+    assert(!spark.catalog.tableExists(t))
+    graft.operators.DedupIndex.compactIndex(spark, name)
+    assert(spark.catalog.tableExists(t), "heal did not restore the live table")
+    assert(!spark.catalog.tableExists(s"${t}__compact"),
+      "heal left the staged table behind")
+    val probe = graft.operators.DedupIndex.probe(spark, name,
+      Seq((20L, s"$common beta", "en")).toDF("doc_id", "text", "lang"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(probe === Seq((20L, 1L, 3L)),
+      s"healed index lost probe data: $probe")
+    graft.sources.Scratch.releaseAll()
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tokens")
+  }
+
   test("winnowing honors its match guarantee and compresses the index") {
     val spk = spark
     import spk.implicits._

@@ -380,6 +380,59 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("dsir scores the corpus through broadcasts; only the 1024-bucket frame is hinted") {
+    // DSIR's scale contract: the per-bucket log-ratio table is bounded by
+    // the FIXED 1024-bucket vocabulary, so the scoring join must be a
+    // broadcast — the corpus-sized token frame never exchanges to be
+    // scored. The only sanctioned nested loop is the one-row totals cross
+    // join (the one-row total-frame precedent).
+    val plan = finalPlan("q_dsir").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      "q_dsir degraded to a corpus cartesian")
+    val bnljIds = "BroadcastNestedLoopJoin[^(]*\\((\\d+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(bnljIds.size <= 1, s"q_dsir has ${bnljIds.size} nested-loop " +
+      "joins — only the one-row totals cross join is sanctioned")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q_dsir lost the broadcast scoring join")
+    // every static hint covers the bounded bucket/totals frames, never
+    // the corpus: hinted outputs expose the bucket stats columns
+    hintedSideOutputs("q_dsir").foreach { out =>
+      assert(out.exists(c => Set("units", "nq", "np", "cq", "cp").contains(c)),
+        s"q_dsir broadcast-hints a non-bucket side: ${out.mkString(", ")}")
+    }
+  }
+
+  test("quality funnel: two corpus scans, top-word rule shuffles on doc_id only") {
+    // The per-row rules ride one scan; the top-word rule is a second scan
+    // with explode → count keyed on doc_id. Anything beyond two scans
+    // means a rule re-reads the corpus; a nested loop means the rule join
+    // lost its doc_id key.
+    val plan = finalPlan("q_doc_quality_funnel").split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "q_doc_quality_funnel degraded to a nested loop")
+    val scans = plan.split('\n').count(_.contains("Scan parquet"))
+    assert(scans <= 2,
+      s"q_doc_quality_funnel re-scans the corpus: $scans parquet scans")
+  }
+
+  test("keep-best survivor selection adds no corpus broadcast over the CC labels") {
+    // Survivor selection composes the pair pipeline + CC with one
+    // doc_id equi-join and one comp window. No static broadcast hint may
+    // cover a corpus-sized side, and the join must stay keyed.
+    val plan = finalPlan("q_dedup_keep_best").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      "q_dedup_keep_best degraded to a cartesian")
+    assert(plan.split('\n').exists(l => l.contains("Window (") ||
+      l.contains("RunningWindowFunction")),
+      "q_dedup_keep_best lost its survivor-rank window")
+    hintedSideOutputs("q_dedup_keep_best").foreach { out =>
+      assert(!out.contains("text"),
+        s"q_dedup_keep_best broadcast-hints a corpus side: ${out.mkString(", ")}")
+    }
+  }
+
   test("lm filter banding adds one lang window over the shared scored frame") {
     // The banding must ride the LM scoring — its plan may add the ntile
     // window and the final aggregate, but never a second corpus tokenize

@@ -294,4 +294,46 @@ class SinkSourceSpec extends SparkTestBase {
     assert(entries.count(_.startsWith("data-")) === 2,
       s"expected live + predecessor versions, root holds $entries")
   }
+
+  test("time travel reads exactly one publish back through the pointer") {
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_tt").toString + "/t"
+    def prev(): Option[Set[(Long, String, Long)]] =
+      graft.sources.Sinks.readTablePrevious(spk, table)
+        .map(_.as[(Long, String, Long)].collect().toSet)
+    // no pointer at all → no history
+    assert(prev().isEmpty, "unpublished table cannot have a predecessor")
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("key", "v", "seq"),
+      table, "key", "seq")
+    // first publish: a live version exists but nothing precedes it
+    assert(prev().isEmpty, "first publish must not invent a predecessor")
+    graft.sources.Sinks.upsertBatch(
+      Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("key", "v", "seq"),
+      table, "key", "seq")
+    val v1 = Set((1L, "a", 1L), (2L, "b", 1L))
+    assert(prev() === Some(v1), "predecessor read is not the pre-merge state")
+    // the window ROLLS: after a third publish, previous is the second state
+    graft.sources.Sinks.upsertBatch(
+      Seq((4L, "d", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    val v2 = Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 1L))
+    assert(prev() === Some(v2), "retention window did not roll forward")
+    // current and previous never disagree: both names come from the one
+    // atomically-renamed pointer file, and both dirs exist on disk
+    val current = graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long)].collect().toSet
+    assert(current === v2 + ((4L, "d", 1L)))
+    // a legacy single-line pointer (pre-history layout) still reads as
+    // current-with-no-history instead of failing
+    val ptr = java.nio.file.Paths.get(s"$table/CURRENT")
+    val lines = Files.readString(ptr).split("\n")
+    Files.writeString(ptr, lines.head)
+    // the raw rewrite bypassed Hadoop's checksummed local FS — drop the
+    // stale .crc sidecar or the next pointer read fails its checksum
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$table/.CURRENT.crc"))
+    assert(graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long)].collect().toSet === current)
+    assert(prev().isEmpty, "single-line pointer must read as no history")
+  }
 }
