@@ -174,61 +174,17 @@ object DedupIndex {
     * so after N cycles a probe pays N file opens per bucket and the
     * scheduler drowns in splits — the classic streaming-ingest read-path
     * decay. This rewrites each table into the SAME bucket spec with ONE
-    * file per bucket: the rewrite reads the table with the bucketed scan
-    * pinned ON, so every read partition is exactly one bucket (all its
-    * file generations together) and the bucketed writer maps it back to
-    * one file; the explicit repartition on the bucket keys (whose hash IS
-    * the bucket hash, murmur3 pmod) is the belt-and-braces guard and is
-    * elided as redundant over the bucket-partitioned scan.
+    * file per bucket via [[Sinks.compactBucketed]] (bucketed-scan-pinned
+    * rewrite, staged + DROP/RENAME swap, crash healed on the next call).
     * Probe plans are unchanged — same bucketing metadata, so the
     * zero-corpus-shuffle probe join survives (DedupSpec asserts
-    * probe-equality before/after and the one-file-per-bucket layout).
-    *
-    * Swap protocol: stage the compacted table under `<t>__compact`, then
-    * DROP the live name and RENAME the staged table into it. The two
-    * catalog ops are not atomic; the crash window is closed by a heal at
-    * the NEXT call (live name missing + staged present → finish the
-    * rename, nothing recompacted), and the staged data is complete before
-    * the first metadata op runs, so no crash point loses rows. An index
-    * [[register]]-ed over an EXTERNAL location keeps its original files
-    * (DROP on external deletes metadata only) — the caller owns that
-    * path's retirement; the compacted table is managed either way. */
+    * probe-equality before/after, the one-file-per-bucket layout, and
+    * the heal path). */
   def compactIndex(spark: SparkSession, name: String,
       buckets: Int = 8): Unit = {
-    Seq(s"${name}_tokens" -> Seq("doc_id"),
-      s"${name}_bands" -> Seq("lang", "band", "sig")).foreach {
-      case (t, keys) => compactTable(spark, t, keys, buckets)
-    }
-  }
-
-  private def compactTable(spark: SparkSession, t: String,
-      keys: Seq[String], buckets: Int): Unit = {
-    val staged = s"${t}__compact"
-    if (!spark.catalog.tableExists(t)) {
-      // heal a crash between the DROP and RENAME of a previous compaction
-      require(spark.catalog.tableExists(staged),
-        s"index table $t missing and no staged compaction to heal")
-      spark.sql(s"ALTER TABLE `$staged` RENAME TO `$t`")
-      return
-    }
-    // Pin the BUCKETED scan for the rewrite: the source table advertises
-    // HashPartitioning on the bucket keys, so the explicit repartition is
-    // elided as redundant — and then DisableUnnecessaryBucketedScan (no
-    // downstream exchange left to justify the bucketed read) degrades the
-    // scan to size-split file partitions, leaving each writer task with a
-    // mix of buckets and one file per (task, bucket) instead of one per
-    // bucket. With auto-bucketed-scan off, the read IS one partition per
-    // bucket (all its file generations together), which the writer maps
-    // 1:1 back to bucket files.
-    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val old = spark.conf.get(k)
-    spark.conf.set(k, "false")
-    try {
-      val df = spark.table(t).repartition(buckets, keys.map(col): _*)
-      Sinks.writeBucketed(df, buckets, keys, staged)
-    } finally spark.conf.set(k, old)
-    spark.sql(s"DROP TABLE IF EXISTS `$t`")
-    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$t`")
+    Sinks.compactBucketed(spark, s"${name}_tokens", Seq("doc_id"), buckets)
+    Sinks.compactBucketed(spark, s"${name}_bands",
+      Seq("lang", "band", "sig"), buckets)
   }
 
   /** Probe the persisted index with a new batch: per new document, how

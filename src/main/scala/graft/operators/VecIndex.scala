@@ -102,6 +102,21 @@ object VecIndex {
     }.foreach(_.unpersist(false))
   }
 
+  /** Small-file COMPACTION for the LSH index artifact — the ANN twin of
+    * [[DedupIndex.compactIndex]]: every [[append]] (each [[ingestStream]]
+    * micro-batch admits through it) adds one task-file set per bucket, so
+    * an unmaintained index pays one file open per append cycle per bucket
+    * at probe time. [[Sinks.compactBucketed]] rewrites both tables to one
+    * file per bucket under the same bucket spec (bucketed-scan-pinned
+    * rewrite, staged + DROP/RENAME swap, crash healed on the next call);
+    * probe results and the zero-corpus-shuffle candidate join are
+    * unchanged. */
+  def compactIndex(spark: SparkSession, name: String,
+      buckets: Int = 8): Unit = {
+    Sinks.compactBucketed(spark, s"${name}_sig", Seq("tbl", "bucket"), buckets)
+    Sinks.compactBucketed(spark, s"${name}_emb", Seq("vec_id"), buckets)
+  }
+
   /** Probe the persisted index with a query batch (vec_id, embedding):
     * top-k neighbors per batch vector among all corpus vectors any of the
     * 4 hash tables buckets it with (OR-amplified candidates), exact-dot

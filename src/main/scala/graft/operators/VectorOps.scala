@@ -476,6 +476,33 @@ object VectorOps {
       .orderBy("a_id", "rk")
   }
 
+  /** LSH-index COMPACTION round-trip, graded end-to-end — the ANN twin of
+    * `q_dedup_index_compact`: build the persisted index from the even
+    * vec_ids, [[VecIndex.append]] the odd half (each bucket now holds two
+    * file generations — the ingest-loop read-path decay), run
+    * [[VecIndex.compactIndex]] (one file per bucket, same bucket spec,
+    * staged + swap + heal), and probe with the query panel. The oracle is
+    * IDENTICAL to `q_vec_index_probe` — the full-corpus top-3 statement,
+    * blind to appends and compaction — so a signature or payload row lost
+    * or duplicated in the rewrite breaks the cross-engine hash (a
+    * duplicated payload row would give a neighbor two ranks and evict a
+    * genuine one). VectorAndApproxSpec asserts the layout; this row
+    * grades the data. */
+  val qVecIndexCompact = Q(
+    "q_vec_index_compact",
+    s"""$multiTop3Duck
+       |SELECT a_id, b_id, sim, rk FROM multi3
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val nm = Scans.rtTable("vec_idxc")
+    VecIndex.write(e.filter(col("vec_id") % 2 === 0), nm)
+    VecIndex.append(e.filter(col("vec_id") % 2 === 1), nm)
+    VecIndex.compactIndex(spark, nm)
+    VecIndex.probe(spark, nm, e.filter(col("vec_id") < 50))
+      .orderBy("a_id", "rk")
+  }
+
   /** Persisted-IVF-index ROUND-TRIP, graded: write the (centroid table,
     * cell-bucketed corpus) artifact via [[VecIndex.ivfWrite]], read it
     * back through the catalog, probe with the query panel. The oracle is
@@ -1347,7 +1374,8 @@ object VectorOps {
   }
 
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
-    qVecLshMulti, qVecIndexProbe, qVecIngest, qVecLshNearDup, qVecQuantize,
+    qVecLshMulti, qVecIndexProbe, qVecIndexCompact, qVecIngest,
+    qVecLshNearDup, qVecQuantize,
     qVecKmeans, qVecIvfProbe2,
     qVecIndexIvf,
     qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,

@@ -235,6 +235,53 @@ object Sinks {
     publish(spark, path, staged)
   }
 
+  /** Small-file COMPACTION for a BUCKETED catalog table: rewrite the same
+    * rows under the same bucket spec with exactly ONE file per bucket.
+    * Append-maintained index artifacts (DedupIndex, VecIndex) add one
+    * task-file set per bucket per append cycle; left alone, every probe
+    * pays N file opens per bucket — this is their maintenance operator.
+    *
+    * Mechanism: the rewrite reads the table with the bucketed scan pinned
+    * ON, so each read partition is exactly one bucket (all its file
+    * generations together) and the bucketed writer maps it back to one
+    * file. Without the pin, the table's advertised hash partitioning
+    * elides the explicit repartition as redundant, and then — no exchange
+    * left to justify the bucketed read — DisableUnnecessaryBucketedScan
+    * degrades the scan to size-split file partitions, leaving one file
+    * per (task, bucket). The repartition on the bucket keys (whose hash
+    * IS the bucket hash, murmur3 pmod) stays as the belt-and-braces guard.
+    *
+    * Swap protocol: stage under `<t>__compact`, then DROP the live name
+    * and RENAME the staged table into it. The two catalog ops are not
+    * atomic; the crash window is closed by a heal at the NEXT call (live
+    * name missing + staged present → finish the rename), and the staged
+    * data is complete before the first metadata op runs, so no crash
+    * point loses rows. A table registered over an EXTERNAL location keeps
+    * its original files (DROP deletes metadata only) — that path's
+    * retirement belongs to its owner; the compacted table is managed
+    * either way. */
+  def compactBucketed(spark: SparkSession, t: String,
+      keys: Seq[String], buckets: Int): Unit = {
+    val staged = s"${t}__compact"
+    if (!spark.catalog.tableExists(t)) {
+      // heal a crash between the DROP and RENAME of a previous compaction
+      require(spark.catalog.tableExists(staged),
+        s"bucketed table $t missing and no staged compaction to heal")
+      spark.sql(s"ALTER TABLE `$staged` RENAME TO `$t`")
+      return
+    }
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try {
+      val df = spark.table(t)
+        .repartition(buckets, keys.map(functions.col): _*)
+      writeBucketed(df, buckets, keys, staged)
+    } finally spark.conf.set(k, old)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$t`")
+  }
+
   // ---- Manifest-pointer table publish ------------------------------------
   // A rewritten table (streaming MERGE, compaction) is published by writing
   // the new data to a fresh versioned directory INSIDE the table root and

@@ -296,6 +296,48 @@ class VectorAndApproxSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_vecspec_idx_emb")
   }
 
+  test("VecIndex.compactIndex: one file per bucket, probe-equal, bucket-aware") {
+    // The ANN index's maintenance operator: write half the corpus, append
+    // the other half (two file generations per bucket), compact, and the
+    // probe must return exactly the full-index neighbors over a
+    // one-file-per-bucket layout that still serves the bucket-aware scan.
+    val spk = spark
+    import spk.implicits._
+    val dir = sf()
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val name = "graft_vecspec_cpt_idx"
+    graft.operators.VecIndex.write(e.filter(col("vec_id") % 2 === 0), name)
+    graft.sources.Scratch.releaseAll()
+    graft.operators.VecIndex.append(e.filter(col("vec_id") % 2 === 1), name)
+    graft.sources.Scratch.releaseAll()
+    val panel = e.filter(col("vec_id") < 50)
+    val before = graft.operators.VecIndex.probe(spark, name, panel)
+      .orderBy("a_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    graft.sources.Scratch.releaseAll()
+    assert(spark.table(s"${name}_sig").inputFiles.length > 8,
+      "write+append should leave two file generations per bucket")
+    graft.operators.VecIndex.compactIndex(spark, name)
+    assert(spark.table(s"${name}_sig").inputFiles.length <= 8,
+      "sig table not compacted to one file per bucket")
+    assert(spark.table(s"${name}_emb").inputFiles.length <= 8,
+      "emb table not compacted to one file per bucket")
+    val after = graft.operators.VecIndex.probe(spark, name, panel)
+      .orderBy("a_id", "rk").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(after === before,
+      s"compaction changed probe results: ${after.diff(before)} vs ${before.diff(after)}")
+    graft.sources.Scratch.releaseAll()
+    val plan = graft.operators.VecIndex.probe(spark, name, panel)
+      .queryExecution.executedPlan.toString
+    val sigScanSide = plan.linesIterator
+      .filter(l => l.contains(s"${name}_sig")).mkString("\n")
+    assert(sigScanSide.contains("SelectedBucketsCount") ||
+      plan.contains("Bucketed: true"),
+      s"compacted signature scan is not bucket-aware:\n$plan")
+    graft.sources.Scratch.releaseAll()
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_sig")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_emb")
+  }
+
   test("persisted IVF index probe matches the in-memory 2-probe path") {
     // IVF's write-once/probe-many artifact: centroid table + cell-bucketed
     // corpus. Reading both back and probing must return exactly
