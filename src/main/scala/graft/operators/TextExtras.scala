@@ -787,6 +787,76 @@ object TextExtras {
   }
 
 
+  /** BM25 ranked retrieval over the same 3-term query as q_text_search —
+    * the production lexical ranker (Okapi BM25 with the Lucene `+1` idf,
+    * k1 = 1.2, b = 0.75). The posting-list shape: incidences are filtered
+    * to the query terms BEFORE the tf shuffle, so at 100 TB only the
+    * matched postings move; `dfreq` (|query| rows) and the corpus stats
+    * (1 row) broadcast. Per-(doc, term) scores are quantized to integer
+    * micro-units BEFORE the per-doc sum, so the cross-term addition is
+    * exact integer arithmetic (order-free) and the ranking key cannot
+    * drift on float summation order — the q_text_repetition discipline.
+    * The only float steps (one ln, two divides) happen per posting row
+    * with identical operand order in both engines. */
+  val qTextBm25 = Q(
+    "q_text_bm25",
+    """WITH dl AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t IN ('data', 'query', 'vector')
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+      |scored AS (
+      |  SELECT tf.doc_id, dl.lang,
+      |    CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+      |      * 1000000) AS BIGINT) AS s_u
+      |  FROM tf JOIN dfreq ON tf.t = dfreq.t
+      |       JOIN dl ON dl.doc_id = tf.doc_id, stats)
+      |SELECT doc_id, lang, CAST(SUM(s_u) AS BIGINT) / 1000000.0 AS bm25
+      |FROM scored
+      |GROUP BY doc_id, lang
+      |ORDER BY CAST(SUM(s_u) AS BIGINT) DESC, doc_id
+      |LIMIT 10""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val dl = docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("double").as("dl"))
+      .persistScratch() // feeds the corpus stats AND the per-doc length join
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin("data", "query", "vector"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).cast("double").as("tf"))
+      .persistScratch() // feeds dfreq AND the scored join
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+    val sU = round(
+      log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        * (col("tf") * lit(2.2))
+        / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        * lit(1000000)).cast("bigint")
+    tf.join(broadcast(dfreq), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lang"), sU.as("s_u"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("s_u").cast("bigint").as("score_u"))
+      .select(col("doc_id"), col("lang"),
+        (col("score_u") / lit(1000000.0)).as("bm25"), col("score_u"))
+      .orderBy(desc("score_u"), asc("doc_id"))
+      .limit(10)
+      .drop("score_u")
+  }
+
+
   /** Multimodal resize planning: per payload, stub-typed image dims from
     * the content digest (hex pairs 7-8 / 9-10, the same digest-derived
     * metadata convention as decodeStub/q_multimodal_frames), then the
@@ -937,7 +1007,7 @@ object TextExtras {
     qDedupNgram, qDedupContainment, qDedupWinnow, qTokenBpe, qTokenFertility,
     qMultimodalMeta,
     qMultimodalFrames, qTextCooccur, qTextTfidf, qDocTopkQuality,
-    qDocQualityFunnel, qPipelineFilter, qTextSearch, qTextPhrase,
+    qDocQualityFunnel, qPipelineFilter, qTextSearch, qTextBm25, qTextPhrase,
     qMultimodalResize,
     qDecontaminate, qTextRepetition)
 }

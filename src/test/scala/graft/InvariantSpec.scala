@@ -517,4 +517,35 @@ class InvariantSpec extends SparkTestBase with Matchers {
     val resorted = out.sortBy { case (id, _, _, rrf) => (-rrf, id) }
     assert(out.toSeq === resorted.toSeq, "output violates the fused ordering")
   }
+
+  test("bm25 top-10 matches an independent driver-side recompute") {
+    // Recompute Okapi BM25 (Lucene +1 idf, k1=1.2, b=0.75, micro-unit
+    // quantization per (doc, term) BEFORE the cross-term sum) from the raw
+    // table with plain Scala, and assert the query returns exactly that
+    // ranking — proving the score is a pure function of the corpus.
+    val dir = sf()
+    val terms = Set("data", "query", "vector")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toDouble).sum / docs.length
+    val tf = docs.flatMap { case (id, tk) =>
+      tk.filter(terms).groupBy(identity).map { case (t, xs) =>
+        ((id, t), xs.length.toDouble)
+      }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size.toDouble }
+    val dl = docs.map { case (id, tk) => id -> tk.length.toDouble }.toMap
+    val scoreU = tf.toSeq.map { case ((id, t), f) =>
+      val idf = math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5))
+      val s = idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+      id -> math.round(s * 1000000)
+    }.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sum }
+    val expected = scoreU.toSeq.sortBy { case (id, u) => (-u, id) }.take(10)
+      .map { case (id, u) => (id, u / 1000000.0) }
+    val got = SparkEntry.queries("q_text_bm25")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
 }

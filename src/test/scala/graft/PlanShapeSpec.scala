@@ -304,6 +304,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("bm25: only posting-bounded sides are hinted; top-10 avoids a global sort") {
+    // dfreq (|query| = 3 rows) and the 1-row corpus-stats frame are the
+    // only broadcast hints — a hint on the dl/corpus side would be the
+    // 100 TB OOM. The final ranking must plan TakeOrderedAndProject (per
+    // -partition top-10 + driver merge), never a full sort exchange.
+    hintedSideOutputs("q_text_bm25").foreach { out =>
+      assert(out.forall(c => Set("t", "df", "n_docs", "avgdl").contains(c)),
+        s"q_text_bm25 hints a non-bounded side (cols: ${out.mkString(", ")})")
+    }
+    val finalSection = finalPlan("q_text_bm25").split("== Initial Plan ==").head
+    assert(finalSection.contains("TakeOrderedAndProject"),
+      s"bm25 top-10 lost TakeOrderedAndProject:\n$finalSection")
+  }
+
   test("SCD2 intervals plan exactly one window pass and one key shuffle") {
     // lead() over (key, ts) needs one hash exchange on the key and one
     // WindowExec — a second window or exchange means the interval build

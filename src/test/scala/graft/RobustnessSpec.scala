@@ -21,7 +21,8 @@ class RobustnessSpec extends SparkTestBase {
     "q_dedup_simhash", "q_dedup_simhash_r1", "q_dedup_simhash_wide",
     "q_dedup_containment", "q_text_quality", "q_lang_id", "q_text_entropy",
     "q_text_ngram_lm", "q_doc_lm_filter", "q_token_fertility",
-    "q_text_tfidf", "q_text_cooccur", "q_text_phrase",
+    "q_text_tfidf", "q_text_cooccur", "q_text_phrase", "q_text_search",
+    "q_text_bm25",
     "q_text_fingerprint", "q_text_repetition", "q_token_bpe",
     "q_doc_chunk", "q_doc_chunk_dedup", "q_doc_topk_quality",
     "q_sample_weighted", "q_multimodal_meta", "q_multimodal_frames",
