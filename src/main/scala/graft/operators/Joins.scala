@@ -441,7 +441,71 @@ object Joins {
       .orderBy("name_a", "name_b")
   }
 
+  /** Interval-overlap join with NO equi key: purchase activity windows ×
+    * error windows, matched on temporal overlap alone (the incident-vs-
+    * deploy correlation shape). The naive form is a quadratic nested
+    * loop; the scalable decomposition buckets time into hours, expands
+    * each interval to the hour buckets it covers (durations are bounded
+    * ≤45/30 min, so ≤2 buckets per interval), and equi-joins on the
+    * bucket — both sides shuffle ONCE on a high-cardinality key. A pair
+    * overlapping in two shared buckets would double-count, so the join
+    * keeps a pair only in the bucket containing max(a_start, b_start)
+    * (= the overlap's first instant, which both intervals cover by
+    * definition) — exactly-once without a distinct pass over the pair
+    * stream. Skewed hours (incident storms) take the q_join_skew_salt
+    * treatment. The oracle is the direct inequality join (DuckDB plans
+    * its IEJoin), so the bucketing is verified against independent
+    * semantics. Durations derive from the value column in exact integer
+    * units (positive-mod so hostile negatives can't flip sequence()
+    * direction); non-finite values yield NULL bounds and are dropped
+    * loudly by the IS NOT NULL guard on both engines. */
+  val qJoinInterval = Q(
+    "q_join_interval",
+    s"""WITH a AS (
+       |  SELECT event_id AS a_id, ts AS a_s,
+       |    ts + to_minutes(CAST(((${sqlUnitsWide("value", 100)} % 45) + 45) % 45 + 1 AS BIGINT)) AS a_e
+       |  FROM events WHERE event_type = 'purchase'),
+       |b AS (
+       |  SELECT event_id AS b_id, ts AS b_s,
+       |    ts + to_minutes(CAST(((${sqlUnitsWide("value", 100)} % 30) + 30) % 30 + 1 AS BIGINT)) AS b_e
+       |  FROM events WHERE event_type = 'error')
+       |SELECT CAST(date_trunc('day', a_s) AS TIMESTAMP) AS day,
+       |  COUNT(*) AS n_pairs,
+       |  COUNT(DISTINCT a_id) AS n_purchases,
+       |  CAST(SUM(epoch_us(least(a_e, b_e)) - epoch_us(greatest(a_s, b_s))) AS BIGINT) AS overlap_us
+       |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+       |WHERE a_e IS NOT NULL AND b_e IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    def intervals(tpe: String, mod: Int, idAs: String, sAs: String, eAs: String) = ev
+      .filter(col("event_type") === tpe)
+      .withColumn("dur_min",
+        (((unitsWide(col("value"), 100) % mod) + mod) % mod + 1).cast("long"))
+      .select(col("event_id").as(idAs), col("ts").as(sAs),
+        expr("timestampadd(MINUTE, dur_min, ts)").as(eAs))
+      .filter(col(eAs).isNotNull)
+    val a = intervals("purchase", 45, "a_id", "a_s", "a_e")
+      .withColumn("bkt",
+        explode(sequence(date_trunc("hour", col("a_s")),
+          date_trunc("hour", col("a_e")), expr("INTERVAL 1 HOUR"))))
+    val b = intervals("error", 30, "b_id", "b_s", "b_e")
+      .withColumn("b_bkt",
+        explode(sequence(date_trunc("hour", col("b_s")),
+          date_trunc("hour", col("b_e")), expr("INTERVAL 1 HOUR"))))
+    a.join(b,
+        col("bkt") === col("b_bkt") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        col("bkt") === date_trunc("hour", greatest(col("a_s"), col("b_s"))))
+      .groupBy(date_trunc("day", col("a_s")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a_id")).as("n_purchases"),
+        sum(unix_micros(least(col("a_e"), col("b_e"))) -
+          unix_micros(greatest(col("a_s"), col("b_s")))).as("overlap_us"))
+      .orderBy("day")
+  }
+
   def all: Seq[Q] = Seq(q05, q06, q07, q08, q09, q10, q11, q12,
     qJoinAsofFwd, qJoinAsofNear, qSubqueryScalar, qSubqueryCorr, qJoinFull,
-    qJoinFuzzy)
+    qJoinFuzzy, qJoinInterval)
 }

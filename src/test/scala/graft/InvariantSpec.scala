@@ -548,4 +548,44 @@ class InvariantSpec extends SparkTestBase with Matchers {
       .map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(got === expected)
   }
+
+  test("interval join matches a brute-force quadratic recompute") {
+    // The bucketized decomposition (hour-bucket equi-join + max-start
+    // bucket ownership) must return EXACTLY the pairs the naive O(n^2)
+    // overlap scan finds — no pair lost at a bucket boundary, none
+    // double-counted when two intervals share two buckets.
+    val dir = sf()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getString(2),
+        r.getDouble(3)))
+    def ivs(tpe: String, mod: Int) = ev.filter(_._3 == tpe).map {
+      case (id, s, _, v) =>
+        val u = math.round(v * 100)
+        val dur = ((u % mod) + mod) % mod + 1
+        (id, s, s.plusSeconds(dur * 60))
+    }
+    val a = ivs("purchase", 45)
+    val b = ivs("error", 30)
+    val pairs = for {
+      (aid, as, ae) <- a
+      (_, bs, be) <- b
+      if !as.isAfter(be) && !bs.isAfter(ae)
+    } yield (aid, as, ae, bs, be)
+    val expected = pairs
+      .groupBy { case (_, as, _, _, _) => as.truncatedTo(java.time.temporal.ChronoUnit.DAYS) }
+      .map { case (day, ps) =>
+        val overlapUs = ps.map { case (_, as, ae, bs, be) =>
+          val st = if (as.isAfter(bs)) as else bs
+          val en = if (ae.isBefore(be)) ae else be
+          java.time.Duration.between(st, en).toNanos / 1000L
+        }.sum
+        (day, ps.length.toLong, ps.map(_._1).distinct.length.toLong, overlapUs)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_join_interval")(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+  }
 }

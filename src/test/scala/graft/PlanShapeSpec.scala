@@ -318,6 +318,23 @@ class PlanShapeSpec extends SparkTestBase {
       s"bm25 top-10 lost TakeOrderedAndProject:\n$finalSection")
   }
 
+  test("interval join stays an equi-join on the hour bucket") {
+    // The whole point of the bucket decomposition is that a keyless
+    // temporal overlap NEVER plans as a nested loop or cartesian: the
+    // hour bucket is the equi key, overlap + bucket-ownership are
+    // residual conditions, and both interval sides shuffle once.
+    val full = finalPlan("q_join_interval")
+    val plan = full.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      "q_join_interval planned a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "q_join_interval degraded to BroadcastNestedLoopJoin")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "q_join_interval lost its equi join")
+    // column details print below the tree — search the full string
+    assert(full.contains("bkt"), "hour-bucket key missing from the plan")
+  }
+
   test("SCD2 intervals plan exactly one window pass and one key shuffle") {
     // lead() over (key, ts) needs one hash exchange on the key and one
     // WindowExec — a second window or exchange means the interval build

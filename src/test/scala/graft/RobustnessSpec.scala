@@ -58,7 +58,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_events_anomaly", "q_events_markov", "q_events_ab_lift",
     "q_time_resample", "q_stream_tumbling", "q_stream_sliding",
     "q_stream_session", "q_stream_topk", "q_stream_dedup", "q_stream_join",
-    "q_stream_join_left")
+    "q_stream_join_left", "q_join_interval")
 
   test("events-only queries survive a degenerate event log") {
     // Zero-length spans (all of one user's events at the same instant),
