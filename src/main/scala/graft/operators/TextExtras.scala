@@ -381,6 +381,54 @@ object TextExtras {
       .orderBy("lang")
   }
 
+  /** One BPE merge iteration (Sennrich et al. 2016): the per-language
+    * top-8 adjacent-character pair candidates, weighted by word
+    * frequency — the inner step a byte-pair-encoding tokenizer trainer
+    * repeats to build its vocabulary. The production shape: aggregate
+    * the corpus to a (lang, word, freq) DICTIONARY first (one shuffle
+    * whose map-side combine collapses the token stream), then expand
+    * pairs over distinct words only — pair-counting cost is dictionary
+    * mass, not corpus mass, exactly how real BPE trainers avoid
+    * re-scanning text per merge. The (lang, pair) aggregate has a tiny
+    * key space (≤ alphabet², so partial aggregation collapses it
+    * map-side) and the rank window runs over that tiny frame with a
+    * per-group limit. All counts are exact integers. */
+  val qTokenPairMerge = Q(
+    "q_token_pair_merge",
+    """WITH words AS (
+      |  SELECT lang, t AS w, COUNT(*) AS freq
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE len(t) >= 2 GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT lang, substr(w, CAST(i AS INT), 2) AS pair,
+      |    CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT lang, w, freq,
+      |          unnest(generate_series(1, len(w) - 1)) AS i FROM words)
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lang, pair, cnt,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS INT) AS rnk
+      |  FROM pairs)
+      |SELECT lang, pair, cnt, rnk FROM ranked
+      |WHERE rnk <= 8 ORDER BY lang, rnk""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .select(col("lang"), col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("lang"), expr("substring(w, i, 2)").as("pair"), col("freq"))
+      .groupBy("lang", "pair").agg(sum("freq").as("cnt"))
+    val rw = Window.partitionBy("lang").orderBy(desc("cnt"), asc("pair"))
+    pairs.withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= 8) // raw rank so WindowGroupLimit can push
+      .select(col("lang"), col("pair"), col("cnt"), col("rn").cast("int").as("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Tokenizer FERTILITY per language — subword tokens emitted per
     * whitespace word, the standard tokenizer-evaluation metric (a
     * fertility far above ~1.3 for a language means the vocabulary
@@ -1004,7 +1052,8 @@ object TextExtras {
   }
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
-    qDedupNgram, qDedupContainment, qDedupWinnow, qTokenBpe, qTokenFertility,
+    qDedupNgram, qDedupContainment, qDedupWinnow, qTokenBpe, qTokenPairMerge,
+    qTokenFertility,
     qMultimodalMeta,
     qMultimodalFrames, qTextCooccur, qTextTfidf, qDocTopkQuality,
     qDocQualityFunnel, qPipelineFilter, qTextSearch, qTextBm25, qTextPhrase,

@@ -549,6 +549,36 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(got === expected)
   }
 
+  test("bpe pair-merge candidates match a driver-side dictionary recompute") {
+    // The word-frequency dictionary expansion must count exactly what a
+    // direct scan over every word OCCURRENCE counts — the dictionary is
+    // an optimization, not a semantics change.
+    val dir = sf()
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (lang, text) =>
+      text.split(" ", -1).foreach { w =>
+        if (w.length >= 2)
+          (0 until w.length - 1).foreach { i =>
+            val p = w.substring(i, i + 2)
+            counts((lang, p)) = counts.getOrElse((lang, p), 0L) + 1L
+          }
+      }
+    }
+    val expected = counts.toSeq
+      .map { case ((lang, p), c) => (lang, p, c) }
+      .groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+        ps.sortBy { case (_, p, c) => (-c, p) }.take(8).zipWithIndex
+          .map { case ((lang, p, c), i) => (lang, p, c, i + 1) }
+      }.sortBy { case (lang, _, _, r) => (lang, r) }
+    val got = SparkEntry.queries("q_token_pair_merge")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
   test("interval join matches a brute-force quadratic recompute") {
     // The bucketized decomposition (hour-bucket equi-join + max-start
     // bucket ownership) must return EXACTLY the pairs the naive O(n^2)

@@ -24,6 +24,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_text_tfidf", "q_text_cooccur", "q_text_phrase", "q_text_search",
     "q_text_bm25",
     "q_text_fingerprint", "q_text_repetition", "q_token_bpe",
+    "q_token_pair_merge",
     "q_doc_chunk", "q_doc_chunk_dedup", "q_doc_topk_quality",
     "q_sample_weighted", "q_multimodal_meta", "q_multimodal_frames",
     "q_multimodal_resize", "q_text_boilerplate", "q_doc_dup_mass",
