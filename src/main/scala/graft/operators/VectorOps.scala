@@ -1373,10 +1373,70 @@ object VectorOps {
     }
   }
 
+  /** Nearest-centroid classification eval: assign every clean vector to
+    * its nearest per-label centroid and report the confusion matrix —
+    * the standard embedding-quality readout (how separable are the
+    * labels under their own class means?). The diagonal mass over total
+    * is the classifier's resubstitution accuracy. Scale shape: the k×64
+    * centroid table derives from ONE posexplode pass with partial
+    * aggregation (q_vec_centroid's exact integer-unit arithmetic via
+    * [[cellCentroids]], so this and the IVF family can never disagree on
+    * the formula), then broadcasts; the per-vector argmax is a map-side
+    * cross join carrying only (ids, label, rounded sim) into the
+    * vec_id-partitioned rank window — vectors themselves never cross the
+    * shuffle — and the confusion aggregate is k² rows. Ranking keys are
+    * rounded to 6 dp before comparison (ties broken by smaller centroid
+    * label), so the assignment is identical cross-engine. */
+  val qVecNcc = Q(
+    "q_vec_ncc",
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+       |cent AS (
+       |  SELECT label, i - 1 AS pos,
+       |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
+       |      / 1000000000.0 / COUNT(*) AS c
+       |  FROM emb, range(1, 65) t(i)
+       |  GROUP BY label, pos),
+       |cvec AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv
+       |         FROM cent GROUP BY label),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, cvec.clabel,
+       |    round(list_sum(list_transform(list_zip(e.embedding, cvec.cv),
+       |      x -> CAST(x[1] AS DOUBLE) * x[2])), 6) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_sum(list_transform(list_zip(e.embedding, cvec.cv),
+       |        x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC, cvec.clabel) AS INT) AS rk
+       |  FROM emb e, cvec)
+       |SELECT label, clabel AS pred, COUNT(*) AS n,
+       |  round(SUM(CAST(round(sim * 1000000) AS BIGINT)) / 1000000.0
+       |        / COUNT(*), 6) AS avg_sim
+       |FROM asg WHERE rk = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    val cvec = cellCentroids(e)
+      .select(col("label").as("clabel"), col("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("clabel"))
+    e.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cvec))
+      // float×double dot: the HOF form (graft_dot is float×float only),
+      // same ascending left-fold order as the oracle's list_sum
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(expr(
+          """aggregate(zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) * y),
+            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("clabel").as("pred"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("sim") * 1000000).cast("bigint")).cast("double")
+          / lit(1000000.0) / count(lit(1)), 6).as("avg_sim"))
+      .orderBy("label", "pred")
+  }
+
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecIndexProbe, qVecIndexCompact, qVecIngest,
     qVecLshNearDup, qVecQuantize,
-    qVecKmeans, qVecIvfProbe2,
+    qVecKmeans, qVecNcc, qVecIvfProbe2,
     qVecIndexIvf,
     qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,

@@ -549,6 +549,28 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(got === expected)
   }
 
+  test("ncc confusion matrix partitions the clean corpus; sims are cosine-bounded") {
+    // Every clean vector is assigned to exactly one centroid, so the
+    // row sums of the confusion matrix must equal the per-true-label
+    // clean counts, and the grand total the clean corpus size. Cell
+    // similarities are bounded by |a||b| <= dim (components in [-1,1]).
+    val dir = sf()
+    val out = SparkEntry.queries("q_vec_ncc")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val perLabel = graft.sources.Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64 &&
+        expr("forall(embedding, x -> abs(x) <= 1.0d)"))
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rowSums = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(rowSums === perLabel,
+      "confusion row sums disagree with per-label clean counts")
+    out.foreach { case (l, p, n, s) =>
+      assert(n > 0, s"empty confusion cell ($l,$p) emitted")
+      assert(math.abs(s) <= 64.0, s"cell ($l,$p) avg sim $s out of bound")
+    }
+  }
+
   test("bpe pair-merge candidates match a driver-side dictionary recompute") {
     // The word-frequency dictionary expansion must count exactly what a
     // direct scan over every word OCCURRENCE counts — the dictionary is

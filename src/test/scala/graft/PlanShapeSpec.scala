@@ -318,6 +318,16 @@ class PlanShapeSpec extends SparkTestBase {
       s"bm25 top-10 lost TakeOrderedAndProject:\n$finalSection")
   }
 
+  test("ncc broadcasts only the k-row centroid table") {
+    // The per-vector argmax is a map-side cross join against the label-
+    // cardinality centroid frame; a hint on the corpus side would be the
+    // 100 TB OOM. The rank window may shuffle only (ids, label, sim).
+    hintedSideOutputs("q_vec_ncc").foreach { out =>
+      assert(out.forall(c => Set("clabel", "cv").contains(c)),
+        s"q_vec_ncc hints a non-centroid side (cols: ${out.mkString(", ")})")
+    }
+  }
+
   test("interval join stays an equi-join on the hour bucket") {
     // The whole point of the bucket decomposition is that a keyless
     // temporal overlap NEVER plans as a nested loop or cartesian: the
