@@ -1433,6 +1433,67 @@ object VectorOps {
       .orderBy("label", "pred")
   }
 
+  /** Margin-based alignment mining (Artetxe & Schwenk 2019, the LASER
+    * bitext-mining criterion): between two disjoint corpus slices, keep
+    * a's best cross-slice neighbor only when its similarity clearly
+    * dominates the alternatives — margin = best / avg(next-4) ≥ 1.2. An
+    * absolute cosine threshold can't separate "genuine translation pair"
+    * from "hubness vector similar to everything"; the margin ratio is
+    * the standard fix. All ranking arithmetic is exact micro-units
+    * (round(sim·1e6) BIGINT): the rank, the next-4 sum, and both margin
+    * operands are integers, so the only doubles are two final divisions
+    * with identical operand order cross-engine. Like q_vec_knn this
+    * all-pairs form is the CORRECTNESS baseline; at 100 TB the same
+    * scorer runs over the banded LSH candidate lists (q_vec_lsh_multi /
+    * the persisted q_vec_index_probe), which is exactly how production
+    * LASER mining restricts the margin to ANN candidates. */
+  val qBitextMine = Q(
+    "q_bitext_mine",
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+       |qa AS (SELECT vec_id AS a_id, embedding FROM emb WHERE label < 5),
+       |qb AS (SELECT vec_id AS b_id, embedding FROM emb WHERE label >= 5),
+       |cand AS (
+       |  SELECT a_id, b_id,
+       |    CAST(round($sqlDot * 1000000) AS BIGINT) AS u
+       |  FROM qa a, qb b),
+       |ranked AS (SELECT a_id, b_id, u,
+       |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY u DESC, b_id) AS INT) AS rn
+       |  FROM cand),
+       |best AS (SELECT a_id, b_id, u FROM ranked WHERE rn = 1),
+       |nxt AS (SELECT a_id, CAST(SUM(u) AS BIGINT) AS den_u FROM ranked
+       |        WHERE rn BETWEEN 2 AND 5 GROUP BY a_id HAVING COUNT(*) = 4)
+       |SELECT best.a_id, best.b_id, best.u / 1000000.0 AS sim,
+       |  round(best.u * 4.0 / den_u, 6) AS margin
+       |FROM best JOIN nxt USING (a_id)
+       |WHERE best.u > 0 AND den_u > 0
+       |  AND round(best.u * 4.0 / den_u, 6) >= 1.2
+       |ORDER BY margin DESC, a_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    val qa = e.filter(col("label") < 5)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val qb = e.filter(col("label") >= 5)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val rnW = Window.partitionBy("a_id").orderBy(desc("u"), asc("b_id"))
+    val ranked = qa.crossJoin(qb)
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")) * 1000000).cast("bigint").as("u"))
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") <= 5)
+      .persistScratch() // feeds both the best-pick and the denominator
+    val best = ranked.filter(col("rn") === 1).select("a_id", "b_id", "u")
+    val nxt = ranked.filter(col("rn").between(2, 5))
+      .groupBy("a_id").agg(sum("u").as("den_u"), count(lit(1)).as("n4"))
+      .filter(col("n4") === 4).select("a_id", "den_u")
+    best.join(nxt, "a_id")
+      .filter(col("u") > 0 && col("den_u") > 0)
+      .withColumn("margin", round(col("u") * lit(4.0) / col("den_u"), 6))
+      .filter(col("margin") >= 1.2)
+      .select(col("a_id"), col("b_id"),
+        (col("u") / lit(1000000.0)).as("sim"), col("margin"))
+      .orderBy(desc("margin"), asc("a_id"))
+  }
+
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecIndexProbe, qVecIndexCompact, qVecIngest,
     qVecLshNearDup, qVecQuantize,
@@ -1440,5 +1501,5 @@ object VectorOps {
     qVecIndexIvf,
     qVecIvfProbe4, qVecRecallEval, qVecRecallMulti, qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,
-    qDedupSemantic, qHybridSearch)
+    qDedupSemantic, qHybridSearch, qBitextMine)
 }

@@ -549,6 +549,46 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(got === expected)
   }
 
+  test("bitext margins match a driver-side brute-force recompute") {
+    // Rebuild the full cross-slice similarity matrix in plain Scala
+    // (same ascending-order double accumulation as graft_dot), apply the
+    // micro-unit rank/margin arithmetic, and require the exact output.
+    val dir = sf()
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64 &&
+        expr("forall(embedding, x -> abs(x) <= 1.0d)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def u6(x: Double): Long =
+      BigDecimal(x * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qa = vecs.filter(_._3 < 5)
+    val qb = vecs.filter(_._3 >= 5)
+    val expected = qa.flatMap { case (aId, av, _) =>
+      val sims = qb.map { case (bId, bv, _) =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { acc += av(i).toDouble * bv(i).toDouble; i += 1 }
+        (bId, u6(acc))
+      }.sortBy { case (bId, u) => (-u, bId) }
+      val (bestB, bestU) = sims.head
+      val nxt = sims.slice(1, 5)
+      if (nxt.length == 4) {
+        val den = nxt.map(_._2).sum
+        if (bestU > 0 && den > 0) {
+          val margin = BigDecimal(bestU * 4.0 / den)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (margin >= 1.2)
+            Some((aId, bestB, bestU / 1000000.0, margin))
+          else None
+        } else None
+      } else None
+    }.sortBy { case (aId, _, _, m) => (-m, aId) }.toSeq
+    val got = SparkEntry.queries("q_bitext_mine")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected)
+  }
+
   test("ncc confusion matrix partitions the clean corpus; sims are cosine-bounded") {
     // Every clean vector is assigned to exactly one centroid, so the
     // row sums of the confusion matrix must equal the per-true-label

@@ -136,7 +136,8 @@ class PlanShapeSpec extends SparkTestBase {
     // one after — that pre-shuffle prune is what keeps a 100 TB per-group
     // top-k from shuffling the whole fact table.
     Seq("q_win_topk", "q_doc_topk_quality", "q_cdc_compact",
-        "q_stream_dedup", "q_sample_weighted", "q_token_pair_merge").foreach { name =>
+        "q_stream_dedup", "q_sample_weighted", "q_token_pair_merge",
+        "q_bitext_mine").foreach { name =>
       val plan = finalPlan(name)
       assert(plan.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
         s"$name should carry partial (pre-shuffle) + final WindowGroupLimit")
