@@ -360,6 +360,82 @@ object TextExtras {
       .orderBy("a_id", "b_id")
   }
 
+  /** Exact duplicated-SUBSTRING span detection (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — the
+    * ExactSubstr policy): the missing granularity between row-hash dedup
+    * (whole doc) and shingle-Jaccard near-dup (doc pair). A width-40
+    * char-gram occurring in >= 2 DISTINCT documents marks its start
+    * position duplicated; maximal runs of consecutive duplicated positions
+    * merge into spans (gaps-and-islands: i - row_number() is constant
+    * within a run), so a shared region of m >= 40 chars reports exactly
+    * one (span_start, span_len = m) row per doc — the byte ranges a
+    * curation pipeline would cut.
+    *
+    * Scale shape: cost is LINEAR in corpus chars, never pairwise — no
+    * doc×doc term at any df, which is why ExactSubstr scales where
+    * Jaccard needs LSH. Exactly two data shuffles: by gram hash and by
+    * doc_id (island window + span agg ride the same exchange). The
+    * cross-doc test is min(doc_id) != max(doc_id) over the gram
+    * partition — one Window pass, no df aggregate and no join-back, so
+    * each position crosses the wire once. The wire carries
+    * xxhash64(gram) (8 B), not the 40-char gram (~80 B): at 2^64 a
+    * false-positive gram collision needs ~10^10 distinct grams to reach
+    * even 1% probability, and the oracle recomputes the spans from RAW
+    * grams, so any collision that changed the output would fail the
+    * cross-engine hash — the collision-verify is built into the grading.
+    * The paper uses a suffix array for L-free maximality; the fixed-L
+    * gram index is the standard distributed form (spans >= L are found
+    * whole, shorter ones ignored by contract). */
+  val qDedupSubstring = Q(
+    "q_dedup_substring",
+    """WITH g AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+      |    substr(text, CAST(u.i AS INT), 40) AS gram
+      |  FROM documents, unnest(range(1, CAST(n_chars AS BIGINT) - 38)) AS u(i)
+      |  WHERE n_chars >= 40),
+      |p AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, i,
+      |      min(doc_id) OVER (PARTITION BY gram) AS dmin,
+      |      max(doc_id) OVER (PARTITION BY gram) AS dmax
+      |    FROM g)
+      |  WHERE dmin <> dmax),
+      |isl AS (SELECT doc_id, i,
+      |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM p)
+      |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+      |  CAST(max(i) - min(i) + 40 AS BIGINT) AS span_len
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val L = 40
+    // per-row gram array (one substring per start position), exploded with
+    // the 0-based array index realigned to the 1-based char position —
+    // text itself never crosses the explode, and only the gram's 64-bit
+    // hash crosses the shuffle
+    val g = Tables.documents(spark, dir)
+      .filter(col("n_chars") >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, CAST(n_chars AS INT) - ${L - 1})," +
+          s" i -> substring(text, i, $L))")).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("i"),
+        xxhash64(col("gram")).as("gh"))
+    val byGram = Window.partitionBy("gh")
+    val p = g
+      .withColumn("dmin", min("doc_id").over(byGram))
+      .withColumn("dmax", max("doc_id").over(byGram))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("doc_id"), col("i"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    p.withColumn("grp", col("i") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("i").as("span_start"),
+        (max("i") - min("i") + lit(L)).cast("bigint").as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Regex (BPE-ish) tokenization: alpha runs and digit runs as separate
     * tokens, counted per language — the cheap token-budget estimator a
     * training pipeline runs before the real tokenizer. */
@@ -1052,7 +1128,8 @@ object TextExtras {
   }
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
-    qDedupNgram, qDedupContainment, qDedupWinnow, qTokenBpe, qTokenPairMerge,
+    qDedupNgram, qDedupContainment, qDedupWinnow, qDedupSubstring,
+    qTokenBpe, qTokenPairMerge,
     qTokenFertility,
     qMultimodalMeta,
     qMultimodalFrames, qTextCooccur, qTextTfidf, qDocTopkQuality,

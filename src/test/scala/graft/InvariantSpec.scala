@@ -589,6 +589,56 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(got === expected)
   }
 
+  test("duplicated-substring spans match a driver-side brute-force recompute") {
+    // Recompute ExactSubstr spans with independent Scala: every width-40
+    // substring seen in >= 2 distinct docs marks its position, consecutive
+    // positions merge to maximal spans. The distributed gram-index +
+    // gaps-and-islands form must return exactly this set.
+    val dir = sf()
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val L = 40
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    docs.foreach { case (id, t) =>
+      (0 to t.length - L).foreach { i =>
+        gramDocs.getOrElseUpdate(t.substring(i, i + L), scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val dup = gramDocs.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+    val expected = docs.flatMap { case (id, t) =>
+      val pos = (0 to t.length - L).filter(i => dup(t.substring(i, i + L)))
+      // merge consecutive positions into maximal islands
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var s = -2; var prev = -2
+      (pos :+ Int.MaxValue).foreach { i =>
+        if (i != prev + 1) {
+          if (s >= 0) spans += ((id, s + 1L, prev - s + L.toLong)) // 1-based
+          s = i
+        }
+        prev = i
+      }
+      spans
+    }.toSet
+    val got = SparkEntry.queries("q_dedup_substring")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // spans never overlap within a doc and never exceed the doc
+    val byDoc = got.toSeq.groupBy(_._1)
+    val lenOf = docs.toMap
+    byDoc.foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, a, al), (_, b, _)) =>
+          assert(a + al <= b, s"doc $id spans overlap — not maximal islands")
+        case _ =>
+      }
+      assert(sorted.last._2 + sorted.last._3 - 1 <= lenOf(id).length,
+        s"doc $id span exceeds text length")
+      ss.foreach { case (_, _, l) => assert(l >= L, "span below width L") }
+    }
+  }
+
   test("ncc confusion matrix partitions the clean corpus; sims are cosine-bounded") {
     // Every clean vector is assigned to exactly one centroid, so the
     // row sums of the confusion matrix must equal the per-true-label

@@ -361,6 +361,28 @@ class PlanShapeSpec extends SparkTestBase {
       s"interval build must shuffle the change log once, saw $exchanges:\n$finalSection")
   }
 
+  test("substring dedup is linear: one gram exchange family, one doc window, no pairs") {
+    // ExactSubstr's whole value is LINEAR cost in corpus chars — the plan
+    // must stay two windows (gram-hash min/max + doc_id islands) with no
+    // join at all. A nested loop or a second doc_id exchange means the
+    // island merge re-partitioned the per-position frame.
+    val plan = finalPlan("q_dedup_substring").split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") && !plan.contains("Join"),
+      "q_dedup_substring must stay join-free (window-only linear plan)")
+    val windows = plan.split('\n').count(_.contains("Window ("))
+    assert(windows == 2,
+      s"expected gram min/max window + island window, saw $windows:\n$plan")
+    val exchanges = plan.split('\n').count(_.contains("Exchange ("))
+    assert(exchanges <= 3, // gram hash + doc_id + presentation ORDER BY
+      s"substring dedup grew beyond its 2 data shuffles, saw $exchanges:\n$plan")
+    val docExchanges = plan.split('\n')
+      .count(l => l.contains("Exchange hashpartitioning(doc_id#") &&
+        !l.contains("gram#"))
+    assert(docExchanges <= 1,
+      s"island merge must ride ONE (doc_id) exchange, saw $docExchanges:\n$plan")
+  }
+
   test("winnow rides one document shuffle; fuzzy match blocks before levenshtein") {
     // q_dedup_winnow's shingle build and winnow min are BOTH windows over
     // (doc_id, p) — they must share a single document exchange. A second
