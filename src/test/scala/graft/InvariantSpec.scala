@@ -639,6 +639,64 @@ class InvariantSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("pq adc top-5 matches a driver-side quantize-and-rank recompute") {
+    // Independent plain-Scala PQ: split, seed, one Lloyd step with 1e-9
+    // integer-unit means, re-encode, integer-unit LUT, ADC sum, top-5.
+    // Proves the distributed pipeline is a pure function of the data.
+    val dir = sf()
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64 &&
+        expr("forall(embedding, x -> abs(x) <= 1.0d)"))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val m = 16; val sub = 4; val ks = 32
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sv(v: Array[Float], s: Int): Array[Double] =
+      Array.tabulate(sub)(j => v(s * sub + j).toDouble)
+    val seeds = vecs.filter(_._1 < ks).sortBy(_._1)
+    // one Lloyd step: assign every subvector to its nearest seed
+    def nearest(x: Array[Double], book: Seq[(Int, Array[Double])]): Int =
+      book.map { case (c, cv) =>
+        (r6(x.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum), c)
+      }.min._2
+    val trained: Map[Int, Seq[(Int, Array[Double])]] =
+      (0 until m).map { s =>
+        val book0 = seeds.map { case (id, v) => (id.toInt, sv(v, s)) }.toSeq
+        val asg = vecs.map { case (id, v) => (nearest(sv(v, s), book0), sv(v, s)) }
+        s -> asg.groupBy(_._1).toSeq.map { case (c, xs) =>
+          val n = xs.length
+          val mean = Array.tabulate(sub) { j =>
+            xs.map { case (_, x) =>
+              BigDecimal(x(j) * 1e9)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            }.sum / 1e9 / n
+          }
+          (c, mean)
+        }
+      }.toMap
+    val codes = vecs.map { case (id, v) =>
+      id -> Array.tabulate(m)(s => nearest(sv(v, s), trained(s)))
+    }.toMap
+    val expected = vecs.filter(_._1 < 20).flatMap { case (aId, av) =>
+      val lut: Map[(Int, Int), Long] = (0 until m).flatMap { s =>
+        trained(s).map { case (c, cv) =>
+          val d = sv(av, s).zip(cv).map { case (a, b) => a * b }.sum
+          (s, c) -> BigDecimal(d * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+      }.toMap
+      codes.toSeq.filter(_._1 != aId).map { case (bId, cs) =>
+        (bId, (0 until m).map(s => lut((s, cs(s)))).sum)
+      }.sortBy { case (bId, u) => (-u, bId) }.take(5).zipWithIndex
+        .map { case ((bId, u), i) => (aId, bId, r6(u / 1e6), i + 1) }
+    }.toSet
+    val got = SparkEntry.queries("q_vec_pq")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got === expected)
+  }
+
   test("ncc confusion matrix partitions the clean corpus; sims are cosine-bounded") {
     // Every clean vector is assigned to exactly one centroid, so the
     // row sums of the confusion matrix must equal the per-true-label

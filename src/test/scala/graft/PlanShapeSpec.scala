@@ -383,6 +383,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"island merge must ride ONE (doc_id) exchange, saw $docExchanges:\n$plan")
   }
 
+  test("pq scoring joins only broadcast codebook/LUT; corpus vectors never re-shuffle") {
+    // PQ's scale contract: the only big frames are the subvector split and
+    // the encoded (vec_id, s, code) table; every join against them must be
+    // a broadcast of the codebook (<=512 rows) or the query LUT. A sort-
+    // merge or shuffled-hash join here means a corpus-sized exchange of
+    // vector payloads that ADC exists to avoid.
+    val plan = finalPlan("q_vec_pq").split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "q_vec_pq degraded to a nested loop")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q_vec_pq shuffled a corpus side into a join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q_vec_pq lost its broadcast codebook joins")
+  }
+
   test("winnow rides one document shuffle; fuzzy match blocks before levenshtein") {
     // q_dedup_winnow's shingle build and winnow min are BOTH windows over
     // (doc_id, p) — they must share a single document exchange. A second
