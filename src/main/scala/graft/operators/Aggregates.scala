@@ -170,6 +170,34 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-day
+    * customer sketches rolled up to months by sketch UNION — the raw
+    * keys are never rescanned. This is the property approx_count_distinct
+    * (Q17) does not expose: its partial state dies inside one query,
+    * while an hll_sketch column PERSISTS (a ~KB binary per shard) and
+    * re-aggregates to any coarser grain — day→month→quarter, per-shard→
+    * global — which is how a 100 TB warehouse serves distinct-count
+    * dashboards without touching the fact table twice. Union is
+    * associative and commutative, so map-side partials and AQE re-plans
+    * keep working, and the merged estimate is BIT-DETERMINISTIC: the
+    * union of daily sketches equals the whole-month sketch exactly
+    * (VectorAndApproxSpec), not merely approximately. No oracle —
+    * DuckDB's HLL is a different implementation by design; the spec
+    * asserts merge-equals-whole equality and the ±5% accuracy contract
+    * vs exact. */
+  val qAggSketchMerge = Q.noOracle("q_agg_sketch_merge") { (spark, dir) =>
+    val daily = Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        to_date(col("o_orderdate")).as("day"), col("o_custkey"))
+      .groupBy("month", "day")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    daily.groupBy("month")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_cust"),
+        count(lit(1)).cast("int").as("n_days"))
+      .orderBy("month")
+  }
+
   /** Q18 — custom typed UDAF (geometric mean, functions.GeoMean). */
   val q18 = Q(
     "q_udaf_geomean",
@@ -291,6 +319,6 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  def all: Seq[Q] = Seq(q13, q14, q15, q16, q17, qAggApproxQuantile, q18,
-    qAggMultiDistinct, qAggCollectSet, qAggRegression)
+  def all: Seq[Q] = Seq(q13, q14, q15, q16, q17, qAggApproxQuantile,
+    qAggSketchMerge, q18, qAggMultiDistinct, qAggCollectSet, qAggRegression)
 }

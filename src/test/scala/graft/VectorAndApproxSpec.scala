@@ -54,6 +54,31 @@ class VectorAndApproxSpec extends SparkTestBase {
     }
   }
 
+  test("hll union of daily sketches equals the whole-month sketch; within 5% of exact") {
+    // The mergeability contract q_agg_sketch_merge grades on: rolling up
+    // persisted per-day sketches must give EXACTLY the estimate a direct
+    // whole-month sketch gives (DataSketches HLL union is deterministic),
+    // and both land within the 5% accuracy band of the exact distinct.
+    val dir = sf("sf0.01")
+    val merged = SparkEntry.queries("q_agg_sketch_merge")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = graft.sources.Tables.orders(spark, dir)
+      .select(org.apache.spark.sql.functions
+        .date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_custkey"))
+      .groupBy("month")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("whole"),
+        org.apache.spark.sql.functions.countDistinct("o_custkey").as("exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(direct.nonEmpty && merged.size === direct.length)
+    direct.foreach { case (m, whole, exact) =>
+      assert(merged(m) === whole,
+        s"month $m: merged daily sketches ${merged(m)} != whole-month sketch $whole")
+      assert(math.abs(whole.toDouble - exact) / exact <= 0.05,
+        s"month $m: sketch $whole vs exact $exact off by >5%")
+    }
+  }
+
   test("percentile_approx within rank-accuracy bound of exact percentile") {
     // accuracy=1000 guarantees the returned value's RANK is within
     // n/1000 of the target rank; assert via the exact percentiles of the
