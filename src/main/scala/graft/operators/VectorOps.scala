@@ -662,6 +662,117 @@ object VectorOps {
       .orderBy("cid")
   }
 
+  /** Full Lloyd k-means loop, TWO iterations end-to-end (q_vec_kmeans is
+    * the inner assignment step; this is the trainer that calls it):
+    * assign → exact integer-unit centroid means → re-assign → new means,
+    * reporting per-cluster sizes of both rounds and the squared centroid
+    * SHIFT between them — the convergence readout a training driver
+    * stops on. Each iteration is the scale-correct shape: the whole
+    * k-centroid book broadcasts as ONE row and the argmax evaluates as a
+    * per-row array expression (tie to the smaller cid via max over
+    * struct(sim, -cid)) — a MAP-ONLY assignment, unlike q_vec_kmeans's
+    * graded window form which shuffles a k-expanded corpus. The only
+    * per-iteration exchange is the (cid, pos) mean rollup (k×64 rows
+    * out), which is what lets Lloyd run dozens of rounds on 100 TB
+    * without ever re-partitioning the corpus (PlanShapeSpec locks the
+    * zero-vec_id-exchange property). All
+    * assignment keys round to 6 dp and all means accumulate in 1e-9
+    * integer units, so cluster membership and the shift metric are
+    * identical cross-engine; empty clusters drop out of the book on both
+    * engines alike. */
+  val qVecKmeansIter = Q(
+    "q_vec_kmeans_iter",
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+       |s0 AS (SELECT vec_id AS cid, embedding AS cv
+       |       FROM emb WHERE vec_id < 4),
+       |asg1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, s0.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(e.embedding, s0.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) DESC,
+       |          s0.cid) AS rk
+       |    FROM emb e, s0)
+       |  WHERE rk = 1),
+       |c1c AS (
+       |  SELECT a.cid, CAST(t.i AS INT) - 1 AS pos,
+       |    SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000)
+       |        AS BIGINT)) / 1000000000.0 / COUNT(*) AS c
+       |  FROM asg1 a JOIN emb e USING (vec_id), range(1, 65) t(i)
+       |  GROUP BY a.cid, pos),
+       |c1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c1c GROUP BY cid),
+       |asg2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c1.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(e.embedding, c1.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC,
+       |          c1.cid) AS rk
+       |    FROM emb e, c1)
+       |  WHERE rk = 1),
+       |c2c AS (
+       |  SELECT a.cid, CAST(t.i AS INT) - 1 AS pos,
+       |    SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000)
+       |        AS BIGINT)) / 1000000000.0 / COUNT(*) AS c
+       |  FROM asg2 a JOIN emb e USING (vec_id), range(1, 65) t(i)
+       |  GROUP BY a.cid, pos),
+       |c2 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM c2c GROUP BY cid)
+       |SELECT c1.cid,
+       |  CAST((SELECT COUNT(*) FROM asg1 WHERE asg1.cid = c1.cid) AS BIGINT) AS n1,
+       |  CAST((SELECT COUNT(*) FROM asg2 WHERE asg2.cid = c1.cid) AS BIGINT) AS n2,
+       |  round(list_sum(list_transform(list_zip(c1.cv, c2.cv),
+       |    x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS shift
+       |FROM c1 JOIN c2 USING (cid)
+       |ORDER BY cid""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // map-only argmax assignment: the whole centroid book rides in ONE
+    // broadcast row, best cluster = array_max over struct(sim, -cid)
+    // (struct ordering gives max sim, then min cid). The HOF fold casts
+    // elementwise (float seeds AND double trained centroids), unlike
+    // graft_dot which reads both sides as floats. The embedding is
+    // carried through so the mean pass needs no corpus join-back.
+    def assign(cents: DataFrame): DataFrame = {
+      val book = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("book"))
+      e.crossJoin(broadcast(book))
+        .select(col("vec_id"), col("embedding"), expr(
+          """array_max(transform(book, b -> struct(
+            |  round(aggregate(zip_with(embedding, b.cv,
+            |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) AS s,
+            |  -b.cid AS nc)))""".stripMargin).as("best"))
+        .select(col("vec_id"), (-col("best.nc")).cast("long").as("cid"),
+          col("embedding"))
+    }
+    // exact 1e-9-unit centroid means of an assignment
+    def means(asg: DataFrame): DataFrame =
+      asg.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg((sum(round(col("v").cast("double") * 1000000000L)
+          .cast("decimal(38,0)")).cast("double") / lit(1000000000.0)
+          / count(lit(1))).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+          .as("cv"))
+    val seeds = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val asg1 = assign(seeds).persistScratch() // n1 + the c1 means
+    val c1 = means(asg1)
+    val asg2 = assign(c1).persistScratch() // n2 + the c2 means
+    val c2 = means(asg2).select(col("cid").as("cid2"), col("cv").as("cv2"))
+    val n1 = asg1.groupBy("cid").agg(count(lit(1)).as("n1"))
+    val n2 = asg2.groupBy("cid").agg(count(lit(1)).as("n2"))
+    c1.join(c2, col("cid") === col("cid2"))
+      .select(col("cid"),
+        round(expr(
+          """aggregate(zip_with(cv, cv2, (x, y) -> (x - y) * (x - y)),
+            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6)
+          .as("shift"))
+      .join(n1, "cid").join(n2, "cid")
+      .select(col("cid"), col("n1"), col("n2"), col("shift"))
+      .orderBy("cid")
+  }
+
   /** Multi-probe IVF ANN: per query, rank the k cell centroids (exact
     * integer-unit means, as q_vec_centroid), probe the TWO nearest cells,
     * and take the top-3 candidates across both. Multi-probe is the
@@ -1704,7 +1815,7 @@ object VectorOps {
   def all: Seq[Q] = Seq(qVecValidate, q33, q34, qVecNearDup, qVecAnnBucketed, qVecLshBucketed,
     qVecLshMulti, qVecIndexProbe, qVecIndexCompact, qVecIngest,
     qVecLshNearDup, qVecQuantize,
-    qVecKmeans, qVecNcc, qVecIvfProbe2,
+    qVecKmeans, qVecKmeansIter, qVecNcc, qVecIvfProbe2,
     qVecIndexIvf,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,

@@ -110,9 +110,11 @@ class InvariantSpec extends SparkTestBase with Matchers {
     qs.flatMap(_.oracle).foreach { sql =>
       assert(!sql.contains("read_parquet"), "oracle must use bare table names")
     }
-    // q_agg_approx, q_agg_approx_quantile (sketch estimates), q_vec_pca_power
-    // (eigenvector — not SQL-expressible); every other query MUST carry an oracle
-    assert(qs.count(_.oracle.isEmpty) === 3)
+    // q_agg_approx, q_agg_approx_quantile, q_agg_sketch_merge (sketch
+    // estimates differ across engines by design), q_vec_pca_power
+    // (eigenvector — not SQL-expressible); every other query MUST carry
+    // an oracle
+    assert(qs.count(_.oracle.isEmpty) === 4)
   }
 
   test("token-budget apportionment sums exactly to the budget") {
@@ -636,6 +638,25 @@ class InvariantSpec extends SparkTestBase with Matchers {
       assert(sorted.last._2 + sorted.last._3 - 1 <= lenOf(id).length,
         s"doc $id span exceeds text length")
       ss.foreach { case (_, _, l) => assert(l >= L, "span below width L") }
+    }
+  }
+
+  test("kmeans iterations conserve the clean corpus and shrink assignment energy") {
+    // Both rounds' cluster sizes must each sum to the clean corpus size
+    // (every vector assigned exactly once per iteration), and the
+    // centroid shift must be a finite non-negative squared distance.
+    val dir = sf()
+    val out = SparkEntry.queries("q_vec_kmeans_iter")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val clean = graft.sources.Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64 &&
+        expr("forall(embedding, x -> abs(x) <= 1.0d)"))
+      .count()
+    assert(out.map(_._2).sum === clean, "iteration-1 sizes lose/duplicate vectors")
+    assert(out.map(_._3).sum === clean, "iteration-2 sizes lose/duplicate vectors")
+    out.foreach { case (cid, _, _, shift) =>
+      assert(shift >= 0.0 && shift <= 256.0 && !shift.isNaN,
+        s"cluster $cid shift $shift out of bounds")
     }
   }
 

@@ -376,9 +376,9 @@ class PlanShapeSpec extends SparkTestBase {
     val exchanges = plan.split('\n').count(_.contains("Exchange ("))
     assert(exchanges <= 3, // gram hash + doc_id + presentation ORDER BY
       s"substring dedup grew beyond its 2 data shuffles, saw $exchanges:\n$plan")
-    val docExchanges = plan.split('\n')
-      .count(l => l.contains("Exchange hashpartitioning(doc_id#") &&
-        !l.contains("gram#"))
+    // FormattedMode keys live on detail "Arguments:" lines — count there
+    val docExchanges =
+      "hashpartitioning\\(doc_id#".r.findAllIn(plan).length
     assert(docExchanges <= 1,
       s"island merge must ride ONE (doc_id) exchange, saw $docExchanges:\n$plan")
   }
@@ -397,6 +397,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"q_vec_pq shuffled a corpus side into a join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       "q_vec_pq lost its broadcast codebook joins")
+  }
+
+  test("kmeans iterations never re-partition the corpus (map-only assignment)") {
+    // The Lloyd loop's scale contract: assignment is a per-row argmax
+    // against a one-row broadcast book, so NO exchange may be keyed on
+    // vec_id — the only per-iteration shuffles are the (cid, pos) mean
+    // rollups and the k-row report joins. A vec_id exchange means the
+    // corpus re-partitioned (the window/join form — k× corpus volume per
+    // iteration at 100 TB).
+    // The assignment cross join against the ONE-ROW book is a sanctioned
+    // BroadcastNestedLoopJoin (1-row build side); CartesianProduct and any
+    // vec_id-keyed exchange are not. FormattedMode puts exchange keys on
+    // detail "Arguments:" lines, so match the substring, not a tree line.
+    val plan = finalPlan("q_vec_kmeans_iter").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      "q_vec_kmeans_iter planned a cartesian product")
+    assert(!plan.contains("hashpartitioning(vec_id#"),
+      s"kmeans iteration re-partitioned the corpus on vec_id:\n$plan")
   }
 
   test("winnow rides one document shuffle; fuzzy match blocks before levenshtein") {

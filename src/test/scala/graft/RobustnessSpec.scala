@@ -105,7 +105,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_vec_recall_ivf", "q_vec_ivf_probe4", "q_vec_recall_ivf4", "q_vec_drift",
     "q_vec_covariance", "q_vec_pca_power", "q_dedup_semdedup",
     "q_vec_ingest", "q_vec_index_compact", "q_vec_ncc", "q_bitext_mine",
-    "q_vec_pq", "q_vec_recall_pq")
+    "q_vec_pq", "q_vec_recall_pq", "q_vec_kmeans_iter")
 
   test("vector queries survive out-of-contract embeddings; the validator counts them") {
     // Zero vector, EMPTY array, ragged dim, Float.MaxValue junk, exact
