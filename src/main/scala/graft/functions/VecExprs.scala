@@ -66,8 +66,81 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance Σ(x−y)² between a float32 vector and a float32 OR
+  * float64 vector (the right side is a codebook/centroid that may be a
+  * double array after integer-unit mean training). Same motivation and
+  * determinism contract as [[DotProduct]]: the HOF form
+  * `aggregate(zip_with(a, b, (x,y) -> (double(x)-y)*(double(x)-y)), 0d, +)`
+  * allocates an intermediate array and interprets a lambda per element —
+  * inside ANOTHER lambda (the PQ candidate scan) that cost multiplies by
+  * the codebook width. This evaluates as one tight loop per call;
+  * ascending-index double accumulation keeps it bit-identical to DuckDB's
+  * list_sum fold. */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_l2"
+
+  private lazy val rightIsDouble: Boolean = right.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val bd = b.asInstanceOf[ArrayData]
+    var acc = 0.0
+    if (rightIsDouble) {
+      val ys = bd.toDoubleArray()
+      val n = math.min(xs.length, ys.length)
+      var i = 0
+      while (i < n) {
+        val d = xs(i).toDouble - ys(i); acc += d * d; i += 1
+      }
+    } else {
+      val ys = bd.toFloatArray()
+      val n = math.min(xs.length, ys.length)
+      var i = 0
+      while (i < n) {
+        val d = xs(i).toDouble - ys(i).toDouble; acc += d * d; i += 1
+      }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val (yt, yext) =
+        if (rightIsDouble) ("double", "toDoubleArray") else ("float", "toFloatArray")
+      s"""
+         |float[] $xs = $a.toFloatArray();
+         |$yt[] $ys = $b.$yext();
+         |int $n = Math.min($xs.length, $ys.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $xs[$i] - (double) $ys[$i];
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecExprs {
   private val fid = FunctionIdentifier("graft_dot")
+  private val l2fid = FunctionIdentifier("graft_l2")
 
   /** Registers graft_dot in the session's function registry (idempotent);
     * also makes it available to spark.sql(...) users. */
@@ -77,6 +150,16 @@ object VecExprs {
         fid,
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    }
+  }
+
+  /** Registers graft_l2 (squared L2 distance) — see [[L2Squared]]. */
+  def registerL2(spark: SparkSession): Unit = synchronized {
+    if (!spark.sessionState.functionRegistry.functionExists(l2fid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        l2fid,
+        new ExpressionInfo(classOf[L2Squared].getName, "graft_l2"),
+        (children: Seq[Expression]) => L2Squared(children.head, children(1)))
     }
   }
 

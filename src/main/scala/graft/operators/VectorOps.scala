@@ -942,27 +942,39 @@ object VectorOps {
 
   /** Nearest-codeword assignment: rounded L2^2 between the float
     * subvector and the (double, post-Lloyd) codeword, ties to the
-    * smaller code. The codebook is always <= 128 rows — broadcast. */
-  private def pqAssign(sp: DataFrame, cb: DataFrame): DataFrame = {
-    val encW = Window.partitionBy("vec_id", "s").orderBy(asc("l2"), asc("c"))
-    sp.join(broadcast(cb), "s")
-      .select(col("vec_id"), col("s"), col("c"), col("sv"),
-        round(expr(
-          """aggregate(zip_with(sv, cv,
-            |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-            |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6)
-          .as("l2"))
-      .withColumn("rk", row_number().over(encW))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("s"), col("c").as("code"), col("sv"))
+    * smaller code. MAP-ONLY (the q_vec_kmeans_iter discipline): the
+    * codebook rides in ONE broadcast row as a per-subspace-indexed
+    * array-of-arrays, `element_at(book, s + 1)` selects the 32
+    * candidates, and the argmin evaluates per row as array_max over
+    * struct(-l2, -c) — zero exchanges, zero sorts. (Measured
+    * alternatives at sf0.1: a (vec_id, s) window row_number sorts and
+    * shuffles the 32x-expanded frame; a groupBy-min collapses it
+    * map-side but still pays the exchange; a FLAT one-row book pays
+    * interpreted filter cost over all 512 structs per row — the
+    * s-indexed book keeps the lambda at 32 candidates, and the inner L2
+    * is the graft_l2 primitive, not a zip_with fold that would allocate
+    * and interpret per element inside the candidate lambda.) */
+  private def pqAssign(spark: SparkSession, sp: DataFrame,
+      cb: DataFrame): DataFrame = {
+    graft.functions.VecExprs.registerL2(spark)
+    val book = cb
+      .groupBy("s").agg(collect_list(struct(col("c"), col("cv"))).as("cands"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, cands))), x -> x.cands)")
+        .as("book"))
+    sp.crossJoin(broadcast(book))
+      .select(col("vec_id"), col("s"), col("sv"), expr(
+        """array_max(transform(element_at(book, s + 1), b -> struct(
+          |  -round(graft_l2(sv, b.cv), 6) AS nl2,
+          |  -b.c AS nc)))""".stripMargin).as("best"))
+      .select(col("vec_id"), col("s"),
+        (-col("best.nc")).cast("int").as("code"), col("sv"))
   }
 
   /** Spark side of the shared PQ pipeline: ADC top-5 per query vector
     * (columns a_id, b_id, adcu, rk). */
   private def pqTop5(spark: SparkSession, dir: String): DataFrame = {
     val e = cleanEmbeddings(spark, dir)
-    // (vec_id, s, sv): the m=8 subvectors of every clean vector
+    // (vec_id, s, sv): the m=16 subvectors of every clean vector
     val sp = e.select(col("vec_id"),
         explode(expr("sequence(0, 15)")).as("s"), col("embedding"))
       .select(col("vec_id"), col("s").cast("int").as("s"),
@@ -971,18 +983,22 @@ object VectorOps {
       .select(col("vec_id").cast("int").as("c"), col("s"), col("sv").as("cv"))
     // one Lloyd iteration: assign to the seeds, recompute codeword means
     // in exact 1e-9 units (the cellCentroids arithmetic) — a code that
-    // attracts no subvectors drops out of the trained book on both engines
-    val cb = pqAssign(sp, cb0)
-      .select(col("s"), col("code").as("c"),
-        posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy("s", "c", "pos")
-      .agg((sum(round(col("v").cast("double") * 1000000000L)
+    // attracts no subvectors drops out of the trained book on both
+    // engines. The 4 positions aggregate as 4 unit-sum columns in ONE
+    // (s, code) groupBy — no posexplode and no second exchange (the
+    // oracle's per-pos form computes the identical sums).
+    def meanAt(i: Int) =
+      (sum(round(element_at(col("sv"), i).cast("double") * 1000000000L)
         .cast("decimal(38,0)")).cast("double") / lit(1000000000.0)
-        / count(lit(1))).as("cc"))
-      .groupBy("s", "c")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cc))), x -> x.cc)")
-        .as("cv"))
-    val enc = pqAssign(sp, cb).select("vec_id", "s", "code")
+        / count(lit(1))).as(s"m$i")
+    val cb = pqAssign(spark, sp, cb0)
+      .groupBy("s", "code")
+      .agg(meanAt(1), meanAt(2), meanAt(3), meanAt(4))
+      .select(col("s"), col("code").as("c"),
+        array(col("m1"), col("m2"), col("m3"), col("m4")).as("cv"))
+      .persistScratch() // trained book: encode + LUT + the recall twin
+    val enc = pqAssign(spark, sp, cb).select("vec_id", "s", "code")
+      .persistScratch() // encoded corpus, shared with q_vec_recall_pq
     // per-query LUT: 1e-6-unit subspace dot against every trained codeword.
     // Renamed join keys: enc and lut share sp's lineage, so same-name
     // column refs would resolve to one attribute (trivially-true join).

@@ -29,6 +29,14 @@ class ExtensionsSpec extends SparkTestBase {
       assert(s2.sql(
         "SELECT graft_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
         .head().getDouble(0) === 2.0)
+      // squared L2 against a FLOAT and a DOUBLE right side (the codebook
+      // types PQ encode sees before and after Lloyd training)
+      assert(s2.sql(
+        "SELECT graft_l2(array(CAST(1.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+        .head().getDouble(0) === 4.0)
+      assert(s2.sql(
+        "SELECT graft_l2(array(CAST(1.0 AS FLOAT)), array(CAST(4.0 AS DOUBLE)))")
+        .head().getDouble(0) === 9.0)
       // single hash: the majority vote reproduces that hash's low 16 bits
       assert(s2.sql("SELECT graft_simhash16(array(CAST(3 AS BIGINT)))")
         .head().getLong(0) === 3L)

@@ -386,17 +386,23 @@ class PlanShapeSpec extends SparkTestBase {
   test("pq scoring joins only broadcast codebook/LUT; corpus vectors never re-shuffle") {
     // PQ's scale contract: the only big frames are the subvector split and
     // the encoded (vec_id, s, code) table; every join against them must be
-    // a broadcast of the codebook (<=512 rows) or the query LUT. A sort-
-    // merge or shuffled-hash join here means a corpus-sized exchange of
-    // vector payloads that ADC exists to avoid.
+    // a broadcast — the ONE-ROW codebook book (a sanctioned
+    // BroadcastNestedLoopJoin, like the kmeans book) or the hash-joined
+    // query LUT. A sort-merge or shuffled-hash join here means a
+    // corpus-sized exchange of vector payloads that ADC exists to avoid.
     val plan = finalPlan("q_vec_pq").split("== Initial Plan ==").head
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      "q_vec_pq degraded to a nested loop")
+    assert(!plan.contains("CartesianProduct"),
+      "q_vec_pq planned a cartesian product")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"q_vec_pq shuffled a corpus side into a join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
-      "q_vec_pq lost its broadcast codebook joins")
+      "q_vec_pq lost its broadcast LUT/codebook hash joins")
+    // the encode argmin sits behind the scratch-cached codebook/enc
+    // relations, so the physical plan hides it — check the analyzed tree
+    val analyzed = queries("q_vec_pq")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_l2"),
+      "q_vec_pq's encode argmin lost the graft_l2 primitive (HOF fold regression)")
   }
 
   test("kmeans iterations never re-partition the corpus (map-only assignment)") {
