@@ -66,16 +66,20 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Squared L2 distance Σ(x−y)² between a float32 vector and a float32 OR
-  * float64 vector (the right side is a codebook/centroid that may be a
-  * double array after integer-unit mean training). Same motivation and
-  * determinism contract as [[DotProduct]]: the HOF form
-  * `aggregate(zip_with(a, b, (x,y) -> (double(x)-y)*(double(x)-y)), 0d, +)`
-  * allocates an intermediate array and interprets a lambda per element —
-  * inside ANOTHER lambda (the PQ candidate scan) that cost multiplies by
-  * the codebook width. This evaluates as one tight loop per call;
-  * ascending-index double accumulation keeps it bit-identical to DuckDB's
-  * list_sum fold. */
+/** Squared L2 distance Σ(x−y)² between two vectors, EACH independently a
+  * float32 or float64 array (the corpus side is float parquet; a
+  * codebook/centroid may be a double array after integer-unit mean
+  * training). Both sides type-dispatch at planning time from the child
+  * dataType — reading a double array as floats would silently
+  * reinterpret half of each value's bits (the function is exposed to any
+  * spark.sql user via GraftExtensions, where double is the default
+  * float-literal type). Same motivation and determinism contract as
+  * [[DotProduct]]: the HOF form `aggregate(zip_with(a, b, (x,y) ->
+  * (double(x)-y)*(double(x)-y)), 0d, +)` allocates an intermediate array
+  * and interprets a lambda per element — inside ANOTHER lambda (the PQ
+  * candidate scan) that cost multiplies by the codebook width. This
+  * evaluates as one tight loop per call; ascending-index double
+  * accumulation keeps it bit-identical to DuckDB's list_sum fold. */
 case class L2Squared(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -83,30 +87,45 @@ case class L2Squared(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_l2"
 
-  private lazy val rightIsDouble: Boolean = right.dataType match {
+  private def isDoubleArr(e: Expression): Boolean = e.dataType match {
     case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
     case _ => false
   }
+  private lazy val leftIsDouble: Boolean = isDoubleArr(left)
+  private lazy val rightIsDouble: Boolean = isDoubleArr(right)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_l2 requires array<float> or array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def toDoubles(a: Any, isDouble: Boolean): Array[Double] = {
+    val ad = a.asInstanceOf[ArrayData]
+    if (isDouble) ad.toDoubleArray()
+    else {
+      val fs = ad.toFloatArray()
+      Array.tabulate(fs.length)(i => fs(i).toDouble)
+    }
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
-    val bd = b.asInstanceOf[ArrayData]
+    val xs = toDoubles(a, leftIsDouble)
+    val ys = toDoubles(b, rightIsDouble)
+    val n = math.min(xs.length, ys.length)
     var acc = 0.0
-    if (rightIsDouble) {
-      val ys = bd.toDoubleArray()
-      val n = math.min(xs.length, ys.length)
-      var i = 0
-      while (i < n) {
-        val d = xs(i).toDouble - ys(i); acc += d * d; i += 1
-      }
-    } else {
-      val ys = bd.toFloatArray()
-      val n = math.min(xs.length, ys.length)
-      var i = 0
-      while (i < n) {
-        val d = xs(i).toDouble - ys(i).toDouble; acc += d * d; i += 1
-      }
-    }
+    var i = 0
+    while (i < n) { val d = xs(i) - ys(i); acc += d * d; i += 1 }
     acc
   }
 
@@ -118,10 +137,12 @@ case class L2Squared(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
-      val (yt, yext) =
-        if (rightIsDouble) ("double", "toDoubleArray") else ("float", "toFloatArray")
+      def arr(isDouble: Boolean) =
+        if (isDouble) ("double", "toDoubleArray") else ("float", "toFloatArray")
+      val (xt, xext) = arr(leftIsDouble)
+      val (yt, yext) = arr(rightIsDouble)
       s"""
-         |float[] $xs = $a.toFloatArray();
+         |$xt[] $xs = $a.$xext();
          |$yt[] $ys = $b.$yext();
          |int $n = Math.min($xs.length, $ys.length);
          |double $acc = 0.0;

@@ -410,17 +410,19 @@ object TextExtras {
   ) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val L = 40
-    // per-row gram array (one substring per start position), exploded with
-    // the 0-based array index realigned to the 1-based char position —
-    // text itself never crosses the explode, and only the gram's 64-bit
-    // hash crosses the shuffle
+    // per-row array of gram HASHES (one per start position), exploded
+    // with the 0-based array index realigned to the 1-based char
+    // position. Hashing INSIDE the transform keeps the per-row
+    // intermediate at 8 B per position — materializing the 40-char gram
+    // strings first would hold ~80x the doc's size in one row before the
+    // explode. Only the 64-bit hash ever leaves the row.
     val g = Tables.documents(spark, dir)
       .filter(col("n_chars") >= L)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, CAST(n_chars AS INT) - ${L - 1})," +
-          s" i -> substring(text, i, $L))")).as(Seq("p0", "gram")))
+          s" i -> xxhash64(substring(text, i, $L)))")).as(Seq("p0", "gh")))
       .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("i"),
-        xxhash64(col("gram")).as("gh"))
+        col("gh"))
     val byGram = Window.partitionBy("gh")
     val p = g
       .withColumn("dmin", min("doc_id").over(byGram))

@@ -961,9 +961,13 @@ object VectorOps {
       .groupBy("s").agg(collect_list(struct(col("c"), col("cv"))).as("cands"))
       .agg(expr("transform(array_sort(collect_list(struct(s, cands))), x -> x.cands)")
         .as("book"))
+    // try_element_at: an EMPTY codebook (no clean seed vectors) makes the
+    // book one empty array — plain element_at would throw under ANSI on
+    // the first corpus row, where the oracle's CTEs just go empty. The
+    // null best degrades to a null code, dropped by every downstream join.
     sp.crossJoin(broadcast(book))
       .select(col("vec_id"), col("s"), col("sv"), expr(
-        """array_max(transform(element_at(book, s + 1), b -> struct(
+        """array_max(transform(try_element_at(book, s + 1), b -> struct(
           |  -round(graft_l2(sv, b.cv), 6) AS nl2,
           |  -b.c AS nc)))""".stripMargin).as("best"))
       .select(col("vec_id"), col("s"),

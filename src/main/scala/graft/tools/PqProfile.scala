@@ -31,31 +31,31 @@ object PqProfile {
     t("sp") { sp.count() }
     val cb0 = sp.filter(col("vec_id") < 32)
       .select(col("vec_id").cast("int").as("c"), col("s"), col("sv").as("cv"))
+    // MIRRORS VectorOps.pqAssign / the meanAt rollup exactly — keep in
+    // sync with production or the attribution is for a different plan.
+    graft.functions.VecExprs.registerL2(spark)
     def assign(cb: org.apache.spark.sql.DataFrame) = {
       val book = cb
         .groupBy("s").agg(collect_list(struct(col("c"), col("cv"))).as("cands"))
         .agg(expr("transform(array_sort(collect_list(struct(s, cands))), x -> x.cands)").as("book"))
       sp.crossJoin(broadcast(book))
         .select(col("vec_id"), col("s"), col("sv"), expr(
-          """array_max(transform(element_at(book, s + 1), b -> struct(
-            |  -round(aggregate(zip_with(sv, b.cv,
-            |    (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-            |            * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-            |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) AS nl2,
+          """array_max(transform(try_element_at(book, s + 1), b -> struct(
+            |  -round(graft_l2(sv, b.cv), 6) AS nl2,
             |  -b.c AS nc)))""".stripMargin).as("best"))
         .select(col("vec_id"), col("s"),
           (-col("best.nc")).cast("int").as("code"), col("sv"))
     }
     t("assign0") { assign(cb0).count() }
-    val cb = assign(cb0)
-      .select(col("s"), col("code").as("c"),
-        posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy("s", "c", "pos")
-      .agg((sum(round(col("v").cast("double") * 1000000000L)
+    def meanAt(i: Int) =
+      (sum(round(element_at(col("sv"), i).cast("double") * 1000000000L)
         .cast("decimal(38,0)")).cast("double") / lit(1000000000.0)
-        / count(lit(1))).as("cc"))
-      .groupBy("s", "c")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cc))), x -> x.cc)").as("cv"))
+        / count(lit(1))).as(s"m$i")
+    val cb = assign(cb0)
+      .groupBy("s", "code")
+      .agg(meanAt(1), meanAt(2), meanAt(3), meanAt(4))
+      .select(col("s"), col("code").as("c"),
+        array(col("m1"), col("m2"), col("m3"), col("m4")).as("cv"))
       .persist()
     t("cb-train") { cb.count() }
     val enc = assign(cb).select("vec_id", "s", "code").persist()

@@ -625,19 +625,17 @@ class InvariantSpec extends SparkTestBase with Matchers {
     val got = SparkEntry.queries("q_dedup_substring")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
-    // spans never overlap within a doc and never exceed the doc
+    // spans stay inside the doc and meet the minimum width. (Overlapping
+    // spans ARE legal: duplicated positions {i, i+2} with i+1 clean form
+    // two islands whose 40-char ranges overlap — so no overlap assert.)
     val byDoc = got.toSeq.groupBy(_._1)
     val lenOf = docs.toMap
     byDoc.foreach { case (id, ss) =>
-      val sorted = ss.sortBy(_._2)
-      sorted.sliding(2).foreach {
-        case Seq((_, a, al), (_, b, _)) =>
-          assert(a + al <= b, s"doc $id spans overlap — not maximal islands")
-        case _ =>
+      ss.foreach { case (_, start, len) =>
+        assert(start >= 1 && start + len - 1 <= lenOf(id).length,
+          s"doc $id span [$start, +$len) exceeds text bounds")
+        assert(len >= L, "span below width L")
       }
-      assert(sorted.last._2 + sorted.last._3 - 1 <= lenOf(id).length,
-        s"doc $id span exceeds text length")
-      ss.foreach { case (_, _, l) => assert(l >= L, "span below width L") }
     }
   }
 
@@ -652,8 +650,13 @@ class InvariantSpec extends SparkTestBase with Matchers {
       .filter(org.apache.spark.sql.functions.size(col("embedding")) === 64 &&
         expr("forall(embedding, x -> abs(x) <= 1.0d)"))
       .count()
-    assert(out.map(_._2).sum === clean, "iteration-1 sizes lose/duplicate vectors")
+    // n2 is the true conservation invariant: every clean vector is in
+    // exactly one round-2 cluster and every round-2 cluster is in the
+    // output. n1 only bounds it — a cluster that EMPTIES in round 2 is
+    // dropped by the c1 join c2 contract (on both engines), taking its
+    // round-1 members out of the reported n1 sum.
     assert(out.map(_._3).sum === clean, "iteration-2 sizes lose/duplicate vectors")
+    assert(out.map(_._2).sum <= clean, "iteration-1 sizes exceed the clean corpus")
     out.foreach { case (cid, _, _, shift) =>
       assert(shift >= 0.0 && shift <= 256.0 && !shift.isNaN,
         s"cluster $cid shift $shift out of bounds")

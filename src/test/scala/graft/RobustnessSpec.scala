@@ -149,6 +149,35 @@ class RobustnessSpec extends SparkTestBase {
     assert(bad(0) === ((0L, 0L, 0L)) && bad(1) === ((0L, 0L, 0L)))
   }
 
+  test("seed-dependent vector pipelines survive a corpus whose clean ids miss the seed range") {
+    // PQ's codebook seeds on vec_id < 32 and kmeans on vec_id < 4: a
+    // clean corpus whose ids all land ABOVE the seed cut leaves the
+    // codebook EMPTY — the encode must degrade to an empty/trivial
+    // result like its oracle's empty CTEs, never throw (under ANSI,
+    // element_at on the empty book was an INVALID_ARRAY_INDEX job-killer
+    // before try_element_at).
+    val spk = spark
+    import spk.implicits._
+    val dim = 64
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => ((seed * 31 + i) % 7 - 3).toFloat / 10f)
+    val rows = (100L to 110L).map(id => (id, v(id.toInt), (id % 8).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_no_seed_vec").toString
+    rows.write.parquet(s"$dir/embeddings.parquet")
+    val queries = SparkEntry.queries
+    Seq("q_vec_pq", "q_vec_recall_pq", "q_vec_kmeans", "q_vec_kmeans_iter")
+      .foreach { name =>
+        try {
+          val n = queries(name)(spk, dir).collect().length
+          assert(n >= 0) // completion (empty is legal) is the assertion
+        } catch {
+          case e: Throwable =>
+            fail(s"$name threw on a seedless-clean corpus: ${e.getMessage}", e)
+        } finally graft.sources.Scratch.releaseAll()
+      }
+  }
+
   test("the FULL inventory survives a degenerate mini-warehouse") {
     // Every graded query against a hostile but well-typed warehouse:
     // zero/negative/huge balances and prices, 100% discounts, zero
