@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.sources.Scratch.PersistSyntax
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
@@ -490,21 +491,98 @@ object TextExtras {
       |SELECT lang, pair, cnt, rnk FROM ranked
       |WHERE rnk <= 8 ORDER BY lang, rnk""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val words = Tables.documents(spark, dir)
-      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
-    val pairs = words
-      .select(col("lang"), col("w"), col("freq"),
-        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
-      .select(col("lang"), expr("substring(w, i, 2)").as("pair"), col("freq"))
-      .groupBy("lang", "pair").agg(sum("freq").as("cnt"))
+    val pairs = bpePairCounts(spark, dir)
     val rw = Window.partitionBy("lang").orderBy(desc("cnt"), asc("pair"))
     pairs.withColumn("rn", row_number().over(rw))
       .filter(col("rn") <= 8) // raw rank so WindowGroupLimit can push
       .select(col("lang"), col("pair"), col("cnt"), col("rn").cast("int").as("rnk"))
       .orderBy("lang", "rnk")
+  }
+
+  /** (lang, w, freq) word dictionary and (lang, pair, cnt) adjacent-char
+    * pair counts — the shared derivation of the BPE counting, candidate,
+    * and apply rows. */
+  private def bpeWordDict(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+
+  private def bpePairCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    bpeWordDict(spark, dir)
+      .select(col("lang"), col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("lang"), expr("substring(w, i, 2)").as("pair"), col("freq"))
+      .groupBy("lang", "pair").agg(sum("freq").as("cnt"))
+
+  /** APPLY the winning BPE merge (Sennrich et al. 2016, the step after
+    * q_token_pair_merge's candidate counting): each language's top-1
+    * pair merges into one symbol across the word DICTIONARY, reporting
+    * the merge count and the average tokens-per-word before/after — the
+    * compression readout that decides whether training continues.
+    * Occurrences count by LENGTH ARITHMETIC: replace(w, pair, '')
+    * removes 2 chars per non-overlapping left-to-right occurrence (the
+    * exact BPE application order, and the same replace semantics on
+    * both engines — 'aaa' merges once under pair 'aa'), so
+    * occ = (len - len(replaced)) div 2 with no sentinel character that
+    * could collide with corpus text. Cost is dictionary mass, not
+    * corpus mass — the dictionary expansion trick real BPE trainers use
+    * per iteration — and the top-1 table (one row per language)
+    * broadcasts. All counts are exact integers; only the final
+    * per-language averages divide. */
+  val qTokenBpeApply = Q(
+    "q_token_bpe_apply",
+    """WITH words AS (
+      |  SELECT lang, t AS w, COUNT(*) AS freq
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE len(t) >= 2 GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT lang, substr(w, CAST(i AS INT), 2) AS pair,
+      |    CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT lang, w, freq,
+      |          unnest(generate_series(1, len(w) - 1)) AS i FROM words)
+      |  GROUP BY 1, 2),
+      |top1 AS (
+      |  SELECT lang, pair FROM (
+      |    SELECT lang, pair,
+      |      CAST(row_number() OVER (PARTITION BY lang
+      |        ORDER BY cnt DESC, pair) AS INT) AS rnk
+      |    FROM pairs) WHERE rnk = 1),
+      |ap AS (
+      |  SELECT w.lang, t.pair, w.freq, len(w.w) AS lw,
+      |    (len(w.w) - len(replace(w.w, t.pair, ''))) // 2 AS occ
+      |  FROM words w JOIN top1 t USING (lang))
+      |SELECT lang, pair,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(freq) AS BIGINT) AS total_freq,
+      |  CAST(SUM(freq * occ) AS BIGINT) AS n_merges,
+      |  round(SUM(freq * lw) * 1.0 / SUM(freq), 6) AS avg_tok_before,
+      |  round(SUM(freq * (lw - occ)) * 1.0 / SUM(freq), 6) AS avg_tok_after
+      |FROM ap GROUP BY lang, pair
+      |ORDER BY lang""".stripMargin
+  ) { (spark, dir) =>
+    val rw = Window.partitionBy("lang").orderBy(desc("cnt"), asc("pair"))
+    val top1 = bpePairCounts(spark, dir)
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("pair"))
+    bpeWordDict(spark, dir)
+      .join(broadcast(top1), "lang")
+      .select(col("lang"), col("pair"), col("freq"),
+        length(col("w")).cast("long").as("lw"),
+        expr("CAST((length(w) - length(replace(w, pair, ''))) div 2 AS BIGINT)")
+          .as("occ"))
+      .groupBy("lang", "pair")
+      .agg(count(lit(1)).as("n_words"),
+        sum("freq").cast("bigint").as("total_freq"),
+        sum(col("freq") * col("occ")).cast("bigint").as("n_merges"),
+        round(sum(col("freq") * col("lw")).cast("double")
+          / sum("freq").cast("double"), 6).as("avg_tok_before"),
+        round(sum(col("freq") * (col("lw") - col("occ"))).cast("double")
+          / sum("freq").cast("double"), 6).as("avg_tok_after"))
+      .orderBy("lang")
   }
 
   /** Tokenizer FERTILITY per language — subword tokens emitted per
@@ -1131,7 +1209,7 @@ object TextExtras {
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qDedupContainment, qDedupWinnow, qDedupSubstring,
-    qTokenBpe, qTokenPairMerge,
+    qTokenBpe, qTokenPairMerge, qTokenBpeApply,
     qTokenFertility,
     qMultimodalMeta,
     qMultimodalFrames, qTextCooccur, qTextTfidf, qDocTopkQuality,

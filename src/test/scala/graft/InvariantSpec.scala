@@ -639,6 +639,41 @@ class InvariantSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("bpe apply merge counts match a driver-side replace recompute") {
+    // Recompute the winning pair and its non-overlapping left-to-right
+    // merge count per language with plain Scala string ops — the
+    // length-arithmetic occ formula must equal an explicit scan.
+    val dir = sf()
+    val words = graft.sources.Tables.documents(spark, dir)
+      .select("lang", "text").collect()
+      .flatMap { r => r.getString(1).split(" ")
+        .filter(_.length >= 2).map(w => (r.getString(0), w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def occNonOverlap(w: String, p: String): Long = {
+      var i = 0; var n = 0L
+      while (i <= w.length - 2) {
+        if (w.regionMatches(i, p, 0, 2)) { n += 1; i += 2 } else i += 1
+      }
+      n
+    }
+    val byLang = words.toSeq.groupBy(_._1._1)
+    val expected = byLang.map { case (lang, ws) =>
+      val pairCnt = scala.collection.mutable.Map.empty[String, Long]
+      ws.foreach { case ((_, w), f) =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          pairCnt(p) = pairCnt.getOrElse(p, 0L) + f
+        }
+      }
+      val top = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+      val merges = ws.map { case ((_, w), f) => f * occNonOverlap(w, top) }.sum
+      lang -> (top, merges)
+    }
+    val got = SparkEntry.queries("q_token_bpe_apply")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(4))).toMap
+    assert(got === expected)
+  }
+
   test("kmeans iterations conserve the clean corpus and shrink assignment energy") {
     // Both rounds' cluster sizes must each sum to the clean corpus size
     // (every vector assigned exactly once per iteration), and the

@@ -137,7 +137,7 @@ class PlanShapeSpec extends SparkTestBase {
     // top-k from shuffling the whole fact table.
     Seq("q_win_topk", "q_doc_topk_quality", "q_cdc_compact",
         "q_stream_dedup", "q_sample_weighted", "q_token_pair_merge",
-        "q_bitext_mine").foreach { name =>
+        "q_token_bpe_apply", "q_bitext_mine").foreach { name =>
       val plan = finalPlan(name)
       assert(plan.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
         s"$name should carry partial (pre-shuffle) + final WindowGroupLimit")
