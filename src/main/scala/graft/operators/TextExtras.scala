@@ -387,8 +387,9 @@ object TextExtras {
     * The paper uses a suffix array for L-free maximality; the fixed-L
     * gram index is the standard distributed form (spans >= L are found
     * whole, shorter ones ignored by contract). */
-  val qDedupSubstring = Q(
-    "q_dedup_substring",
+  // Shared CTE prefix (raw grams -> cross-doc positions -> islands ->
+  // spans), used by the span row and its per-source mass monitor.
+  private val substringSpansDuck =
     """WITH g AS (
       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
       |    substr(text, CAST(u.i AS INT), 40) AS gram
@@ -403,12 +404,25 @@ object TextExtras {
       |  WHERE dmin <> dmax),
       |isl AS (SELECT doc_id, i,
       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-      |  FROM p)
-      |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
-      |  CAST(max(i) - min(i) + 40 AS BIGINT) AS span_len
-      |FROM isl GROUP BY doc_id, grp
+      |  FROM p),
+      |spans AS (
+      |  SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+      |    CAST(max(i) - min(i) + 40 AS BIGINT) AS span_len
+      |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+
+  val qDedupSubstring = Q(
+    "q_dedup_substring",
+    s"""$substringSpansDuck
+      |SELECT doc_id, span_start, span_len FROM spans
       |ORDER BY doc_id, span_start""".stripMargin
   ) { (spark, dir) =>
+    substringSpans(spark, dir).orderBy("doc_id", "span_start")
+  }
+
+  /** Spark side of the shared duplicated-span derivation (unordered
+    * doc_id, span_start, span_len). */
+  private def substringSpans(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 40
     // explode the POSITION sequence, then substring+hash post-explode:
@@ -436,7 +450,71 @@ object TextExtras {
       .agg(min("i").as("span_start"),
         (max("i") - min("i") + lit(L)).cast("bigint").as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
-      .orderBy("doc_id", "span_start")
+  }
+
+  /** Per-source duplicated-substring MASS — the monitor that turns span
+    * detection into a curation decision (which source ships boilerplate,
+    * how many chars a substring-cut pass would remove). Span char ranges
+    * can OVERLAP (islands are disjoint in start positions, not in
+    * coverage), so duplicated chars count as the interval-union length:
+    * each span contributes its length minus the running-max previous end
+    * overlap — one lag-style window over the (already tiny) span set,
+    * then a left join back to documents so untouched docs keep their
+    * denominators. Exact integer char counts; only dup_frac divides. */
+  val qDedupSubstringMass = Q(
+    "q_dedup_substring_mass",
+    s"""$substringSpansDuck,
+      |u AS (
+      |  SELECT doc_id, span_start, span_start + span_len - 1 AS e,
+      |    max(span_start + span_len - 1) OVER (PARTITION BY doc_id
+      |      ORDER BY span_start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      |  FROM spans),
+      |cov AS (
+      |  SELECT doc_id,
+      |    CASE WHEN prev_e IS NULL OR prev_e < span_start
+      |           THEN e - span_start + 1
+      |         WHEN e > prev_e THEN e - prev_e
+      |         ELSE 0 END AS c
+      |  FROM u),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_chars
+      |  FROM cov GROUP BY doc_id)
+      |SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(p.doc_id) AS BIGINT) AS docs_hit,
+      |  CAST(COALESCE(SUM(p.dup_chars), 0) AS BIGINT) AS dup_chars,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+      |  round(COALESCE(SUM(p.dup_chars), 0) * 1.0 / SUM(d.n_chars), 6)
+      |    AS dup_frac
+      |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val spans = substringSpans(spark, dir)
+    val prevW = Window.partitionBy("doc_id").orderBy("span_start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perdoc = spans
+      .withColumn("e", col("span_start") + col("span_len") - 1)
+      .withColumn("prev_e", max("e").over(prevW))
+      .select(col("doc_id"),
+        when(col("prev_e").isNull || col("prev_e") < col("span_start"),
+          col("e") - col("span_start") + 1)
+          .when(col("e") > col("prev_e"), col("e") - col("prev_e"))
+          .otherwise(lit(0L)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("bigint").as("dup_chars"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(perdoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dup_chars")).as("docs_hit"),
+        coalesce(sum("dup_chars"), lit(0L)).cast("bigint").as("dup_chars"),
+        sum("n_chars").cast("bigint").as("total_chars"),
+        round(coalesce(sum("dup_chars"), lit(0L)).cast("double")
+          / sum("n_chars").cast("double"), 6).as("dup_frac"))
+      .orderBy("source")
   }
 
   /** Regex (BPE-ish) tokenization: alpha runs and digit runs as separate
@@ -1209,6 +1287,7 @@ object TextExtras {
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qDedupContainment, qDedupWinnow, qDedupSubstring,
+    qDedupSubstringMass,
     qTokenBpe, qTokenPairMerge, qTokenBpeApply,
     qTokenFertility,
     qMultimodalMeta,
