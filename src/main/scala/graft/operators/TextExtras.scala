@@ -387,14 +387,18 @@ object TextExtras {
     * The paper uses a suffix array for L-free maximality; the fixed-L
     * gram index is the standard distributed form (spans >= L are found
     * whole, shorter ones ignored by contract). */
-  // Shared CTE prefix (raw grams -> cross-doc positions -> islands ->
-  // spans), used by the span row and its per-source mass monitor.
-  private val substringSpansDuck =
+  // Shared raw-gram CTE, the prefix of every substring-dedup oracle.
+  private val substringGramsDuck =
     """WITH g AS (
       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
       |    substr(text, CAST(u.i AS INT), 40) AS gram
       |  FROM documents, unnest(range(1, CAST(n_chars AS BIGINT) - 38)) AS u(i)
-      |  WHERE n_chars >= 40),
+      |  WHERE n_chars >= 40)""".stripMargin
+
+  // Shared CTE prefix (raw grams -> cross-doc positions -> islands ->
+  // spans), used by the span row and its per-source mass monitor.
+  private val substringSpansDuck =
+    s"""$substringGramsDuck,
       |p AS (
       |  SELECT doc_id, i FROM (
       |    SELECT doc_id, i,
@@ -419,37 +423,82 @@ object TextExtras {
     substringSpans(spark, dir).orderBy("doc_id", "span_start")
   }
 
-  /** Spark side of the shared duplicated-span derivation (unordered
-    * doc_id, span_start, span_len). */
-  private def substringSpans(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val L = 40
-    // explode the POSITION sequence, then substring+hash post-explode:
-    // generate and project fuse into one WholeStageCodegen, so neither a
-    // per-row gram-string array (~80x doc size) nor a hash array is ever
-    // materialized, and both substring and xxhash64 run codegen'd — the
-    // all-in-the-transform variants pay interpreted per-element lambda
-    // cost instead (measured ~1.5x slower at sf0.1). Only the 64-bit
-    // hash leaves the stage.
-    val g = Tables.documents(spark, dir)
-      .filter(col("n_chars") >= L)
+  private val SubL = 40
+
+  /** (doc_id, i, gh): every width-[[SubL]] gram start position with its
+    * 64-bit gram hash. Explode the POSITION sequence, then substring+hash
+    * post-explode: generate and project fuse into one WholeStageCodegen,
+    * so neither a per-row gram-string array (~80x doc size) nor a hash
+    * array is ever materialized, and both substring and xxhash64 run
+    * codegen'd — the all-in-the-transform variants pay interpreted
+    * per-element lambda cost instead (measured ~1.5x slower at sf0.1).
+    * Only the 64-bit hash leaves the stage. */
+  private def gramHashes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") >= SubL)
       .select(col("doc_id"), col("text"), explode(expr(
-        s"sequence(1, CAST(n_chars AS INT) - ${L - 1})")).as("ip"))
+        s"sequence(1, CAST(n_chars AS INT) - ${SubL - 1})")).as("ip"))
       .select(col("doc_id"), col("ip").cast("bigint").as("i"),
-        xxhash64(expr(s"substring(text, ip, $L)")).as("gh"))
-    val byGram = Window.partitionBy("gh")
-    val p = g
-      .withColumn("dmin", min("doc_id").over(byGram))
-      .withColumn("dmax", max("doc_id").over(byGram))
-      .filter(col("dmin") =!= col("dmax"))
-      .select(col("doc_id"), col("i"))
+        xxhash64(expr(s"substring(text, ip, $SubL)")).as("gh"))
+
+  /** Maximal islands of consecutive duplicated positions → (doc_id,
+    * span_start, span_len). */
+  private def islandsToSpans(
+      p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
     p.withColumn("grp", col("i") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min("i").as("span_start"),
-        (max("i") - min("i") + lit(L)).cast("bigint").as("span_len"))
+        (max("i") - min("i") + lit(SubL)).cast("bigint").as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+
+  /** Spark side of the shared duplicated-span derivation (unordered
+    * doc_id, span_start, span_len). */
+  private def substringSpans(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val byGram = Window.partitionBy("gh")
+    val p = gramHashes(spark, dir)
+      .withColumn("dmin", min("doc_id").over(byGram))
+      .withColumn("dmax", max("doc_id").over(byGram))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("doc_id"), col("i"))
+    islandsToSpans(p)
+  }
+
+  /** INCREMENTAL ExactSubstr: a batch of new documents (the fixture's
+    * doc_id % 5 = 4 slice, q_dedup_incremental's contract) probes the
+    * CORPUS gram set for duplicated spans — the ingest-time form of
+    * q_dedup_substring, where only batch-vs-corpus duplication counts
+    * (in-batch dups are the full row's job). Cost is O(batch): the batch
+    * grams semi-join the corpus gram postings on the 64-bit hash, and at
+    * 100 TB that postings set is a persisted gh-bucketed index (the
+    * DedupIndex layout) the probe side shuffles once toward while the
+    * corpus side never moves. Unlike the MinHash incremental row there
+    * is NO verify step to schedule — gram equality IS the decision — so
+    * the probe is a single semi-join + the per-batch-doc island merge. */
+  val qDedupSubstringInc = Q(
+    "q_dedup_substring_inc",
+    s"""$substringGramsDuck,
+      |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 4),
+      |p AS (
+      |  SELECT doc_id, i FROM g
+      |  WHERE doc_id % 5 = 4 AND gram IN (SELECT gram FROM cg)),
+      |isl AS (SELECT doc_id, i,
+      |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM p)
+      |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+      |  CAST(max(i) - min(i) + 40 AS BIGINT) AS span_len
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+  ) { (spark, dir) =>
+    val g = gramHashes(spark, dir)
+    val corpus = g.filter(col("doc_id") % 5 =!= 4).select("gh").distinct()
+    val p = g.filter(col("doc_id") % 5 === 4)
+      .join(corpus, Seq("gh"), "leftsemi")
+      .select(col("doc_id"), col("i"))
+    islandsToSpans(p).orderBy("doc_id", "span_start")
   }
 
   /** Per-source duplicated-substring MASS — the monitor that turns span
@@ -1287,7 +1336,7 @@ object TextExtras {
 
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qDedupContainment, qDedupWinnow, qDedupSubstring,
-    qDedupSubstringMass,
+    qDedupSubstringMass, qDedupSubstringInc,
     qTokenBpe, qTokenPairMerge, qTokenBpeApply,
     qTokenFertility,
     qMultimodalMeta,

@@ -639,6 +639,28 @@ class InvariantSpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("incremental substring spans are contained in the full row's spans") {
+    // Batch-vs-corpus duplication is a SUBSET of all-corpus duplication:
+    // every incremental span (batch doc probing corpus grams) must lie
+    // inside some span the full q_dedup_substring row reports for the
+    // same doc — the full row additionally sees in-batch duplication, so
+    // containment (not equality) is the invariant.
+    val dir = sf()
+    val full = SparkEntry.queries("q_dedup_substring")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val inc = SparkEntry.queries("q_dedup_substring_inc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(inc.nonEmpty, "fixture has no batch-vs-corpus duplicated spans")
+    inc.foreach { case (id, s, l) =>
+      assert(id % 5 === 4, s"doc $id is not in the batch slice")
+      val covers = full.getOrElse(id, Array.empty).exists { case (_, fs, fl) =>
+        fs <= s && s + l <= fs + fl
+      }
+      assert(covers, s"inc span doc=$id [$s, +$l) not inside any full span")
+    }
+  }
+
   test("bpe apply merge counts match a driver-side replace recompute") {
     // Recompute the winning pair and its non-overlapping left-to-right
     // merge count per language with plain Scala string ops — the

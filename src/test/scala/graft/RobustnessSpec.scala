@@ -30,7 +30,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_multimodal_resize", "q_text_boilerplate", "q_doc_dup_mass",
     "q_dsir", "q_doc_quality_funnel", "q_dedup_keep_best",
     "q_dedup_index_compact", "q_dedup_substring", "q_dedup_substring_mass",
-    "q_token_bpe_apply")
+    "q_dedup_substring_inc", "q_token_bpe_apply")
 
   test("documents-only queries survive an EMPTY corpus (zero-doc ingest day)") {
     // An incremental pipeline's quiet day: zero input rows. Every doc
