@@ -387,13 +387,16 @@ object TextExtras {
     * The paper uses a suffix array for L-free maximality; the fixed-L
     * gram index is the standard distributed form (spans >= L are found
     * whole, shorter ones ignored by contract). */
+  private val SubL = 40
+
   // Shared raw-gram CTE, the prefix of every substring-dedup oracle.
   private val substringGramsDuck =
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
-      |    substr(text, CAST(u.i AS INT), 40) AS gram
-      |  FROM documents, unnest(range(1, CAST(n_chars AS BIGINT) - 38)) AS u(i)
-      |  WHERE n_chars >= 40)""".stripMargin
+      |    substr(text, CAST(u.i AS INT), $SubL) AS gram
+      |  FROM documents,
+      |    unnest(range(1, CAST(n_chars AS BIGINT) - ${SubL - 2})) AS u(i)
+      |  WHERE n_chars >= $SubL)""".stripMargin
 
   // Shared CTE prefix (raw grams -> cross-doc positions -> islands ->
   // spans), used by the span row and its per-source mass monitor.
@@ -411,7 +414,7 @@ object TextExtras {
       |  FROM p),
       |spans AS (
       |  SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
-      |    CAST(max(i) - min(i) + 40 AS BIGINT) AS span_len
+      |    CAST(max(i) - min(i) + $SubL AS BIGINT) AS span_len
       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
 
   val qDedupSubstring = Q(
@@ -422,8 +425,6 @@ object TextExtras {
   ) { (spark, dir) =>
     substringSpans(spark, dir).orderBy("doc_id", "span_start")
   }
-
-  private val SubL = 40
 
   /** (doc_id, i, gh): every width-[[SubL]] gram start position with its
     * 64-bit gram hash. Explode the POSITION sequence, then substring+hash
@@ -489,7 +490,7 @@ object TextExtras {
       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
       |  FROM p)
       |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
-      |  CAST(max(i) - min(i) + 40 AS BIGINT) AS span_len
+      |  CAST(max(i) - min(i) + $SubL AS BIGINT) AS span_len
       |FROM isl GROUP BY doc_id, grp
       |ORDER BY doc_id, span_start""".stripMargin
   ) { (spark, dir) =>
@@ -539,7 +540,6 @@ object TextExtras {
       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val spans = substringSpans(spark, dir)
     val prevW = Window.partitionBy("doc_id").orderBy("span_start")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -635,6 +635,7 @@ object TextExtras {
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+      .persistScratch() // pair counts + the apply join share one derivation
 
   private def bpePairCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =

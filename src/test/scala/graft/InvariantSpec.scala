@@ -666,30 +666,35 @@ class InvariantSpec extends SparkTestBase with Matchers {
     // merge count per language with plain Scala string ops — the
     // length-arithmetic occ formula must equal an explicit scan.
     val dir = sf()
+    // CODE-POINT arrays, not UTF-16 chars: Spark length()/substring() and
+    // DuckDB len()/substr() count code points, and pair tie-break order
+    // is by code point (= UTF-8 binary order) — Java String .length/
+    // .substring/.compareTo would diverge on supplementary-plane text.
+    def cps(w: String): Array[Int] = w.codePoints().toArray
     val words = graft.sources.Tables.documents(spark, dir)
       .select("lang", "text").collect()
       .flatMap { r => r.getString(1).split(" ")
-        .filter(_.length >= 2).map(w => (r.getString(0), w)) }
+        .map(cps).filter(_.length >= 2).map(w => (r.getString(0), w.toSeq)) }
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    def occNonOverlap(w: String, p: String): Long = {
+    def occNonOverlap(w: Seq[Int], p: (Int, Int)): Long = {
       var i = 0; var n = 0L
       while (i <= w.length - 2) {
-        if (w.regionMatches(i, p, 0, 2)) { n += 1; i += 2 } else i += 1
+        if (w(i) == p._1 && w(i + 1) == p._2) { n += 1; i += 2 } else i += 1
       }
       n
     }
     val byLang = words.toSeq.groupBy(_._1._1)
     val expected = byLang.map { case (lang, ws) =>
-      val pairCnt = scala.collection.mutable.Map.empty[String, Long]
+      val pairCnt = scala.collection.mutable.Map.empty[(Int, Int), Long]
       ws.foreach { case ((_, w), f) =>
         (0 until w.length - 1).foreach { i =>
-          val p = w.substring(i, i + 2)
+          val p = (w(i), w(i + 1))
           pairCnt(p) = pairCnt.getOrElse(p, 0L) + f
         }
       }
       val top = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
       val merges = ws.map { case ((_, w), f) => f * occNonOverlap(w, top) }.sum
-      lang -> (top, merges)
+      lang -> (new String(Array(top._1, top._2), 0, 2), merges)
     }
     val got = SparkEntry.queries("q_token_bpe_apply")(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getLong(4))).toMap
