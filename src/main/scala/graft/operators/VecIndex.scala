@@ -226,6 +226,35 @@ object VecIndex {
     VectorOps.ivfRank(spark, batch, spark.table(s"${name}_cent"),
       spark.table(s"${name}_cell"), p, k)
 
+  /** Write the PQ artifact: `<name>_cb` (the trained s×c×cv codebook —
+    * 512 rows, one bucket) and `<name>_code` (vec_id, s, code — the 32x-
+    * compressed corpus, bucketed on vec_id for append guards). Training
+    * and encoding run ONCE here — at 100 TB the codes table IS the
+    * re-rank tier an ADC service loads, never a re-encode, and the raw
+    * float payload is not part of the artifact at all. */
+  def pqWrite(emb: DataFrame, name: String, buckets: Int = 4): Unit = {
+    val spark = emb.sparkSession
+    val sp = VectorOps.pqSubvectors(emb)
+    val cb = VectorOps.pqTrain(spark, sp).localCheckpoint()
+    try {
+      Sinks.writeBucketed(cb, 1, Seq("s"), s"${name}_cb")
+      Sinks.writeBucketed(
+        VectorOps.pqAssign(spark, sp, cb).select("vec_id", "s", "code"),
+        buckets, Seq("vec_id"), s"${name}_code")
+    } finally cb.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+  }
+
+  /** Probe the persisted PQ index with a query batch (vec_id, embedding):
+    * LUTs build against the read-back codebook, scoring runs over the
+    * read-back codes — [[VectorOps.pqRank]], the SAME core the in-memory
+    * q_vec_pq runs, so the round-trip is bit-identical by construction. */
+  def pqProbe(spark: SparkSession, name: String, batch: DataFrame,
+      k: Int = 5): DataFrame =
+    VectorOps.pqRank(spark, VectorOps.pqSubvectors(batch),
+      spark.table(s"${name}_cb"), spark.table(s"${name}_code"), k)
+
   /** One cycle of the streaming embedding-ingest loop — the ANN twin of
     * [[DedupIndex.ingestBatch]]: probe the persisted LSH index with the
     * micro-batch, REJECT vectors whose nearest indexed neighbor is

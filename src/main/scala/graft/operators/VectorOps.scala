@@ -954,7 +954,7 @@ object VectorOps {
     * s-indexed book keeps the lambda at 32 candidates, and the inner L2
     * is the graft_l2 primitive, not a zip_with fold that would allocate
     * and interpret per element inside the candidate lambda.) */
-  private def pqAssign(spark: SparkSession, sp: DataFrame,
+  private[operators] def pqAssign(spark: SparkSession, sp: DataFrame,
       cb: DataFrame): DataFrame = {
     graft.functions.VecExprs.registerL2(spark)
     val book = cb
@@ -974,41 +974,49 @@ object VectorOps {
         (-col("best.nc")).cast("int").as("code"), col("sv"))
   }
 
-  /** Spark side of the shared PQ pipeline: ADC top-5 per query vector
-    * (columns a_id, b_id, adcu, rk). */
-  private def pqTop5(spark: SparkSession, dir: String): DataFrame = {
-    val e = cleanEmbeddings(spark, dir)
-    // (vec_id, s, sv): the m=16 subvectors of every clean vector
-    val sp = e.select(col("vec_id"),
+  /** (vec_id, s, sv): the m=16 4-dim subvectors of every vector. */
+  private[operators] def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
         explode(expr("sequence(0, 15)")).as("s"), col("embedding"))
       .select(col("vec_id"), col("s").cast("int").as("s"),
         expr("slice(embedding, s * 4 + 1, 4)").as("sv"))
+
+  /** Trained (s, c, cv) codebook: seed on the 32 smallest vec_ids, one
+    * Lloyd iteration with exact 1e-9-unit means (the cellCentroids
+    * arithmetic) — a code that attracts no subvectors drops out of the
+    * trained book on both engines. The 4 positions aggregate as 4
+    * unit-sum columns in ONE (s, code) groupBy — no posexplode and no
+    * second exchange (the oracle's per-pos form computes the identical
+    * sums). */
+  private[operators] def pqTrain(spark: SparkSession,
+      sp: DataFrame): DataFrame = {
     val cb0 = sp.filter(col("vec_id") < 32)
       .select(col("vec_id").cast("int").as("c"), col("s"), col("sv").as("cv"))
-    // one Lloyd iteration: assign to the seeds, recompute codeword means
-    // in exact 1e-9 units (the cellCentroids arithmetic) — a code that
-    // attracts no subvectors drops out of the trained book on both
-    // engines. The 4 positions aggregate as 4 unit-sum columns in ONE
-    // (s, code) groupBy — no posexplode and no second exchange (the
-    // oracle's per-pos form computes the identical sums).
     def meanAt(i: Int) =
       (sum(round(element_at(col("sv"), i).cast("double") * 1000000000L)
         .cast("decimal(38,0)")).cast("double") / lit(1000000000.0)
         / count(lit(1))).as(s"m$i")
-    val cb = pqAssign(spark, sp, cb0)
+    pqAssign(spark, sp, cb0)
       .groupBy("s", "code")
       .agg(meanAt(1), meanAt(2), meanAt(3), meanAt(4))
       .select(col("s"), col("code").as("c"),
         array(col("m1"), col("m2"), col("m3"), col("m4")).as("cv"))
-      .persistScratch() // trained book: encode + LUT + the recall twin
-    val enc = pqAssign(spark, sp, cb).select("vec_id", "s", "code")
-      .persistScratch() // encoded corpus, shared with q_vec_recall_pq
-    // per-query LUT: 1e-6-unit subspace dot against every trained codeword.
-    // Renamed join keys: enc and lut share sp's lineage, so same-name
+  }
+
+  /** The PQ ADC core, parameterized over WHERE the artifact lives: build
+    * each query's 1e-6-unit LUT against `cb`, score `enc` by summed
+    * lookups, top-k per query. `qsp` is the query subvector batch; cb/enc
+    * are either the in-memory derivations ([[pqTop5]]) or the read-back
+    * persisted tables ([[VecIndex.pqProbe]]) — one code path, so index
+    * round-trips are bit-identical to the in-memory pipeline by
+    * construction. */
+  private[operators] def pqRank(spark: SparkSession, qsp: DataFrame,
+      cb: DataFrame, enc: DataFrame, k: Int = 5): DataFrame = {
+    // Renamed join keys: enc and lut may share lineage, so same-name
     // column refs would resolve to one attribute (trivially-true join).
     // The dot is a HOF fold, NOT graft_dot: cv is a DOUBLE array after
     // Lloyd and the codegen dot reads both inputs as float arrays.
-    val lut = sp.filter(col("vec_id") < 20)
+    val lut = qsp
       .join(broadcast(cb), "s")
       .select(col("vec_id").as("a_id"), col("s").as("ls"), col("c").as("lc"),
         (round(expr(
@@ -1022,8 +1030,19 @@ object VectorOps {
       .groupBy(col("a_id"), col("vec_id").as("b_id"))
       .agg(sum("lutu").as("adcu"))
       .withColumn("rk", row_number().over(topW))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= k)
       .select(col("a_id"), col("b_id"), col("adcu"), col("rk"))
+  }
+
+  /** Spark side of the shared PQ pipeline: ADC top-5 per query vector
+    * (columns a_id, b_id, adcu, rk). */
+  private def pqTop5(spark: SparkSession, dir: String): DataFrame = {
+    val sp = pqSubvectors(cleanEmbeddings(spark, dir))
+    val cb = pqTrain(spark, sp)
+      .persistScratch() // trained book: encode + LUT + the recall twin
+    val enc = pqAssign(spark, sp, cb).select("vec_id", "s", "code")
+      .persistScratch() // encoded corpus, shared with q_vec_recall_pq
+    pqRank(spark, sp.filter(col("vec_id") < 20), cb, enc)
   }
 
   /** Recall@5 of PQ ADC ranking vs brute-force ground truth — PQ's rung
@@ -1068,6 +1087,30 @@ object VectorOps {
       .agg(count(col("hit")).cast("int").as("n_hit"),
         round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
       .orderBy("a_id")
+  }
+
+  /** PERSISTED-PQ round-trip, graded end-to-end: identical oracle to
+    * [[qVecPq]], but the trained codebook and the encoded corpus are
+    * [[VecIndex.pqWrite]]'s bucketed parquet artifact, read BACK through
+    * the catalog before ADC scoring ([[VecIndex.pqProbe]] — the same
+    * pqRank core, so any loss in the write→read cycle of the double
+    * codebook arrays or the int codes breaks the cross-engine hash. The
+    * in-memory row grades the semantics; this row grades the
+    * PERSISTENCE — at 100 TB the 8-byte-per-vector codes table IS the
+    * serving artifact, loaded by every query node, never re-encoded. */
+  val qVecIndexPq = Q(
+    "q_vec_index_pq",
+    s"""$pqDuck
+       |SELECT a_id, b_id, round(adcu / 1000000.0, 6) AS adc, rk FROM pq5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    VecIndex.pqWrite(e, Scans.rtTable("pq_idx"))
+    VecIndex.pqProbe(spark, Scans.rtTable("pq_idx"),
+      e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")))
+      .select(col("a_id"), col("b_id"),
+        round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
+      .orderBy("a_id", "rk")
   }
 
   /** k×64 cell-centroid table (label, cv) from exact integer-unit sums
@@ -1836,7 +1879,7 @@ object VectorOps {
     qVecLshMulti, qVecIndexProbe, qVecIndexCompact, qVecIngest,
     qVecLshNearDup, qVecQuantize,
     qVecKmeans, qVecKmeansIter, qVecNcc, qVecIvfProbe2,
-    qVecIndexIvf,
+    qVecIndexIvf, qVecIndexPq,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,

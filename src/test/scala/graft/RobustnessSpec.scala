@@ -106,7 +106,7 @@ class RobustnessSpec extends SparkTestBase {
     "q_vec_recall_ivf", "q_vec_ivf_probe4", "q_vec_recall_ivf4", "q_vec_drift",
     "q_vec_covariance", "q_vec_pca_power", "q_dedup_semdedup",
     "q_vec_ingest", "q_vec_index_compact", "q_vec_ncc", "q_bitext_mine",
-    "q_vec_pq", "q_vec_recall_pq", "q_vec_kmeans_iter")
+    "q_vec_pq", "q_vec_recall_pq", "q_vec_kmeans_iter", "q_vec_index_pq")
 
   test("vector queries survive out-of-contract embeddings; the validator counts them") {
     // Zero vector, EMPTY array, ragged dim, Float.MaxValue junk, exact
@@ -167,7 +167,8 @@ class RobustnessSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_no_seed_vec").toString
     rows.write.parquet(s"$dir/embeddings.parquet")
     val queries = SparkEntry.queries
-    Seq("q_vec_pq", "q_vec_recall_pq", "q_vec_kmeans", "q_vec_kmeans_iter")
+    Seq("q_vec_pq", "q_vec_recall_pq", "q_vec_index_pq", "q_vec_kmeans",
+        "q_vec_kmeans_iter")
       .foreach { name =>
         try {
           val n = queries(name)(spk, dir).collect().length
