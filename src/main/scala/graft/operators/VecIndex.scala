@@ -255,6 +255,42 @@ object VecIndex {
     VectorOps.pqRank(spark, VectorOps.pqSubvectors(batch),
       spark.table(s"${name}_cb"), spark.table(s"${name}_code"), k)
 
+  /** Write the composed IVF-PQ artifact (the FAISS IVFPQ layout):
+    * `<name>_cent` — the coarse (label, cv) centroid table (k rows, the
+    * broadcast side of every probe); `<name>_cb` — the trained s×c×cv
+    * codebook (512 rows); `<name>_code` — (vec_id, label, s, code)
+    * BUCKETED ON THE CELL ID, so a probe's candidate restriction reads
+    * each probed cell's codes already clustered. Training and encoding
+    * run once here; the raw float payload is not part of the artifact —
+    * at 100 TB the 17-bytes-per-vector cell-clustered codes table IS the
+    * serving tier. */
+  def ivfpqWrite(emb: DataFrame, name: String, buckets: Int = 4): Unit = {
+    val spark = emb.sparkSession
+    Sinks.writeBucketed(VectorOps.cellCentroids(emb), 1, Seq("label"),
+      s"${name}_cent")
+    val sp = VectorOps.pqSubvectors(emb)
+    val cb = VectorOps.pqTrain(spark, sp).localCheckpoint()
+    try {
+      Sinks.writeBucketed(cb, 1, Seq("s"), s"${name}_cb")
+      Sinks.writeBucketed(
+        VectorOps.pqAssign(spark, sp, cb).select("vec_id", "s", "code")
+          .join(emb.select("vec_id", "label"), "vec_id"),
+        buckets, Seq("label"), s"${name}_code")
+    } finally cb.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+  }
+
+  /** Probe the persisted IVF-PQ index with a query batch (vec_id,
+    * embedding): coarse cell rank against the read-back centroids, ADC
+    * over the probed cells' read-back codes — [[VectorOps.ivfpqRank]],
+    * the SAME core the in-memory q_vec_ivfpq runs, so the round-trip is
+    * bit-identical by construction. */
+  def ivfpqProbe(spark: SparkSession, name: String, batch: DataFrame,
+      p: Int = 2, k: Int = 5): DataFrame =
+    VectorOps.ivfpqRank(spark, batch, spark.table(s"${name}_cent"),
+      spark.table(s"${name}_cb"), spark.table(s"${name}_code"), p, k)
+
   /** One cycle of the streaming embedding-ingest loop — the ANN twin of
     * [[DedupIndex.ingestBatch]]: probe the persisted LSH index with the
     * micro-batch, REJECT vectors whose nearest indexed neighbor is

@@ -874,8 +874,11 @@ object VectorOps {
   // iteration (assign, integer-unit means) -> L2 encode -> per-query LUT
   // -> integer-unit ADC -> top-5 (pq5), used by the graded ranking row
   // and its recall monitor.
-  private val pqDuck =
-    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+  // CTE body WITHOUT the leading WITH, through the per-query LUT — the
+  // shared prefix of the flat-PQ queries (pqDuck) and the composed IVF-PQ
+  // family (ivfpqDuck), so the two can never disagree on training/encode.
+  private val pqCtes =
+    s"""emb AS (SELECT * FROM embeddings WHERE $sqlClean),
        |sp AS (
        |  SELECT vec_id, CAST(t.s AS INT) AS s,
        |    embedding[t.s * 4 + 1 : t.s * 4 + 4] AS sv
@@ -914,7 +917,10 @@ object VectorOps {
        |      x -> CAST(x[1] AS DOUBLE) * x[2])) * 1000000)
        |      AS BIGINT) AS lutu
        |  FROM sp q JOIN cb USING (s)
-       |  WHERE q.vec_id < 20),
+       |  WHERE q.vec_id < 20)""".stripMargin
+
+  private val pqDuck =
+    s"""WITH $pqCtes,
        |adc AS (
        |  SELECT l.a_id, e.vec_id AS b_id, SUM(l.lutu) AS adcu
        |  FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.code
@@ -957,17 +963,21 @@ object VectorOps {
   private[operators] def pqAssign(spark: SparkSession, sp: DataFrame,
       cb: DataFrame): DataFrame = {
     graft.functions.VecExprs.registerL2(spark)
+    // The book is a MAP keyed by subspace id, not a positional array: a
+    // codebook artifact read back with a subspace missing (or out of
+    // order) must miss its key — a positional array would silently shift
+    // every later subspace onto the wrong codewords (misaligned codes).
     val book = cb
       .groupBy("s").agg(collect_list(struct(col("c"), col("cv"))).as("cands"))
-      .agg(expr("transform(array_sort(collect_list(struct(s, cands))), x -> x.cands)")
+      .agg(map_from_entries(collect_list(struct(col("s"), col("cands"))))
         .as("book"))
     // try_element_at: an EMPTY codebook (no clean seed vectors) makes the
-    // book one empty array — plain element_at would throw under ANSI on
+    // book an empty map — plain element_at would throw under ANSI on
     // the first corpus row, where the oracle's CTEs just go empty. The
     // null best degrades to a null code, dropped by every downstream join.
     sp.crossJoin(broadcast(book))
       .select(col("vec_id"), col("s"), col("sv"), expr(
-        """array_max(transform(try_element_at(book, s + 1), b -> struct(
+        """array_max(transform(try_element_at(book, s), b -> struct(
           |  -round(graft_l2(sv, b.cv), 6) AS nl2,
           |  -b.c AS nc)))""".stripMargin).as("best"))
       .select(col("vec_id"), col("s"),
@@ -1010,19 +1020,24 @@ object VectorOps {
     * persisted tables ([[VecIndex.pqProbe]]) — one code path, so index
     * round-trips are bit-identical to the in-memory pipeline by
     * construction. */
-  private[operators] def pqRank(spark: SparkSession, qsp: DataFrame,
-      cb: DataFrame, enc: DataFrame, k: Int = 5): DataFrame = {
-    // Renamed join keys: enc and lut may share lineage, so same-name
-    // column refs would resolve to one attribute (trivially-true join).
-    // The dot is a HOF fold, NOT graft_dot: cv is a DOUBLE array after
-    // Lloyd and the codegen dot reads both inputs as float arrays.
-    val lut = qsp
+  /** The query batch's 1e-6-unit ADC lookup table against codebook `cb`:
+    * one row per (query, subspace, codeword) — (a_id, ls, lc, lutu).
+    * Renamed join keys: enc and lut may share lineage, so same-name
+    * column refs would resolve to one attribute (trivially-true join).
+    * The dot is a HOF fold, NOT graft_dot: cv is a DOUBLE array after
+    * Lloyd and the codegen dot reads both inputs as float arrays. */
+  private def pqLut(qsp: DataFrame, cb: DataFrame): DataFrame =
+    qsp
       .join(broadcast(cb), "s")
       .select(col("vec_id").as("a_id"), col("s").as("ls"), col("c").as("lc"),
         (round(expr(
           """aggregate(zip_with(sv, cv, (x, y) -> CAST(x AS DOUBLE) * y),
             |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
           * 1000000)).cast("bigint").as("lutu"))
+
+  private[operators] def pqRank(spark: SparkSession, qsp: DataFrame,
+      cb: DataFrame, enc: DataFrame, k: Int = 5): DataFrame = {
+    val lut = pqLut(qsp, cb)
     val topW = Window.partitionBy("a_id").orderBy(desc("adcu"), asc("b_id"))
     enc.join(broadcast(lut),
         col("ls") === col("s") && col("lc") === col("code") &&
@@ -1111,6 +1126,189 @@ object VectorOps {
       .select(col("a_id"), col("b_id"),
         round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
       .orderBy("a_id", "rk")
+  }
+
+  // ---- composed IVF-PQ (the FAISS IVFPQ / ScaNN production shape) --------
+  // Jégou, Douze & Schmid, TPAMI 2011 §V: a coarse quantizer restricts the
+  // search to the query's p nearest cells, and ADC over the in-cell PQ
+  // codes ranks the survivors — the memory×recall operating point neither
+  // index achieves alone (IVF prunes candidates but stores raw floats; PQ
+  // compresses 32× but scans every code). Here the coarse cells are the
+  // label centroids (the IVF family's cells) and the fine stage is the
+  // 16×32 codebook the flat-PQ family trains — both stages reuse their
+  // standalone derivations, so the composition cannot drift from its parts.
+
+  /** Shared IVF-PQ CTE suffix over [[pqCtes]]: exact-unit cell centroids →
+    * 2-nearest-cell probes (panel vec_id < 20, the PQ discipline) → ADC
+    * restricted to probed cells → top-5 (ipq5). */
+  private val ivfpqDuck =
+    s"""WITH $pqCtes,
+       |cent AS (
+       |  SELECT label, i - 1 AS pos,
+       |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
+       |      / 1000000000.0 / COUNT(*) AS c
+       |  FROM emb, range(1, 65) t(i)
+       |  GROUP BY label, pos),
+       |cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+       |probes AS (
+       |  SELECT vec_id AS a_id, label FROM (
+       |    SELECT q.vec_id, cvec.label,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(q.embedding, cvec.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC, cvec.label) AS INT) AS crk
+       |    FROM (SELECT vec_id, embedding FROM emb WHERE vec_id < 20) q, cvec)
+       |  WHERE crk <= 2),
+       |adcp AS (
+       |  SELECT l.a_id, e.vec_id AS b_id, SUM(l.lutu) AS adcu
+       |  FROM enc e
+       |  JOIN emb be ON be.vec_id = e.vec_id
+       |  JOIN probes p ON p.label = be.label
+       |  JOIN lut l ON l.a_id = p.a_id AND l.s = e.s AND l.c = e.code
+       |  WHERE e.vec_id <> l.a_id
+       |  GROUP BY 1, 2),
+       |ipq5 AS (
+       |  SELECT a_id, b_id, adcu, rk FROM (
+       |    SELECT a_id, b_id, adcu,
+       |      CAST(row_number() OVER (PARTITION BY a_id
+       |        ORDER BY adcu DESC, b_id) AS INT) AS rk
+       |    FROM adcp)
+       |  WHERE rk <= 5)""".stripMargin
+
+  /** The IVF-PQ probe core, parameterized over WHERE the artifact lives:
+    * rank the centroid table (broadcast, k rows) to each query's p nearest
+    * cells, then ADC-score ONLY the codes of vectors in those cells —
+    * `enc` must carry (vec_id, label, s, code). cvec/cb/enc are either the
+    * in-memory derivations ([[ivfpqTop5]]) or the read-back persisted
+    * tables ([[VecIndex.ivfpqProbe]]) — one code path, so index
+    * round-trips are bit-identical to the in-memory pipeline.
+    *
+    * Scale shape: the corpus-sized codes frame never shuffles before the
+    * final (a_id, b_id) rollup — the (query, cell) probe list and the LUT
+    * are both broadcast (batch×p and batch×16×32 rows), so candidate
+    * restriction and scoring are map-side over the cell-bucketed codes
+    * table, and the only exchange is the integer-unit ADC sum. */
+  private[operators] def ivfpqRank(spark: SparkSession, batch: DataFrame,
+      cvec: DataFrame, cb: DataFrame, enc: DataFrame,
+      p: Int = 2, k: Int = 5): DataFrame = {
+    val crkW = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("label"))
+    val probes = batch.crossJoin(broadcast(cvec))
+      .select(col("vec_id"), col("label"),
+        round(expr(
+          """aggregate(zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) * y),
+            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6).as("csim"))
+      .withColumn("crk", row_number().over(crkW))
+      .filter(col("crk") <= p)
+      .select(col("vec_id").as("a_id"), col("label"))
+    val lut = pqLut(pqSubvectors(batch), cb).withColumnRenamed("a_id", "la")
+    val topW = Window.partitionBy("a_id").orderBy(desc("adcu"), asc("b_id"))
+    enc.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("a_id"))
+      .join(broadcast(lut),
+        col("a_id") === col("la") && col("ls") === col("s") &&
+          col("lc") === col("code"))
+      .groupBy(col("a_id"), col("vec_id").as("b_id"))
+      .agg(sum("lutu").as("adcu"))
+      .withColumn("rk", row_number().over(topW))
+      .filter(col("rk") <= k)
+      .select(col("a_id"), col("b_id"), col("adcu"), col("rk"))
+  }
+
+  /** Spark side of the shared IVF-PQ pipeline: ADC top-5 per query vector
+    * over its 2 probed cells (columns a_id, b_id, adcu, rk). */
+  private def ivfpqTop5(spark: SparkSession, dir: String): DataFrame = {
+    val e = cleanEmbeddings(spark, dir)
+    val sp = pqSubvectors(e)
+    val cb = pqTrain(spark, sp)
+      .persistScratch() // trained book: encode + LUT + the recall twin
+    val enc = pqAssign(spark, sp, cb).select("vec_id", "s", "code")
+      .join(e.select("vec_id", "label"), "vec_id")
+      .persistScratch() // cell-tagged codes, shared with q_vec_recall_ivfpq
+    ivfpqRank(spark, e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")),
+      cellCentroids(e), cb, enc)
+  }
+
+  /** Composed IVF-PQ ANN, graded: coarse cell probe (2 nearest label
+    * centroids per query) + ADC over the probed cells' PQ codes. The
+    * recall rung is `q_vec_recall_ivfpq`; the persisted round-trip is
+    * `q_vec_index_ivfpq`. */
+  val qVecIvfPq = Q(
+    "q_vec_ivfpq",
+    s"""$ivfpqDuck
+       |SELECT a_id, b_id, round(adcu / 1000000.0, 6) AS adc, rk FROM ipq5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfpqTop5(spark, dir)
+      .select(col("a_id"), col("b_id"),
+        round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
+      .orderBy("a_id", "rk")
+  }
+
+  /** Persisted IVF-PQ index ROUND-TRIP, graded end-to-end: identical
+    * oracle to [[qVecIvfPq]], but the centroid table, codebook, and
+    * cell-bucketed codes are [[VecIndex.ivfpqWrite]]'s parquet artifact,
+    * read back through the catalog before probing
+    * ([[VecIndex.ivfpqProbe]] — the same ivfpqRank core). At 100 TB this
+    * 3-table artifact IS the serving index (FAISS IVFPQ's layout): 17
+    * bytes/vector of codes clustered by cell, a k×64 centroid table, and
+    * a 512-row codebook — the raw floats are not part of it at all. */
+  val qVecIndexIvfPq = Q(
+    "q_vec_index_ivfpq",
+    s"""$ivfpqDuck
+       |SELECT a_id, b_id, round(adcu / 1000000.0, 6) AS adc, rk FROM ipq5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    VecIndex.ivfpqWrite(e, Scans.rtTable("ivfpq_idx"))
+    VecIndex.ivfpqProbe(spark, Scans.rtTable("ivfpq_idx"),
+      e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")))
+      .select(col("a_id"), col("b_id"),
+        round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
+      .orderBy("a_id", "rk")
+  }
+
+  /** Recall@5 of IVF-PQ vs brute-force ground truth — the composed
+    * index's rung on the ANN quality ladder. Its error is the SUM of its
+    * parents' (cell pruning from IVF, quantization from PQ), so reading
+    * this row against q_vec_recall_ivf and q_vec_recall_pq is how an
+    * operator prices the composition's memory win. */
+  val qVecRecallIvfPq = Q(
+    "q_vec_recall_ivfpq",
+    s"""$ivfpqDuck,
+       |truth AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
+       |    FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 20)
+       |  WHERE rk <= 5)
+       |SELECT tr.a_id,
+       |  CAST(COUNT(p.b_id) AS INT) AS n_hit,
+       |  round(COUNT(p.b_id) / 5.0, 6) AS recall_at_5
+       |FROM truth tr LEFT JOIN ipq5 p
+       |  ON tr.a_id = p.a_id AND tr.b_id = p.b_id
+       |GROUP BY tr.a_id
+       |ORDER BY tr.a_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    val truth = q.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("a_id", "b_id")
+    truth.join(ivfpqTop5(spark, dir).select("a_id", "b_id")
+        .withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg(count(col("hit")).cast("int").as("n_hit"),
+        round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
+      .orderBy("a_id")
   }
 
   /** k×64 cell-centroid table (label, cv) from exact integer-unit sums
@@ -1880,6 +2078,7 @@ object VectorOps {
     qVecLshNearDup, qVecQuantize,
     qVecKmeans, qVecKmeansIter, qVecNcc, qVecIvfProbe2,
     qVecIndexIvf, qVecIndexPq,
+    qVecIvfPq, qVecIndexIvfPq, qVecRecallIvfPq,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,
