@@ -94,6 +94,11 @@ object Scans {
     * unique component so two concurrent executions on one host (parallel
     * test suites, two bench processes) never delete each other's in-use
     * data — reuse stays within one JVM, isolation holds across JVMs. */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   private lazy val rtSession: String = {
     val id = java.util.UUID.randomUUID().toString.take(8)
     // the per-JVM scratch root would otherwise leak one full round-trip
@@ -102,12 +107,25 @@ object Scans {
     // takes it, and no other process ever reuses the unique name)
     val root = java.nio.file.Paths
       .get(sys.props("java.io.tmpdir"), s"graft_rt_$id").toFile
+    // saveAsTable artifacts land in the SHARED warehouse dir (default
+    // location: <cwd>/spark-warehouse), which no tmp reaper owns — the
+    // ~10 per-run bucketed index tables would accumulate forever. Two
+    // sweeps: on exit, this process's own `graft_rt_<id>_*` tables; on
+    // startup, any `graft_rt_*` dir untouched for >1 day (a kill -9'd
+    // predecessor — its unique id is never reused, and nothing alive
+    // goes a day without touching its tables within one bench/test run).
+    val warehouse = java.nio.file.Paths
+      .get(sys.props("user.dir"), "spark-warehouse").toFile
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(warehouse.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft_rt_") && f.lastModified() < cutoff)
+        rmTree(f)
+    })
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root)
+      rmTree(root)
+      Option(warehouse.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith(s"graft_rt_${id}_")) rmTree(f)
+      })
     }))
     id
   }

@@ -713,6 +713,114 @@ object TextExtras {
       .orderBy("lang")
   }
 
+  /** Number of merge rounds the BPE trainer runs, and the fresh one-
+    * code-point symbol each round's winning pair merges into: Unicode
+    * private-use U+E000+i. The dictionary EXCLUDES words already
+    * containing a reserved code point (none exist in real corpora; the
+    * filter makes the rule explicit and identical cross-engine), so a
+    * merged symbol can only ever originate from its own round's replace
+    * — the rewrite is invertible and distinct words stay distinct. */
+  private val BpeMerges = 4
+  private val bpeReserved = "[-]"
+
+  /** Multi-merge BPE TRAINER (Sennrich et al. 2016, the full loop):
+    * [[qTokenPairMerge]]'s count and [[qTokenBpeApply]]'s apply iterated
+    * k = 4 times per language over the SHRINKING dictionary. Each round
+    * counts adjacent-symbol pairs over the current dictionary, merges
+    * the per-language winner (cnt DESC, pair ASC by code point — the
+    * same total order both engines use) into a fresh private-use symbol
+    * via left-to-right non-overlapping replace, and emits the merge
+    * table row: the winning pair (which from round 2 can itself contain
+    * earlier merge symbols), the exact merge count (freq-weighted length
+    * shrink — each merge removes exactly one code point), and the
+    * average tokens-per-word trajectory (a word's token count IS its
+    * code-point length, since every symbol is one code point).
+    * InvariantSpec asserts the trajectory is non-increasing per round.
+    *
+    * Scale: each round's cost is dictionary mass, not corpus mass — the
+    * corpus is scanned ONCE into the (lang, word, freq) dictionary and
+    * never again (the real BPE trainer discipline); the per-round pair
+    * aggregate collapses map-side into the ≤ symbols² key space and the
+    * one-row-per-language winner broadcasts back. The k-round loop is k
+    * dictionary-linear passes with no corpus re-shuffle. */
+  val qTokenBpeTrain = Q(
+    "q_token_bpe_train", {
+      val d0 =
+        s"""d0 AS (
+           |  SELECT lang, t AS w, COUNT(*) AS freq
+           |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+           |  WHERE len(t) >= 2 AND NOT regexp_matches(t, '$bpeReserved')
+           |  GROUP BY 1, 2)""".stripMargin
+      val iters = (1 to BpeMerges).map { i =>
+        val prev = s"d${i - 1}"
+        val code = 0xE000 + (i - 1)
+        s"""p$i AS (
+           |  SELECT lang, substr(w, CAST(i AS INT), 2) AS pair,
+           |    CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT lang, w, freq,
+           |          unnest(generate_series(1, len(w) - 1)) AS i
+           |        FROM $prev WHERE len(w) >= 2)
+           |  GROUP BY 1, 2),
+           |t$i AS (
+           |  SELECT lang, pair FROM (
+           |    SELECT lang, pair,
+           |      CAST(row_number() OVER (PARTITION BY lang
+           |        ORDER BY cnt DESC, pair) AS INT) AS rnk
+           |    FROM p$i) WHERE rnk = 1),
+           |a$i AS (
+           |  SELECT d.lang, t.pair, d.freq, len(d.w) AS lw,
+           |    replace(d.w, t.pair, chr($code)) AS w2
+           |  FROM $prev d JOIN t$i t USING (lang)),
+           |s$i AS (
+           |  SELECT lang, pair, CAST($i AS INT) AS it,
+           |    CAST(SUM(freq * (lw - len(w2))) AS BIGINT) AS n_merges,
+           |    round(SUM(freq * len(w2)) * 1.0 / SUM(freq), 6) AS avg_tok
+           |  FROM a$i GROUP BY 1, 2),
+           |d$i AS (SELECT lang, w2 AS w, freq FROM a$i)""".stripMargin
+      }
+      (d0 +: iters).mkString("WITH ", ",\n", "\n") +
+        s"""SELECT lang, it, pair, n_merges, avg_tok
+           |FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM s$i")
+                     .mkString(" UNION ALL ")})
+           |ORDER BY lang, it""".stripMargin
+    }
+  ) { (spark, dir) =>
+    var dict = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").rlike(bpeReserved))
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+      .persistScratch() // round 1 reads it twice (pair count + apply)
+    val rw = Window.partitionBy("lang").orderBy(desc("cnt"), asc("pair"))
+    val outs = (1 to BpeMerges).map { i =>
+      val sym = (0xE000 + (i - 1)).toChar.toString
+      val pairs = dict.filter(length(col("w")) >= 2)
+        .select(col("lang"), col("w"), col("freq"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("lang"), expr("substring(w, i, 2)").as("pair"), col("freq"))
+        .groupBy("lang", "pair").agg(sum("freq").as("cnt"))
+      val top1 = pairs.withColumn("rn", row_number().over(rw))
+        .filter(col("rn") === 1).select(col("lang"), col("pair"))
+      val applied = dict.join(broadcast(top1), "lang")
+        .select(col("lang"), col("pair"), col("freq"),
+          length(col("w")).cast("long").as("lw"),
+          expr(s"replace(w, pair, '$sym')").as("w2"))
+      val stat = applied
+        .groupBy("lang", "pair")
+        .agg(sum(col("freq") * (col("lw") - length(col("w2")).cast("long")))
+            .cast("bigint").as("n_merges"),
+          round(sum(col("freq") * length(col("w2")).cast("long")).cast("double")
+            / sum("freq").cast("double"), 6).as("avg_tok"))
+        .withColumn("it", lit(i))
+      dict = applied.select(col("lang"), col("w2").as("w"), col("freq"))
+        .persistScratch() // next round reads it twice
+      stat
+    }
+    outs.reduce(_ unionByName _)
+      .select(col("lang"), col("it"), col("pair"), col("n_merges"),
+        col("avg_tok"))
+      .orderBy("lang", "it")
+  }
+
   /** Tokenizer FERTILITY per language — subword tokens emitted per
     * whitespace word, the standard tokenizer-evaluation metric (a
     * fertility far above ~1.3 for a language means the vocabulary
@@ -1055,6 +1163,247 @@ object TextExtras {
       .orderBy("lang", "source")
   }
 
+  /** END-TO-END curation pipeline, graded as ONE composition: Gopher
+    * quality funnel ([[qDocQualityFunnel]]'s 5 keep-rules) → exact dedup
+    * (min doc_id per sha-256) → near-dup keep-best (3-gram-shingle
+    * Jaccard ≥ 1/2 over the SURVIVING corpus, df-capped per
+    * [[shingleDfCap]]; a doc is dropped iff some verified near-dup
+    * neighbor beats it on (n_chars DESC, doc_id ASC)) → decontaminate
+    * (drop the src0 eval split, then any doc sharing a 5-gram with it —
+    * the eval shingle set comes from the ORIGINAL corpus: benchmarks are
+    * external to the filter chain) → largest-remainder million-token mix
+    * budget over the survivors → greedy 2048-token packing. The output
+    * row per language carries each stage's survivor count plus the final
+    * token mass, budget allocation, and packed-bin count, so a stage
+    * consuming its predecessor's EXCLUDED rows — the one bug class the
+    * per-stage rows (q_doc_quality_funnel, q_pipeline_filter,
+    * q_dedup_ngram, q_decontaminate, q_doc_mix_budget, q_doc_pack)
+    * cannot see — breaks the cross-engine hash.
+    *
+    * Scale: the corpus is scanned once into the tokenized frame; every
+    * stage is the same shape its standalone row ships (inverted-index
+    * shingle joins keyed on the high-cardinality shingle, hash-groupBy
+    * dedup, per-lang windows on the lang partitioning); each stage's
+    * survivor frame persists because two branches read it (the next
+    * stage and its count). */
+  val qPipelineE2e = Q(
+    "q_pipeline_e2e",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, n_chars, text,
+       |    string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' ')) AS nw
+       |  FROM documents),
+       |base AS (SELECT t.*,
+       |    len(list_filter(ws, x -> x IN ($stopsSql))) AS nstop,
+       |    len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha
+       |  FROM t),
+       |topw AS (SELECT doc_id, MAX(c) AS topc FROM (
+       |    SELECT doc_id, w, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |s1 AS (SELECT b.doc_id, b.lang, b.source, b.n_chars, b.text, b.ws, b.nw
+       |  FROM base b JOIN topw w ON b.doc_id = w.doc_id
+       |  WHERE b.nw BETWEEN 50 AND 100000
+       |    AND b.n_chars - (b.nw - 1) BETWEEN 3 * b.nw AND 10 * b.nw
+       |    AND b.nstop >= 2 AND 5 * w.topc <= b.nw
+       |    AND 5 * b.nalpha >= 4 * b.nw),
+       |s2 AS (SELECT s.* FROM s1 s JOIN (
+       |    SELECT min(doc_id) AS doc_id FROM s1 GROUP BY sha256(text)) k
+       |  ON s.doc_id = k.doc_id),
+       |sh3 AS (SELECT doc_id, lang,
+       |    unnest(list_distinct(list_transform(range(1, CAST(nw AS INT) - 1),
+       |      i -> array_to_string(ws[i:i+2], ' ')))) AS s
+       |  FROM s2),
+       |hot AS (SELECT lang, s FROM sh3 GROUP BY lang, s
+       |        HAVING COUNT(*) > $shingleDfCap),
+       |keep3 AS (SELECT i.doc_id, i.lang, i.s FROM sh3 i
+       |  ANTI JOIN hot h ON i.lang = h.lang AND i.s = h.s),
+       |sz3 AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS sz
+       |        FROM keep3 GROUP BY doc_id),
+       |nd AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(COUNT(*) AS INT) AS inter
+       |  FROM keep3 a JOIN keep3 b
+       |    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS (SELECT a_id, b_id FROM nd
+       |  JOIN sz3 sa ON sa.doc_id = a_id JOIN sz3 sb ON sb.doc_id = b_id
+       |  WHERE 3 * inter >= sa.sz + sb.sz),
+       |lose AS (SELECT CASE WHEN da.n_chars > db.n_chars
+       |      OR (da.n_chars = db.n_chars AND da.doc_id < db.doc_id)
+       |    THEN b_id ELSE a_id END AS doc_id
+       |  FROM prs JOIN s2 da ON da.doc_id = a_id JOIN s2 db ON db.doc_id = b_id),
+       |s3 AS (SELECT * FROM s2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM lose)),
+       |eval5 AS (SELECT DISTINCT
+       |    unnest(list_transform(range(1, CAST(nw AS INT) - 3),
+       |      i -> array_to_string(ws[i:i+4], ' '))) AS s
+       |  FROM t WHERE source = 'src0'),
+       |contam AS (SELECT DISTINCT d.doc_id
+       |  FROM (SELECT doc_id,
+       |      unnest(list_distinct(list_transform(range(1, CAST(nw AS INT) - 3),
+       |        i -> array_to_string(ws[i:i+4], ' ')))) AS s
+       |    FROM s3 WHERE source <> 'src0') d
+       |  JOIN eval5 e USING (s)),
+       |s4 AS (SELECT * FROM s3 WHERE source <> 'src0'
+       |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |tok AS (SELECT lang, CAST(SUM(nw) AS BIGINT) AS toks
+       |        FROM s4 GROUP BY lang),
+       |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM tok),
+       |alc AS (
+       |  SELECT lang, CAST(floor_alloc
+       |      + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |  FROM (SELECT lang, floor_alloc,
+       |      CAST(row_number() OVER (ORDER BY rem DESC, lang) AS INT) AS rk,
+       |      CAST(1000000 - SUM(floor_alloc) OVER () AS BIGINT) AS leftover
+       |    FROM (SELECT lang, toks,
+       |        CAST((toks * 1000000) // total AS BIGINT) AS floor_alloc,
+       |        CAST((toks * 1000000) % total AS BIGINT) AS rem
+       |      FROM tok, tot))),
+       |packed AS (
+       |  SELECT lang, CAST(COUNT(DISTINCT cum // 2048) AS INT) AS n_bins
+       |  FROM (SELECT lang,
+       |      CAST(coalesce(SUM(nw) OVER (PARTITION BY lang ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |        AS cum
+       |    FROM s4) GROUP BY lang),
+       |c1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_funnel
+       |       FROM s1 GROUP BY lang),
+       |c2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |       FROM s2 GROUP BY lang),
+       |c3 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_neardup
+       |       FROM s3 GROUP BY lang),
+       |c4 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_clean
+       |       FROM s4 GROUP BY lang)
+       |SELECT c1.lang, c1.n_funnel,
+       |  CAST(coalesce(c2.n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(c3.n_neardup, 0) AS BIGINT) AS n_neardup,
+       |  CAST(coalesce(c4.n_clean, 0) AS BIGINT) AS n_clean,
+       |  CAST(coalesce(tok.toks, 0) AS BIGINT) AS toks,
+       |  CAST(coalesce(alc.alloc, 0) AS BIGINT) AS alloc,
+       |  CAST(coalesce(packed.n_bins, 0) AS INT) AS n_bins
+       |FROM c1 LEFT JOIN c2 USING (lang) LEFT JOIN c3 USING (lang)
+       |  LEFT JOIN c4 USING (lang) LEFT JOIN tok USING (lang)
+       |  LEFT JOIN alc USING (lang) LEFT JOIN packed USING (lang)
+       |ORDER BY c1.lang""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tkC = split(col("text"), " ")
+    val t = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), col("text"), tkC.as("ws"),
+      size(tkC).cast("bigint").as("nw"))
+    val base = t
+      .withColumn("nstop",
+        size(filter(col("ws"), x => x.isin(stops: _*))).cast("bigint"))
+      .withColumn("nalpha",
+        size(filter(col("ws"), x => x.rlike("[a-zA-Z]"))).cast("bigint"))
+    val topw = t.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("topc"))
+    val s1 = base.join(topw, Seq("doc_id"))
+      .filter(col("nw").between(50, 100000) &&
+        (col("n_chars") - (col("nw") - 1) >= lit(3) * col("nw")) &&
+        (col("n_chars") - (col("nw") - 1) <= lit(10) * col("nw")) &&
+        col("nstop") >= 2 &&
+        lit(5) * col("topc") <= col("nw") &&
+        lit(5) * col("nalpha") >= lit(4) * col("nw"))
+      .select("doc_id", "lang", "source", "n_chars", "text", "ws", "nw")
+      .persistScratch() // exact-dedup key groupBy + semi-join + c1
+    val s2 = s1.join(
+        s1.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .persistScratch() // shingle pass + keep-best lookups + c2
+    val w3 = Window.partitionBy("doc_id").orderBy("p")
+    val inc = s2
+      .select(col("doc_id"), col("lang"), posexplode(col("ws")).as(Seq("p", "t")))
+      .withColumn("t1", lead("t", 1).over(w3))
+      .withColumn("t2", lead("t", 2).over(w3))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
+      .dropDuplicates("doc_id", "s")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "s")))
+      .filter(col("df") <= shingleDfCap)
+      .drop("df")
+      .persistScratch() // both self-join sides + the size aggregate
+    val sz = inc.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
+    val inter = inc.select(col("doc_id").as("a_id"), col("lang"), col("s"))
+      .join(inc.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("s").as("b_s")),
+        col("lang") === col("b_lang") && col("s") === col("b_s") &&
+          col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).cast("int").as("inter"))
+    val prs = inter
+      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .filter(col("inter") * 3 >= col("a_sz") + col("b_sz"))
+      .select("a_id", "b_id")
+    val lose = prs
+      .join(s2.select(col("doc_id").as("a_id"), col("n_chars").as("a_ch")), "a_id")
+      .join(s2.select(col("doc_id").as("b_id"), col("n_chars").as("b_ch")), "b_id")
+      .select(when(col("a_ch") > col("b_ch") ||
+          (col("a_ch") === col("b_ch") && col("a_id") < col("b_id")),
+          col("b_id")).otherwise(col("a_id")).as("doc_id"))
+      .distinct()
+    val s3 = s2.join(lose, Seq("doc_id"), "left_anti")
+      .persistScratch() // 5-gram pass + c3
+    val w5 = Window.partitionBy("doc_id").orderBy("p")
+    def gram5(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("t1", lead("t", 1).over(w5))
+      .withColumn("t2", lead("t", 2).over(w5))
+      .withColumn("t3", lead("t", 3).over(w5))
+      .withColumn("t4", lead("t", 4).over(w5))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3"), col("t4"))
+          .as("s"))
+    val eval5 = gram5(t.filter(col("source") === "src0")
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "t"))))
+      .select("s").distinct()
+    val contam = gram5(s3.filter(col("source") =!= "src0")
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "t"))))
+      .dropDuplicates("doc_id", "s")
+      .join(eval5, "s")
+      .select("doc_id").distinct()
+    val s4 = s3.filter(col("source") =!= "src0")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .persistScratch() // tok + pack + c4
+    val tok = s4.groupBy("lang").agg(sum("nw").as("toks"))
+    val wr = Window.orderBy(desc("rem"), asc("lang"))
+    val wAll = Window.partitionBy(lit(1))
+    val alc = tok.crossJoin(tok.agg(sum("toks").as("total")))
+      .select(col("lang"),
+        expr("(toks * 1000000) div total").as("floor_alloc"),
+        expr("(toks * 1000000) % total").as("rem"))
+      .select(col("lang"), col("floor_alloc"),
+        row_number().over(wr).as("rk"),
+        (lit(1000000L) - sum("floor_alloc").over(wAll)).as("leftover"))
+      .select(col("lang"),
+        (col("floor_alloc") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+    val wp = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = s4.select(col("lang"), col("doc_id"), col("nw"))
+      .withColumn("cum", coalesce(sum("nw").over(wp), lit(0L)))
+      .select(col("lang"), expr("cum div 2048").as("bin"))
+      .groupBy("lang").agg(countDistinct("bin").cast("int").as("n_bins"))
+    val c1 = s1.groupBy("lang").agg(count(lit(1)).as("n_funnel"))
+    val c2 = s2.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    val c3 = s3.groupBy("lang").agg(count(lit(1)).as("n_neardup"))
+    val c4 = s4.groupBy("lang").agg(count(lit(1)).as("n_clean"))
+    c1.join(c2, Seq("lang"), "left").join(c3, Seq("lang"), "left")
+      .join(c4, Seq("lang"), "left").join(tok, Seq("lang"), "left")
+      .join(alc, Seq("lang"), "left").join(packed, Seq("lang"), "left")
+      .select(col("lang"), col("n_funnel"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("alloc"), lit(0L)).as("alloc"),
+        coalesce(col("n_bins"), lit(0)).cast("int").as("n_bins"))
+      .orderBy("lang")
+  }
+
 
   /** Boolean keyword retrieval: rank documents by how many of the query
     * terms they contain (conjunctive-ish OR retrieval with a match-count
@@ -1338,11 +1687,12 @@ object TextExtras {
   def all: Seq[Q] = Seq(qTextQuality, qLangId, qTextFingerprint,
     qDedupNgram, qDedupContainment, qDedupWinnow, qDedupSubstring,
     qDedupSubstringMass, qDedupSubstringInc,
-    qTokenBpe, qTokenPairMerge, qTokenBpeApply,
+    qTokenBpe, qTokenPairMerge, qTokenBpeApply, qTokenBpeTrain,
     qTokenFertility,
     qMultimodalMeta,
     qMultimodalFrames, qTextCooccur, qTextTfidf, qDocTopkQuality,
-    qDocQualityFunnel, qPipelineFilter, qTextSearch, qTextBm25, qTextPhrase,
+    qDocQualityFunnel, qPipelineFilter, qPipelineE2e,
+    qTextSearch, qTextBm25, qTextPhrase,
     qMultimodalResize,
     qDecontaminate, qTextRepetition)
 }

@@ -153,6 +153,14 @@ object Sinks {
   def upsertBatch(batch: DataFrame, path: String, keyCol: String,
       seqCol: String): Unit = {
     val spark = batch.sparkSession
+    // A crashed FIRST publish over a legacy (pointerless) layout leaves
+    // fully-staged orphan `data-*` dirs in the root; the legacy-base read
+    // below reads the whole root and would sweep them into the table
+    // (conflicting-structure failure or duplicate keys after the merge).
+    // Nothing under data-* on a pointerless root was ever committed — the
+    // pointer write IS the commit — so deleting them first makes replay
+    // after a crash at ANY point converge on the legacy path too.
+    sweepUncommittedStages(spark, path)
     // deterministic total order per key: (seq, xxhash64(whole row)) —
     // the hash is computed over the name-sorted column list so base and
     // batch sides hash identically regardless of physical column order
@@ -226,7 +234,10 @@ object Sinks {
       partitionCols: Seq[String] = Nil): Unit = {
     // resolve through the pointer so repeated compactions (and compaction
     // after more writeBatch litter landed in the live version) read the
-    // current data dir; commit via the same atomic pointer swap
+    // current data dir; commit via the same atomic pointer swap. On a
+    // pointerless root, first drop crashed-stage `data-*` orphans the
+    // whole-root read would otherwise sweep in (see upsertBatch).
+    sweepUncommittedStages(spark, path)
     val df = spark.read.parquet(resolveTable(spark, path)).coalesce(files)
     val staged = stageName()
     val w = df.write.mode(SaveMode.Overwrite)
@@ -298,6 +309,17 @@ object Sinks {
   // the minimal slice of a table format's commit protocol — no manifest
   // lists, no snapshot history — sized to the delete→rename window it
   // closes (SinkSourceSpec simulates the crash points).
+  //
+  // SINGLE WRITER per table root. Readers are safe at any time (they
+  // resolve through the atomically-swapped pointer), but the MUTATORS
+  // (upsertBatch, compact, publish, vacuum) assume no concurrent writer:
+  // a publish retires every root entry outside {pointer, new version,
+  // predecessor}, so a second in-flight writer's staged `data-*` dir
+  // would be deleted mid-write, and two merges racing the same base
+  // would lose one's rows on the pointer swap. Real table formats close
+  // this with a CAS/lock on the commit; this slice deliberately doesn't
+  // carry one — serialize writers externally (the rtDir per-process
+  // isolation plays that role in this repo's tests and bench).
 
   private val PointerFile = "CURRENT"
 
@@ -363,30 +385,86 @@ object Sinks {
   private def stageName(): String =
     s"data-${java.util.UUID.randomUUID().toString.take(12)}"
 
+  /** Delete orphan staged `data-*` dirs from a POINTERLESS root: nothing
+    * there was ever committed (the pointer write is the commit), so they
+    * are crash litter a whole-root read must never sweep in. A pointered
+    * root is untouched — its staged dirs are retired by [[publish]] /
+    * collected by [[vacuum]]. */
+  private def sweepUncommittedStages(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root) && readPointer(fs, root).isEmpty)
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("data-")) fs.delete(st.getPath, true)
+      }
+  }
+
+  /** Write the pointer file's lines via the one atomic rename-with-
+    * overwrite — the commit primitive [[publish]] and [[vacuum]] share. */
+  private def writePointer(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
+    val fs = fsOf(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$PointerFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(root, PointerFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete every root entry not in `keep` — publish-time retirement and
+    * vacuum share this single definition of "collectable". */
+  private def retireExcept(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, keep: Set[String]): Unit =
+    fs.listStatus(root).foreach { st =>
+      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+
   /** Commit `stagedName` (a data dir already fully written inside the
     * table root) as the live version: atomic pointer swap, then retire
     * every root entry except the new version, its predecessor, and the
     * pointer itself — which also absorbs a legacy (pre-pointer) layout's
-    * root-level files on first publish. */
+    * root-level files on first publish. Single-writer (see the protocol
+    * note above): the retirement deletes any other writer's in-flight
+    * staged dir. */
   private def publish(spark: SparkSession, rootPath: String,
       stagedName: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(rootPath)
     val fs = fsOf(spark, root)
     val prev = readPointer(fs, root)
-    val tmp = new org.apache.hadoop.fs.Path(root, s".$PointerFile.tmp")
-    val out = fs.create(tmp, true)
     // line 2 records the predecessor so time travel needs no dir listing
-    val content = (stagedName +: prev.toSeq).mkString("\n")
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // rename-with-overwrite is the one atomic metadata op of the commit
-    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new org.apache.hadoop.fs.Path(root, PointerFile),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    val keep = Set(PointerFile, stagedName) ++ prev
-    fs.listStatus(root).foreach { st =>
-      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
-    }
+    writePointer(spark, root, stagedName +: prev.toSeq)
+    retireExcept(fs, root, Set(PointerFile, stagedName) ++ prev)
+  }
+
+  /** Version retention / VACUUM for a published table root — the
+    * maintenance operator a long-running ingest loop schedules so disk
+    * growth stays bounded by the retention contract, not by uptime:
+    * collects crashed-stage `data-*` litter and pointer-tmp files, and —
+    * with `retainPredecessor = false` — also the predecessor version
+    * (shrinking retention to the live version only, for when the
+    * one-version grace window has provably drained). The live version
+    * and the pointer always survive. Dropping the predecessor first
+    * rewrites the pointer to a single line via the SAME atomic rename as
+    * a publish, so a crash between pointer rewrite and deletion leaves
+    * an unreferenced dir the next vacuum collects — never a pointer
+    * naming a deleted dir, and time travel reports None instead of
+    * dangling. On a pointerless root this is exactly the uncommitted-
+    * stage sweep. Single-writer, like every mutator here. */
+  def vacuum(spark: SparkSession, path: String,
+      retainPredecessor: Boolean = true): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    val lines = readPointerLines(fs, root)
+    if (lines.isEmpty) { sweepUncommittedStages(spark, path); return }
+    val current = lines.head
+    val prev = lines.drop(1).headOption.filter(_ => retainPredecessor)
+    if (!retainPredecessor && lines.size > 1)
+      writePointer(spark, root, Seq(current))
+    retireExcept(fs, root, Set(PointerFile, current) ++ prev)
   }
 }

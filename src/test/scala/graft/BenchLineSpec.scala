@@ -106,6 +106,43 @@ class BenchLineSpec extends SparkTestBase with Matchers {
     } finally root.removeAppender(app)
   }
 
+  test("fixture-stats lines never reach the console channel") {
+    // The last non-JSON lines in the r13 bench tail were Tables'
+    // fixture-stat prints (then on System.err). They now go through the
+    // graft.fixture logger, which the shipped log4j2 config routes to a
+    // FILE appender with additivity OFF — so an event logged there must
+    // never be dispatched through the root logger's (console) appenders,
+    // and must land in the tmpdir stats file.
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender(
+      "graft-fixture-probe", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLoggerName == "graft.fixture")
+          seen.add(e.getMessage.getFormattedMessage)
+    }
+    app.start()
+    val root = LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    root.addAppender(app)
+    try {
+      val marker = s"probe fixture line ${java.util.UUID.randomUUID()}"
+      org.slf4j.LoggerFactory.getLogger("graft.fixture").info(marker)
+      assert(seen.isEmpty,
+        s"fixture logger leaked into the console channel: $seen")
+      val f = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-fixture-stats.log")
+      assert(f.exists, "fixture stats file appender did not write")
+      val src = scala.io.Source.fromFile(f)
+      try assert(src.getLines().exists(_.contains(marker)),
+        "fixture stats line missing from the file channel")
+      finally src.close()
+    } finally root.removeAppender(app)
+  }
+
   test("full bench.json carries every query and the error map") {
     import spark.implicits._
     val rs = fakeResults :+ ("q_broken" -> -1.0)

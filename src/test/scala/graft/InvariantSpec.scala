@@ -701,6 +701,42 @@ class InvariantSpec extends SparkTestBase with Matchers {
     assert(got === expected)
   }
 
+  test("bpe trainer trajectory is non-increasing and merge-consistent") {
+    // Each merge replaces a 2-symbol pair with 1 symbol in a FIXED word
+    // multiset, so the freq-weighted avg tokens/word must never rise
+    // across iterations, every round must actually merge something on
+    // this fixture, and round 1 must agree with the single-step
+    // q_token_bpe_apply row (same corpus, same win rule; the trainer's
+    // reserved-char dictionary filter excludes nothing here).
+    val dir = sf()
+    val rows = SparkEntry.queries("q_token_bpe_train")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byIt = rs.sortBy(_._2)
+      assert(byIt.map(_._2).toSeq === (1 to byIt.length),
+        s"$lang: missing iteration rows")
+      byIt.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 <= a._5,
+            s"$lang: avg tokens/word rose ${a._5} -> ${b._5} at it ${b._2}")
+        case _ =>
+      }
+      byIt.foreach { r =>
+        assert(r._4 > 0, s"$lang it ${r._2}: zero merges on the fixture")
+      }
+    }
+    val apply1 = SparkEntry.queries("q_token_bpe_apply")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(4))).toMap
+    rows.filter(_._2 == 1).foreach { case (lang, _, pair, nMerges, _) =>
+      assert(apply1(lang)._1 === pair,
+        s"$lang: trainer round-1 pair differs from q_token_bpe_apply")
+      assert(apply1(lang)._2 === nMerges,
+        s"$lang: trainer round-1 merge count differs from q_token_bpe_apply")
+    }
+  }
+
   test("kmeans iterations conserve the clean corpus and shrink assignment energy") {
     // Both rounds' cluster sizes must each sum to the clean corpus size
     // (every vector assigned exactly once per iteration), and the

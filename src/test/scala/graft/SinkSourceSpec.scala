@@ -336,4 +336,82 @@ class SinkSourceSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect().toSet === current)
     assert(prev().isEmpty, "single-line pointer must read as no history")
   }
+
+  test("legacy-root orphan staged dirs never leak into the first publish") {
+    val spk = spark
+    import spk.implicits._
+    // legacy layout: plain parquet part-files at the table ROOT, no
+    // pointer — the pre-publish state a migrating pipeline starts from
+    val table = Files.createTempDirectory("graft_legacy").toString + "/t"
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("key", "v", "seq")
+      .write.parquet(table)
+    // a previous first-publish attempt fully staged its data dir and
+    // died before the pointer write — uncommitted orphan in the root
+    Seq((9L, "ORPHAN", 9L)).toDF("key", "v", "seq")
+      .write.parquet(s"$table/data-orphan000000")
+    // the replayed cycle must read ONLY the legacy base (the orphan was
+    // never committed), merge the batch, and publish
+    graft.sources.Sinks.upsertBatch(
+      Seq((2L, "b2", 2L), (3L, "c", 1L)).toDF("key", "v", "seq"),
+      table, "key", "seq")
+    val state = graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long)].collect().toSet
+    assert(state === Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 1L)),
+      s"orphan staged rows leaked into the first publish: $state")
+    val entries = new java.io.File(table).listFiles().map(_.getName).toSet
+    assert(!entries.contains("data-orphan000000"),
+      s"orphan staged dir survived the converging replay: $entries")
+  }
+
+  test("vacuum collects stage litter and shrinks retention on demand") {
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_vacuum").toString + "/t"
+    def state(): Set[(Long, String, Long)] =
+      graft.sources.Sinks.readTable(spk, table)
+        .as[(Long, String, Long)].collect().toSet
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, "a", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    graft.sources.Sinks.upsertBatch(
+      Seq((2L, "b", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    val v2 = state()
+    // crash litter: a fully-staged-but-uncommitted dir + a pointer tmp
+    Seq((9L, "CRASH", 9L)).toDF("key", "v", "seq")
+      .write.parquet(s"$table/data-crashed00000")
+    Files.writeString(java.nio.file.Paths.get(s"$table/.CURRENT.tmp"),
+      "data-crashed00000")
+    // default vacuum: litter collected, live AND predecessor retained —
+    // the in-flight-reader grace contract holds
+    graft.sources.Sinks.vacuum(spk, table)
+    val afterDefault = new java.io.File(table).listFiles().map(_.getName).toSet
+    assert(!afterDefault.contains("data-crashed00000") &&
+      !afterDefault.contains(".CURRENT.tmp"),
+      s"vacuum left crash litter: $afterDefault")
+    assert(afterDefault.count(_.startsWith("data-")) === 2,
+      s"default vacuum must keep live + predecessor: $afterDefault")
+    assert(state() === v2, "vacuum changed the live version")
+    assert(graft.sources.Sinks.readTablePrevious(spk, table).isDefined,
+      "default vacuum broke time travel")
+    // shrink retention to the live version only: predecessor dir AND its
+    // pointer line go; time travel reports None instead of dangling
+    graft.sources.Sinks.vacuum(spk, table, retainPredecessor = false)
+    val afterShrink = new java.io.File(table).listFiles().map(_.getName).toSet
+    assert(afterShrink.count(_.startsWith("data-")) === 1,
+      s"shrinking vacuum must keep only the live version: $afterShrink")
+    assert(state() === v2, "shrinking vacuum changed the live version")
+    assert(graft.sources.Sinks.readTablePrevious(spk, table).isEmpty,
+      "shrinking vacuum left a dangling predecessor pointer line")
+    // pointerless root: vacuum is exactly the uncommitted-stage sweep
+    val bare = Files.createTempDirectory("graft_vacuum_bare").toString + "/t"
+    Seq((1L, "a", 1L)).toDF("key", "v", "seq").write.parquet(bare)
+    Seq((9L, "x", 9L)).toDF("key", "v", "seq")
+      .write.parquet(s"$bare/data-orphan000000")
+    graft.sources.Sinks.vacuum(spk, bare)
+    val bareEntries = new java.io.File(bare).listFiles().map(_.getName).toSet
+    assert(!bareEntries.exists(_.startsWith("data-")),
+      s"pointerless vacuum left staged orphans: $bareEntries")
+    assert(graft.sources.Sinks.readTable(spk, bare)
+      .as[(Long, String, Long)].collect().toSet === Set((1L, "a", 1L)),
+      "pointerless vacuum touched committed root files")
+  }
 }
