@@ -98,10 +98,20 @@ object Curation {
     * distribution tables collapse via map-side partial aggregation and
     * the scoring join is an explicit broadcast — the corpus-sized token
     * frame never shuffles to be scored. The only corpus-keyed exchange is
-    * the per-doc sum (groupBy doc_id). Exact per-stratum top-25% is one
-    * rank window per language here; at 100 TB the same scores feed a
-    * threshold-refinement pass (count docs above a candidate cut, then
-    * filter) so no stratum is ever single-task sorted. */
+    * the per-doc sum (groupBy doc_id). The exact per-stratum top-25% cut
+    * is found by THRESHOLD REFINEMENT, not a rank window: a per-language
+    * rank over the scored frame sorts each stratum in a single task
+    * (exactly what dies first at 100 TB), so instead a driver loop
+    * histograms the integer scores into 4096 per-language buckets per
+    * pass and narrows the k-th-largest bracket until it is one unit wide
+    * — O(log_4096 range) ≈ 3-4 cheap aggregate passes over the persisted
+    * (lang, lw) frame, every one map-side combinable. The selected-set
+    * aggregates then need only counts and sums around the cut (ties all
+    * carry the SAME score, so which tied doc_ids are kept cannot change
+    * any output number) — the per-doc selection itself is a plain filter
+    * a real pipeline applies streaming. ScaleSpec locks the no-window
+    * shape; the oracle keeps the declarative rank form, so the refinement
+    * must reproduce it bit-for-bit (it does, at all three SFs). */
   val qDsir = Q(
     "q_dsir",
     s"""WITH toks AS (
@@ -135,7 +145,6 @@ object Curation {
        |    AS mean_logw_sel
        |FROM r2 GROUP BY lang ORDER BY lang""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(split(col("text"), " ")).as("t"))
@@ -161,19 +170,79 @@ object Curation {
     val d = toks.join(broadcast(u), Seq("b"))
       .groupBy("doc_id", "lang")
       .agg(sum(col("units")).cast("bigint").as("lw"))
-    val sel = col("rk") * 4 <= col("n") + 3
-    d.withColumn("rk",
-        row_number().over(
-          Window.partitionBy("lang").orderBy(col("lw").desc, col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      // narrow (lang, lw) frame read by the stats pass, each histogram
+      // refinement pass, and the final around-the-cut aggregate
+      .persistScratch()
+    // k-th-largest-score cut per language by histogram refinement — the
+    // oracle's rank window replayed without ever sorting a stratum.
+    // Driver state is one row per LANGUAGE (bounded by the stratum key
+    // cardinality, never the corpus); each pass is one map-side-
+    // combinable aggregate over the persisted score frame.
+    final case class St(n: Long, s: Long, var lo: Long, var hi: Long,
+      var above: Long)
+    val st = scala.collection.mutable.LinkedHashMap(
+      d.groupBy("lang").agg(count(lit(1)).as("n"), sum("lw").as("s"),
+          min("lw").as("mn"), max("lw").as("mx"))
+        .collect()
+        .map(r => r.getString(0) ->
+          St(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), 0L))
+        .toIndexedSeq: _*)
+    def kOf(v: St): Long = (v.n + 3) / 4 // rk*4 <= n+3  <=>  rk <= this
+    val B = 4096L
+    val spk = spark
+    import spk.implicits._
+    while (st.values.exists(v => v.lo < v.hi)) {
+      val open = st.toSeq.filter { case (_, v) => v.lo < v.hi }
+      val grid = open.map { case (l, v) =>
+        (l, v.lo, v.hi, (v.hi - v.lo) / B + 1)
+      }.toDF("lang", "glo", "ghi", "gw")
+      val hist = d.join(broadcast(grid), Seq("lang"))
+        .filter(col("lw") >= col("glo") && col("lw") <= col("ghi"))
+        .groupBy(col("lang"), expr("(lw - glo) div gw").as("gb"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getString(0))
+      open.foreach { case (l, v) =>
+        val w = (v.hi - v.lo) / B + 1
+        val counts = hist.getOrElse(l, Array.empty)
+          .map(r => r.getLong(1) -> r.getLong(2)).toMap
+        var cum = v.above // invariant: docs with lw > current hi
+        var b = (v.hi - v.lo) / w
+        var found = false
+        while (!found && b >= 0) {
+          val c = counts.getOrElse(b, 0L)
+          if (cum + c >= kOf(v)) {
+            val nlo = v.lo + b * w
+            v.hi = math.min(v.hi, nlo + w - 1)
+            v.lo = nlo
+            v.above = cum
+            found = true
+          } else { cum += c; b -= 1 }
+        }
+        require(found, s"dsir cut refinement lost the $l stratum")
+      }
+    }
+    val cuts = st.toSeq.map { case (l, v) => (l, v.lo) }.toDF("lang", "cut")
+    val around = d.join(broadcast(cuts), Seq("lang"))
       .groupBy("lang")
-      .agg(count(lit(1)).cast("bigint").as("n_docs"),
-        sum(when(sel, 1L).otherwise(0L)).cast("bigint").as("n_selected"),
-        round(sum(col("lw")).cast("bigint") / lit(1000000.0)
-          / count(lit(1)), 6).as("mean_logw"),
-        round(sum(when(sel, col("lw")).otherwise(0L)).cast("bigint")
-          / lit(1000000.0)
-          / sum(when(sel, 1L).otherwise(0L)), 6).as("mean_logw_sel"))
+      .agg(sum(when(col("lw") > col("cut"), 1L).otherwise(0L)).as("gtc"),
+        sum(when(col("lw") > col("cut"), col("lw")).otherwise(0L)).as("gts"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Spark's round(double, 6) semantics exactly (HALF_UP over the
+    // canonical decimal form), and the window form's operand order
+    // (sum / 1e6 / count), so the hash matches the declarative oracle.
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    st.toSeq.map { case (l, v) =>
+      val k = kOf(v)
+      val (gtc, gts) = around(l)
+      // ties at the cut all score v.lo: selected sum is exact without
+      // ever naming which tied doc_ids the rank would have kept
+      val selSum = gts + v.lo * (k - gtc)
+      (l, v.n, k, r6(v.s.toDouble / 1000000.0 / v.n),
+        r6(selSum.toDouble / 1000000.0 / k))
+    }.toDF("lang", "n_docs", "n_selected", "mean_logw", "mean_logw_sel")
       .orderBy("lang")
   }
 

@@ -165,4 +165,44 @@ class ScaleSpec extends SparkTestBase {
         s"expected exactly the planted near-dup pair, got $pairs")
     } finally graft.sources.Scratch.releaseAll()
   }
+
+  test("dsir selection never plans a window (no per-stratum sort)") {
+    // The top-25%-per-language cut must come from the histogram
+    // threshold refinement, not a rank window: row_number() OVER
+    // (PARTITION BY lang) sorts each whole stratum in one task — the
+    // single-reducer shape that dies first at 100 TB. Capture every plan
+    // the query executes (it is a driver-orchestrated loop of aggregate
+    // passes, so there is no single plan to inspect) and assert none
+    // carries a Window node or a row_number.
+    val spk = spark
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spk.listenerManager.register(listener)
+    try {
+      val out = SparkEntry.queries("q_dsir")(spk, sf()).collect()
+      assert(out.length > 0, "dsir returned no strata")
+      // listener events dispatch asynchronously — drain until quiescent
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && plans.size != last) {
+        last = plans.size; Thread.sleep(400)
+      }
+      assert(!plans.isEmpty, "listener captured no executed plans")
+      plans.forEach { p =>
+        assert(!p.contains("Window") && !p.contains("row_number"),
+          s"dsir executed a window/rank plan:\n$p")
+      }
+    } finally {
+      spk.listenerManager.unregister(listener)
+      graft.sources.Scratch.releaseAll()
+    }
+  }
 }
