@@ -30,7 +30,8 @@ class RobustnessSpec extends SparkTestBase {
     "q_multimodal_resize", "q_text_boilerplate", "q_doc_dup_mass",
     "q_dsir", "q_doc_quality_funnel", "q_dedup_keep_best",
     "q_dedup_index_compact", "q_dedup_substring", "q_dedup_substring_mass",
-    "q_dedup_substring_inc", "q_token_bpe_apply")
+    "q_dedup_substring_inc", "q_token_bpe_apply", "q_token_bpe_train",
+    "q_pipeline_e2e")
 
   test("documents-only queries survive an EMPTY corpus (zero-doc ingest day)") {
     // An incremental pipeline's quiet day: zero input rows. Every doc
@@ -271,5 +272,107 @@ class RobustnessSpec extends SparkTestBase {
           fail(s"$name threw on the degenerate corpus: ${e.getMessage}", e)
       } finally graft.sources.Scratch.releaseAll()
     }
+  }
+
+  test("ExactSubstr survives a near-total-overlap corpus (dup mass ~ 1)") {
+    // The hostile operating point for the gram-hash window path: a
+    // corpus where MOST positions are duplicated. Real fixtures sit at
+    // low dup mass, so island-merge and span arithmetic are only ever
+    // exercised on short runs there; here whole documents are one giant
+    // island, two islands sit a sub-L unique gap apart (they must NOT
+    // merge), a doc pair is verbatim-identical (mass exactly 1), and a
+    // sub-L doc is excluded by contract. Both the span row and the mass
+    // monitor are checked against a driver-side recompute from RAW gram
+    // strings — the collision-visible ground truth.
+    val spk = spark
+    import spk.implicits._
+    val L = 40
+    val template =
+      ("the quick brown fox jumps over the lazy dog " * 10).take(400)
+    def doc(id: Long, text: String, source: String) =
+      (id, text, "en", source, text.length.toLong)
+    val texts: Seq[(Long, String, String, String, Long)] =
+      // 6 near-identical docs: unique 12-char head + shared 400-char body
+      // + unique 12-char tail -> interior positions duplicated in all 6
+      (0L until 6L).map(i =>
+        doc(i, f"head$i%07d. " + template + f" tail$i%05d", "tpl")) ++ Seq(
+        // verbatim-identical pair: EVERY position duplicated, mass = 1
+        doc(6L, "x " + template.take(100) + " yyy", "dup"),
+        doc(7L, "x " + template.take(100) + " yyy", "dup"),
+        // two duplicated islands split by a 17-char unique gap (< L):
+        // the gap kills every gram crossing it, so two spans, not one
+        doc(8L, template.take(120) + " zq zq unique gap " +
+          template.takeRight(120), "gap"),
+        // shorter than L: contributes nothing, excluded by contract
+        doc(9L, "tiny doc below the gram width", "short"))
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_substr_adv").toString
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // ground truth from RAW gram strings (no hashing): positions whose
+    // width-L gram occurs in >= 2 distinct docs, merged into maximal runs
+    val byGram = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Set[Long]]
+    texts.foreach { case (id, t, _, _, _) =>
+      if (t.length >= L) (0 to t.length - L).foreach { i0 =>
+        byGram.getOrElseUpdate(t.substring(i0, i0 + L),
+          scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val truth: Map[Long, Seq[(Long, Long)]] = texts.flatMap {
+      case (id, t, _, _, _) if t.length >= L =>
+        val dup = (0 to t.length - L)
+          .filter(i0 => byGram(t.substring(i0, i0 + L)).size >= 2)
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        dup.foreach { i0 =>
+          spans.lastOption match {
+            case Some((s, len)) if s + len - L == i0 => // extends the run
+              spans(spans.length - 1) = (s, len + 1)
+            case _ => spans += ((i0 + 1L, L.toLong)) // 1-based start
+          }
+        }
+        if (spans.isEmpty) None else Some(id -> spans.toSeq)
+      case _ => None
+    }.toMap
+    assert(truth.get(6L) ===
+      Some(Seq((1L, texts.find(_._1 == 6L).get._2.length.toLong))),
+      "identical pair must report one whole-doc span")
+    assert(truth(8L).size === 2,
+      s"sub-L gap must split the islands, truth has ${truth(8L)}")
+    assert(!truth.contains(9L), "sub-L doc must be excluded")
+    val got = SparkEntry.queries("q_dedup_substring")(spk, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(got === truth.view.mapValues(_.sorted).toMap,
+      "span row diverged from the raw-gram recompute at mass ~ 1")
+    // mass monitor: interval-union chars per source vs the same truth
+    val unionChars: Map[Long, Long] = truth.view.mapValues { spans =>
+      var end = 0L; var tot = 0L
+      spans.sortBy(_._1).foreach { case (s, len) =>
+        val e = s + len - 1
+        if (e > end) { tot += e - math.max(end, s - 1); end = e }
+      }
+      tot
+    }.toMap
+    val gotMass = SparkEntry.queries("q_dedup_substring_mass")(spk, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    texts.groupBy(_._4).foreach { case (src, ds) =>
+      val nDocs = ds.size.toLong
+      val hit = ds.count(d => unionChars.contains(d._1)).toLong
+      val dupC = ds.map(d => unionChars.getOrElse(d._1, 0L)).sum
+      val totC = ds.map(_._5).sum
+      val frac = java.math.BigDecimal.valueOf(dupC.toDouble / totC.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(gotMass(src) === ((nDocs, hit, dupC, totC, frac)),
+        s"mass row for $src diverged: got ${gotMass(src)}, " +
+          s"expected ($nDocs, $hit, $dupC, $totC, $frac)")
+    }
+    assert(gotMass("dup")._5 === 1.0, "identical pair must have dup_frac 1")
+    val allDup = unionChars.values.sum.toDouble
+    val allChars = texts.map(_._5).sum.toDouble
+    assert(allDup / allChars > 0.5,
+      s"fixture is not hostile enough: corpus dup mass ${allDup / allChars}")
   }
 }
