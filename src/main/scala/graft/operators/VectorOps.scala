@@ -1311,6 +1311,222 @@ object VectorOps {
       .orderBy("a_id")
   }
 
+  // ---- residual-encoded IVF-PQ (the full FAISS IVFPQ form) --------------
+  // Jégou, Douze & Schmid, TPAMI 2011 §V-A: PQ-encode the RESIDUAL
+  // x − q1(x) (vector minus its coarse cell centroid) instead of x itself.
+  // The codebook then only has to model WITHIN-cell variation — the coarse
+  // quantizer has already removed the between-cell component — so the same
+  // 16×32 code budget buys strictly finer resolution. Under inner-product
+  // scoring the decomposition is q·x ≈ q·c + q·r̂: a per-(query, cell)
+  // BASE term plus ADC over the residual codes, and — unlike the L2 form —
+  // the residual LUT is CELL-INDEPENDENT (q·r̂ never mentions c), so one
+  // LUT per query serves every probed cell.
+
+  /** Shared residual-IVF-PQ CTE suffix: cell centroids → per-vector
+    * residuals → residual PQ train/encode (the pqCtes discipline, over
+    * rsp instead of sp) → probes + per-probe integer-unit base term →
+    * cell-restricted residual ADC + base → top-5 (ripq5). */
+  private val ivfpqResDuck =
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+       |cent AS (
+       |  SELECT label, i - 1 AS pos,
+       |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
+       |      / 1000000000.0 / COUNT(*) AS c
+       |  FROM emb, range(1, 65) t(i)
+       |  GROUP BY label, pos),
+       |cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+       |resv AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_transform(list_zip(e.embedding, cvec.cv),
+       |      x -> CAST(x[1] AS DOUBLE) - x[2]) AS rv
+       |  FROM emb e JOIN cvec USING (label)),
+       |rsp AS (
+       |  SELECT vec_id, CAST(t.s AS INT) AS s,
+       |    rv[t.s * 4 + 1 : t.s * 4 + 4] AS sv
+       |  FROM resv, range(0, 16) t(s)),
+       |rcb0 AS (SELECT vec_id AS c, s, sv AS cv FROM rsp WHERE vec_id < 32),
+       |renc0 AS (
+       |  SELECT vec_id, s, c AS code, sv FROM (
+       |    SELECT rsp.vec_id, rsp.s, rcb0.c, rsp.sv,
+       |      row_number() OVER (PARTITION BY rsp.vec_id, rsp.s
+       |        ORDER BY round(list_sum(list_transform(list_zip(rsp.sv, rcb0.cv),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) ASC,
+       |          rcb0.c) AS rk
+       |    FROM rsp JOIN rcb0 USING (s))
+       |  WHERE rk = 1),
+       |rcbc AS (
+       |  SELECT s, code AS c, CAST(t.pos AS INT) - 1 AS pos,
+       |    SUM(CAST(round(sv[t.pos] * 1000000000) AS BIGINT))
+       |      / 1000000000.0 / COUNT(*) AS cc
+       |  FROM renc0, range(1, 5) t(pos)
+       |  GROUP BY s, code, pos),
+       |rcb AS (SELECT s, c, list(cc ORDER BY pos) AS cv FROM rcbc GROUP BY s, c),
+       |renc AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT rsp.vec_id, rsp.s, rcb.c,
+       |      row_number() OVER (PARTITION BY rsp.vec_id, rsp.s
+       |        ORDER BY round(list_sum(list_transform(list_zip(rsp.sv, rcb.cv),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) ASC,
+       |          rcb.c) AS rk
+       |    FROM rsp JOIN rcb USING (s))
+       |  WHERE rk = 1),
+       |qsp AS (
+       |  SELECT vec_id, CAST(t.s AS INT) AS s,
+       |    embedding[t.s * 4 + 1 : t.s * 4 + 4] AS sv
+       |  FROM emb, range(0, 16) t(s)
+       |  WHERE vec_id < 20),
+       |probes AS (
+       |  SELECT vec_id AS a_id, label, baseu FROM (
+       |    SELECT q.vec_id, cvec.label,
+       |      CAST(round(list_sum(list_transform(list_zip(q.embedding, cvec.cv),
+       |        x -> CAST(x[1] AS DOUBLE) * x[2])) * 1000000) AS BIGINT) AS baseu,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(q.embedding, cvec.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC, cvec.label) AS INT) AS crk
+       |    FROM (SELECT vec_id, embedding FROM emb WHERE vec_id < 20) q, cvec)
+       |  WHERE crk <= 2),
+       |rlut AS (
+       |  SELECT q.vec_id AS a_id, rcb.s, rcb.c,
+       |    CAST(round(list_sum(list_transform(list_zip(q.sv, rcb.cv),
+       |      x -> CAST(x[1] AS DOUBLE) * x[2])) * 1000000) AS BIGINT) AS lutu
+       |  FROM qsp q JOIN rcb USING (s)),
+       |radc AS (
+       |  SELECT l.a_id, e.vec_id AS b_id,
+       |    SUM(l.lutu) + MAX(p.baseu) AS adcu
+       |  FROM renc e
+       |  JOIN resv be ON be.vec_id = e.vec_id
+       |  JOIN probes p ON p.label = be.label
+       |  JOIN rlut l ON l.a_id = p.a_id AND l.s = e.s AND l.c = e.code
+       |  WHERE e.vec_id <> l.a_id
+       |  GROUP BY 1, 2),
+       |ripq5 AS (
+       |  SELECT a_id, b_id, adcu, rk FROM (
+       |    SELECT a_id, b_id, adcu,
+       |      CAST(row_number() OVER (PARTITION BY a_id
+       |        ORDER BY adcu DESC, b_id) AS INT) AS rk
+       |    FROM radc)
+       |  WHERE rk <= 5)""".stripMargin
+
+  /** The residual IVF-PQ probe core: probe p nearest cells (carrying each
+    * probe's 1e-6-unit BASE term q·c), LUT the query's RAW subvectors
+    * against the residual codebook (cell-independent under inner
+    * product), ADC-score only the probed cells' residual codes, add the
+    * base. Same scale shape as [[ivfpqRank]]: probes and LUT broadcast,
+    * the corpus-sized codes frame never shuffles before the integer-unit
+    * (a_id, b_id) rollup. */
+  private[operators] def ivfpqResRank(spark: SparkSession, batch: DataFrame,
+      cvec: DataFrame, rcb: DataFrame, renc: DataFrame,
+      p: Int = 2, k: Int = 5): DataFrame = {
+    val crkW = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("label"))
+    val probes = batch.crossJoin(broadcast(cvec))
+      .select(col("vec_id"), col("label"),
+        round(expr(
+          """aggregate(zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) * y),
+            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 6)
+          .as("csim"),
+        (round(expr(
+          """aggregate(zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) * y),
+            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+          * 1000000)).cast("bigint").as("baseu"))
+      .withColumn("crk", row_number().over(crkW))
+      .filter(col("crk") <= p)
+      .select(col("vec_id").as("a_id"), col("label"), col("baseu"))
+    val lut = pqLut(pqSubvectors(batch), rcb).withColumnRenamed("a_id", "la")
+    val topW = Window.partitionBy("a_id").orderBy(desc("adcu"), asc("b_id"))
+    renc.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("a_id"))
+      .join(broadcast(lut),
+        col("a_id") === col("la") && col("ls") === col("s") &&
+          col("lc") === col("code"))
+      .groupBy(col("a_id"), col("vec_id").as("b_id"))
+      // baseu is constant within the group — (a_id, b_id) pins the cell
+      .agg((sum("lutu") + max("baseu")).as("adcu"))
+      .withColumn("rk", row_number().over(topW))
+      .filter(col("rk") <= k)
+      .select(col("a_id"), col("b_id"), col("adcu"), col("rk"))
+  }
+
+  /** Spark side of the shared residual-IVF-PQ pipeline: residuals against
+    * the exact cell centroids, residual codebook trained and encoded by
+    * the SAME pqTrain/pqAssign used for flat PQ (graft_l2 dispatches on
+    * the double residual arrays), ADC+base top-5 for the vec_id<20 panel. */
+  private def ivfpqResTop5(spark: SparkSession, dir: String): DataFrame = {
+    val e = cleanEmbeddings(spark, dir)
+    val cvec = cellCentroids(e)
+      .persistScratch() // feeds residuals, probes, and the base term
+    val resv = e.join(broadcast(cvec), "label")
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) - y)")
+          .as("embedding"))
+    val rsp = pqSubvectors(resv)
+    val rcb = pqTrain(spark, rsp)
+      .persistScratch() // residual book: encode + LUT + the recall twin
+    val renc = pqAssign(spark, rsp, rcb).select("vec_id", "s", "code")
+      .join(e.select("vec_id", "label"), "vec_id")
+      .persistScratch() // cell-tagged residual codes, shared w/ recall row
+    ivfpqResRank(spark, e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")), cvec, rcb, renc)
+  }
+
+  /** Residual-encoded IVF-PQ ANN, graded: the full FAISS IVFPQ form —
+    * the PQ codebook models x − q1(x), scores decompose as base + ADC.
+    * Read against q_vec_ivfpq (flat codes, same cells, same code budget)
+    * via the recall rung q_vec_recall_ivfpq_res: the residual encoding is
+    * pure codebook-resolution win at identical index size. */
+  val qVecIvfPqRes = Q(
+    "q_vec_ivfpq_res",
+    s"""$ivfpqResDuck
+       |SELECT a_id, b_id, round(adcu / 1000000.0, 6) AS adc, rk FROM ripq5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfpqResTop5(spark, dir)
+      .select(col("a_id"), col("b_id"),
+        round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
+      .orderBy("a_id", "rk")
+  }
+
+  /** Recall@5 of residual IVF-PQ vs brute-force ground truth — the rung
+    * that prices the residual refinement against flat-code IVF-PQ
+    * (q_vec_recall_ivfpq) at the same probe count and code budget. */
+  val qVecRecallIvfPqRes = Q(
+    "q_vec_recall_ivfpq_res",
+    s"""$ivfpqResDuck,
+       |truth AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
+       |    FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 20)
+       |  WHERE rk <= 5)
+       |SELECT tr.a_id,
+       |  CAST(COUNT(p.b_id) AS INT) AS n_hit,
+       |  round(COUNT(p.b_id) / 5.0, 6) AS recall_at_5
+       |FROM truth tr LEFT JOIN ripq5 p
+       |  ON tr.a_id = p.a_id AND tr.b_id = p.b_id
+       |GROUP BY tr.a_id
+       |ORDER BY tr.a_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    val truth = q.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("a_id", "b_id")
+    truth.join(ivfpqResTop5(spark, dir).select("a_id", "b_id")
+        .withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg(count(col("hit")).cast("int").as("n_hit"),
+        round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
+      .orderBy("a_id")
+  }
+
   /** k×64 cell-centroid table (label, cv) from exact integer-unit sums
     * (q_vec_centroid's arithmetic), reassembled into an ordered double
     * array per cell. Shared by the in-memory IVF pipeline and the
@@ -2079,6 +2295,7 @@ object VectorOps {
     qVecKmeans, qVecKmeansIter, qVecNcc, qVecIvfProbe2,
     qVecIndexIvf, qVecIndexPq,
     qVecIvfPq, qVecIndexIvfPq, qVecRecallIvfPq,
+    qVecIvfPqRes, qVecRecallIvfPqRes,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,
