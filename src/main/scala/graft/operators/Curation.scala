@@ -246,6 +246,136 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Quality-classifier TRAINING, in-engine: the fasttext-style linear
+    * filter real curation pipelines train to separate "trusted exemplar"
+    * text from the raw crawl (the GPT-3 / LLaMA quality-filter recipe),
+    * here as a batch perceptron over the DSIR feature space — unigrams
+    * hashed into the FIXED 1024-bucket vocabulary, label +1 for the
+    * `src0` exemplar slice, −1 otherwise. Three batch passes: pass k
+    * computes every doc's margin m = Σ_b w_b·x_db under the current
+    * weights, then adds Σ y·x over the misclassified set (y·m ≤ 0) to
+    * the weights — ALL arithmetic is exact BIGINT (integer counts ×
+    * integer weights), so margins, the update, and the per-pass training
+    * accuracies hash identically cross-engine with no rounding discipline
+    * needed until the final accuracy ratio.
+    *
+    * Scale: the (doc, bucket, count) frame is built once, repartitioned
+    * by doc_id, and persisted — each pass's margin aggregate reuses that
+    * partitioning (zero corpus exchanges per pass), the weight table
+    * rides in a 1024-row broadcast, and the gradient collapses map-side
+    * to ≤1024 rows before its only exchange. Driver state is the 1024
+    * weights — bounded by the FIXED feature vocabulary, never the corpus
+    * (the DSIR driver-state discipline). The oracle replays the three
+    * passes as unrolled declarative CTEs. */
+  val qQualityClf = Q(
+    "q_quality_clf_train",
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |xc AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN source = 'src0' THEN 1 ELSE -1 END AS y,
+       |    ${graft.functions.PortableHash.duck("t")} % 1024 AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM toks GROUP BY 1, 2, 3, 4),
+       |w1 AS (SELECT b, CAST(SUM(y * x) AS BIGINT) AS w FROM xc GROUP BY b),
+       |m1 AS (
+       |  SELECT xc.doc_id, xc.lang, xc.y, CAST(SUM(xc.x * w1.w) AS BIGINT) AS m
+       |  FROM xc JOIN w1 USING (b) GROUP BY 1, 2, 3),
+       |g2 AS (
+       |  SELECT xc.b, CAST(SUM(xc.y * xc.x) AS BIGINT) AS g
+       |  FROM xc JOIN (SELECT doc_id FROM m1 WHERE y * m <= 0) mis USING (doc_id)
+       |  GROUP BY xc.b),
+       |w2 AS (SELECT w1.b, w1.w + COALESCE(g2.g, 0) AS w
+       |  FROM w1 LEFT JOIN g2 USING (b)),
+       |m2 AS (
+       |  SELECT xc.doc_id, xc.lang, xc.y, CAST(SUM(xc.x * w2.w) AS BIGINT) AS m
+       |  FROM xc JOIN w2 USING (b) GROUP BY 1, 2, 3),
+       |g3 AS (
+       |  SELECT xc.b, CAST(SUM(xc.y * xc.x) AS BIGINT) AS g
+       |  FROM xc JOIN (SELECT doc_id FROM m2 WHERE y * m <= 0) mis USING (doc_id)
+       |  GROUP BY xc.b),
+       |w3 AS (SELECT w2.b, w2.w + COALESCE(g3.g, 0) AS w
+       |  FROM w2 LEFT JOIN g3 USING (b)),
+       |m3 AS (
+       |  SELECT xc.doc_id, xc.lang, xc.y, CAST(SUM(xc.x * w3.w) AS BIGINT) AS m
+       |  FROM xc JOIN w3 USING (b) GROUP BY 1, 2, 3)
+       |SELECT m1.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN m1.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(CAST(SUM(CASE WHEN m1.y * m1.m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS acc_p1,
+       |  round(CAST(SUM(CASE WHEN m2.y * m2.m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS acc_p2,
+       |  round(CAST(SUM(CASE WHEN m3.y * m3.m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS acc_p3,
+       |  CAST(SUM(m1.m) AS BIGINT) AS msum_p1,
+       |  CAST(SUM(m2.m) AS BIGINT) AS msum_p2,
+       |  CAST(SUM(m3.m) AS BIGINT) AS msum_p3
+       |FROM m1 JOIN m2 USING (doc_id, lang, y) JOIN m3 USING (doc_id, lang, y)
+       |GROUP BY m1.lang ORDER BY m1.lang""".stripMargin
+  ) { (spark, dir) =>
+    val spk = spark
+    import spk.implicits._
+    val xc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(col("source") === "src0", 1L).otherwise(-1L).as("y"),
+        explode(split(col("text"), " ")).as("t"))
+      .withColumn("b",
+        expr(s"(${graft.functions.PortableHash.spark("t")}) % 1024"))
+      .groupBy("doc_id", "lang", "y", "b")
+      .agg(count(lit(1)).cast("bigint").as("x"))
+      // one corpus shuffle, up front: every later per-doc margin
+      // aggregate and the misclassified-set join reuse this partitioning.
+      // The partition count is pinned EXPLICITLY: a bare repartition(col)
+      // is AQE-coalescible, which leaves the cached plan's output
+      // partitioning unusable to later passes (each would re-exchange).
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .persistScratch()
+    def wFrame(w: Map[Long, Long]) =
+      w.toSeq.sortBy(_._1).toDF("b", "w")
+    def margins(w: org.apache.spark.sql.DataFrame) = xc.join(broadcast(w), "b")
+      .groupBy("doc_id", "lang", "y")
+      .agg(sum(col("x") * col("w")).cast("bigint").as("m"))
+    def gradient(mis: org.apache.spark.sql.DataFrame): Map[Long, Long] = xc
+      .join(mis.select("doc_id"), "doc_id")
+      .groupBy("b").agg(sum(col("y") * col("x")).cast("bigint").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pass 1 from w=0: every margin is 0, so every doc is misclassified
+    // and the first weights ARE the full label-weighted bucket sums
+    var w: Map[Long, Long] =
+      xc.groupBy("b").agg(sum(col("y") * col("x")).cast("bigint").as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m1 = margins(wFrame(w)).persistScratch()
+    val g2 = gradient(m1.filter(col("y") * col("m") <= 0))
+    w = w.map { case (b, v) => b -> (v + g2.getOrElse(b, 0L)) }
+    val m2 = margins(wFrame(w)).persistScratch()
+    val g3 = gradient(m2.filter(col("y") * col("m") <= 0))
+    w = w.map { case (b, v) => b -> (v + g3.getOrElse(b, 0L)) }
+    val m3 = margins(wFrame(w)).persistScratch()
+    m1.select(col("doc_id"), col("lang"), col("y"), col("m").as("m1"))
+      .join(m2.select(col("doc_id"), col("m").as("m2")), "doc_id")
+      .join(m3.select(col("doc_id"), col("m").as("m3")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_pos"),
+        round(sum(when(col("y") * col("m1") > 0, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("acc_p1"),
+        round(sum(when(col("y") * col("m2") > 0, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("acc_p2"),
+        round(sum(when(col("y") * col("m3") > 0, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("acc_p3"),
+        // the per-pass margin sums make the weight UPDATES observable
+        // even when accuracy plateaus (on an imbalanced inseparable
+        // corpus the always-negative plateau is reached after pass 1,
+        // so acc alone could not distinguish training from a no-op)
+        sum(col("m1")).cast("bigint").as("msum_p1"),
+        sum(col("m2")).cast("bigint").as("msum_p2"),
+        sum(col("m3")).cast("bigint").as("msum_p3"))
+      .orderBy("lang")
+  }
+
   /** Ordered funnel with a 48 h conversion window: first view → first
     * click within 48 h of it → first purchase within 48 h of that click.
     * Three conditional-min aggregations keyed on user_id, left-joined on
@@ -927,7 +1057,7 @@ object Curation {
       .orderBy("source")
   }
 
-  def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qDsir,
+  def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qDsir, qQualityClf,
     qEventsFunnel, qTextRedact,
     qDocSourceCap,
     qDocMixBudget, qDocMixTemperature, qDocMedianGate, qEventsRetention,

@@ -205,4 +205,62 @@ class ScaleSpec extends SparkTestBase {
       graft.sources.Scratch.releaseAll()
     }
   }
+
+  test("quality-clf training passes reuse ONE doc_id partitioning") {
+    // The trainer's scale contract: the (doc, bucket, count) frame is
+    // repartitioned by doc_id ONCE and persisted — every pass's margin
+    // aggregate and misclassified-set join must reuse that partitioning
+    // instead of re-exchanging the corpus per pass. Cached plans re-embed
+    // their build (exchanges included, with BOTH their Initial- and
+    // Final-plan prints) in every later plan's InMemoryRelation toString,
+    // so naive line counting multiplies the one sanctioned build — the
+    // assertions below target the two real failure shapes instead.
+    val spk = spark
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spk.listenerManager.register(listener)
+    try {
+      val out = SparkEntry.queries("q_quality_clf_train")(spk, sf()).collect()
+      assert(out.length > 0, "clf trainer returned no strata")
+      val deadline = System.currentTimeMillis() + 15000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && plans.size != last) {
+        last = plans.size; Thread.sleep(400)
+      }
+      assert(!plans.isEmpty, "listener captured no executed plans")
+      // (a) the per-pass margin aggregate groups on (doc_id, lang, y);
+      // if the cached doc_id partitioning were not reused, every pass
+      // would plan exactly a 3-key (doc_id, lang, y) exchange — ban it.
+      val marginExchange =
+        """Exchange hashpartitioning\(doc_id#\d+L?, lang#\d+, y#\d+L?, \d+\)""".r
+      // (b) the explicit repartition materializes ONCE inside the cached
+      // build; its Initial/Final prints keep their plan_ids through every
+      // InMemoryRelation embedding, so >2 distinct REPARTITION ids means
+      // a pass re-repartitioned the corpus.
+      val repartitionIds = scala.collection.mutable.Set[String]()
+      val repRe = """REPARTITION_BY_NUM, \[plan_id=(\d+)""".r
+      plans.forEach { p =>
+        assert(!p.contains("CartesianProduct"),
+          s"clf trainer degraded to a cartesian:\n$p")
+        assert(marginExchange.findFirstIn(p).isEmpty,
+          s"a training pass re-exchanged the corpus for its margin " +
+            s"aggregate instead of reusing the cached doc_id partitioning:\n$p")
+        repRe.findAllMatchIn(p).foreach(m => repartitionIds += m.group(1))
+      }
+      assert(repartitionIds.size <= 2,
+        s"clf training repartitioned the corpus more than once: " +
+          s"${repartitionIds.size} distinct REPARTITION plan ids")
+    } finally {
+      spk.listenerManager.unregister(listener)
+      graft.sources.Scratch.releaseAll()
+    }
+  }
 }
