@@ -291,6 +291,51 @@ object VecIndex {
     VectorOps.ivfpqRank(spark, batch, spark.table(s"${name}_cent"),
       spark.table(s"${name}_cb"), spark.table(s"${name}_code"), p, k)
 
+  /** Write the RESIDUAL-encoded IVF-PQ artifact (the full FAISS IVFPQ
+    * form): same three-table layout as [[ivfpqWrite]], but `<name>_cb`
+    * is trained on and `<name>_code` encodes the residuals x − q1(x)
+    * against the `<name>_cent` centroids — so the artifact's codebook
+    * only spends its budget on within-cell variation. The centroid table
+    * is derived ONCE (checkpointed) and feeds both the `_cent` write and
+    * the residual computation, so the codes can never be residuals of a
+    * different centroid table than the one persisted beside them. */
+  def ivfpqResWrite(emb: DataFrame, name: String, buckets: Int = 4): Unit = {
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val cvec = VectorOps.cellCentroids(emb).localCheckpoint()
+    try {
+      Sinks.writeBucketed(cvec, 1, Seq("label"), s"${name}_cent")
+      val resv = emb.join(broadcast(cvec), "label")
+        .select(col("vec_id"), col("label"),
+          expr("zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) - y)")
+            .as("embedding"))
+      val rsp = VectorOps.pqSubvectors(resv)
+      val rcb = VectorOps.pqTrain(spark, rsp).localCheckpoint()
+      try {
+        Sinks.writeBucketed(rcb, 1, Seq("s"), s"${name}_cb")
+        Sinks.writeBucketed(
+          VectorOps.pqAssign(spark, rsp, rcb).select("vec_id", "s", "code")
+            .join(emb.select("vec_id", "label"), "vec_id"),
+          buckets, Seq("label"), s"${name}_code")
+      } finally rcb.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
+    } finally cvec.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+  }
+
+  /** Probe the persisted residual IVF-PQ index with a query batch
+    * (vec_id, embedding): coarse cell rank + integer-unit base term
+    * against the read-back centroids, residual-LUT ADC over the probed
+    * cells' read-back codes — [[VectorOps.ivfpqResRank]], the SAME core
+    * the in-memory q_vec_ivfpq_res runs, so the round-trip is
+    * bit-identical by construction. */
+  def ivfpqResProbe(spark: SparkSession, name: String, batch: DataFrame,
+      p: Int = 2, k: Int = 5): DataFrame =
+    VectorOps.ivfpqResRank(spark, batch, spark.table(s"${name}_cent"),
+      spark.table(s"${name}_cb"), spark.table(s"${name}_code"), p, k)
+
   /** One cycle of the streaming embedding-ingest loop — the ANN twin of
     * [[DedupIndex.ingestBatch]]: probe the persisted LSH index with the
     * micro-batch, REJECT vectors whose nearest indexed neighbor is

@@ -1485,6 +1485,30 @@ object VectorOps {
       .orderBy("a_id", "rk")
   }
 
+  /** Persisted residual-IVF-PQ index ROUND-TRIP, graded end-to-end:
+    * identical oracle to [[qVecIvfPqRes]], but the centroid table, the
+    * RESIDUAL codebook, and the cell-bucketed residual codes are
+    * [[VecIndex.ivfpqResWrite]]'s parquet artifact, read back through
+    * the catalog before probing ([[VecIndex.ivfpqResProbe]] — the same
+    * ivfpqResRank core). Completes the persisted-variant matrix: every
+    * ANN rung on the ladder (LSH, IVF, PQ, IVF-PQ, residual IVF-PQ) now
+    * has a disk artifact whose probe is bit-identical to its in-memory
+    * pipeline. */
+  val qVecIndexIvfPqRes = Q(
+    "q_vec_index_ivfpq_res",
+    s"""$ivfpqResDuck
+       |SELECT a_id, b_id, round(adcu / 1000000.0, 6) AS adc, rk FROM ripq5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    VecIndex.ivfpqResWrite(e, Scans.rtTable("ivfpqr_idx"))
+    VecIndex.ivfpqResProbe(spark, Scans.rtTable("ivfpqr_idx"),
+      e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")))
+      .select(col("a_id"), col("b_id"),
+        round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
+      .orderBy("a_id", "rk")
+  }
+
   /** Recall@5 of residual IVF-PQ vs brute-force ground truth — the rung
     * that prices the residual refinement against flat-code IVF-PQ
     * (q_vec_recall_ivfpq) at the same probe count and code budget. */
@@ -2295,7 +2319,7 @@ object VectorOps {
     qVecKmeans, qVecKmeansIter, qVecNcc, qVecIvfProbe2,
     qVecIndexIvf, qVecIndexPq,
     qVecIvfPq, qVecIndexIvfPq, qVecRecallIvfPq,
-    qVecIvfPqRes, qVecRecallIvfPqRes,
+    qVecIvfPqRes, qVecIndexIvfPqRes, qVecRecallIvfPqRes,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,

@@ -385,6 +385,29 @@ class VectorAndApproxSpec extends SparkTestBase {
       s"DROP TABLE IF EXISTS ${graft.operators.Scans.rtTable("ivf_idx")}$sfx"))
   }
 
+  test("persisted residual IVF-PQ index probe matches the in-memory path") {
+    // The residual artifact adds a coupling the flat variants don't
+    // have: the codes are residuals AGAINST the persisted centroid
+    // table, so any drift between the `_cent` write and the residual
+    // derivation (or a lossy round-trip of either) shifts every ADC
+    // score. Reading all three tables back and probing must return
+    // exactly q_vec_ivfpq_res's ranking.
+    val spk = spark
+    import spk.implicits._
+    val dir = sf()
+    val out = graft.operators.VectorOps.qVecIndexIvfPqRes.fn(spark, dir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    graft.sources.Scratch.releaseAll()
+    val inMem = graft.operators.VectorOps.qVecIvfPqRes.fn(spark, dir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.nonEmpty, "residual IVF-PQ index probe returned no neighbors")
+    assert(out === inMem,
+      s"residual IVF-PQ round-trip diverged from in-memory path: " +
+        s"${out.diff(inMem)} vs ${inMem.diff(out)}")
+    Seq("_cent", "_cb", "_code").foreach(sfx => spark.sql(
+      s"DROP TABLE IF EXISTS ${graft.operators.Scans.rtTable("ivfpqr_idx")}$sfx"))
+  }
+
   test("VecIndex.register re-declares the ANN artifact in a bare catalog") {
     // Same recovery contract as DedupIndex.register, for the LSH tables:
     // re-registering a second name over the first name's directories
