@@ -341,6 +341,72 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** Per-source DATA CARD — the datasheet a curation pipeline publishes
+    * next to every shipped dataset slice (Gebru et al., "Datasheets for
+    * Datasets", 2018): document and token volume, exact-duplicate rate,
+    * mean document length, and the language-mix entropy, one row per
+    * source. Entropy terms are fixed to exact micro-nats PER LANGUAGE
+    * before the per-source sum ((c/T)·ln(c/T) rounded to 1e-6, then
+    * BIGINT-summed), so the sum is order-independent and hashes
+    * cross-engine — the bigramNll discipline applied to a distribution
+    * statistic.
+    *
+    * Scale: two corpus scans (one per-source aggregate with map-side
+    * partials, one (source, lang) count whose output is bounded by
+    * sources × languages), joined on the bounded source key. The
+    * distinct-text count is the one heavyweight — it shuffles text
+    * hashes, the same cost class as exact dedup itself. */
+  val qDocDatacard = Q(
+    "q_doc_datacard",
+    """WITH b AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_uniq,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY source),
+      |lc AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |e AS (
+      |  SELECT lc.source,
+      |    CAST(SUM(CAST(round((CAST(c AS DOUBLE) / b.n_docs)
+      |      * ln(CAST(c AS DOUBLE) / b.n_docs) * 1000000) AS BIGINT))
+      |      AS BIGINT) AS neg_u
+      |  FROM lc JOIN b USING (source) GROUP BY lc.source)
+      |SELECT b.source, n_docs, n_tokens,
+      |  CAST(n_docs - n_uniq AS BIGINT) AS n_dup_docs,
+      |  round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 6) AS dup_rate,
+      |  round(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS mean_chars,
+      |  CAST(-neg_u AS BIGINT) AS lang_entropy_u
+      |FROM b JOIN e USING (source)
+      |ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+    val b = d.groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"),
+        countDistinct(col("text")).cast("bigint").as("n_uniq"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .persistScratch() // feeds the card row AND the entropy denominator
+    val lc = d.groupBy("source", "lang")
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val e = lc.join(broadcast(b.select("source", "n_docs")), "source")
+      .select(col("source"),
+        round((col("c").cast("double") / col("n_docs"))
+          * log(col("c").cast("double") / col("n_docs")) * 1000000)
+          .cast("bigint").as("term_u"))
+      .groupBy("source").agg(sum("term_u").cast("bigint").as("neg_u"))
+    b.join(e, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") - col("n_uniq")).cast("bigint").as("n_dup_docs"),
+        round((col("n_docs") - col("n_uniq")).cast("double")
+          / col("n_docs"), 6).as("dup_rate"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 6)
+          .as("mean_chars"),
+        (-col("neg_u")).cast("bigint").as("lang_entropy_u"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] = Seq(qTextOov, qTextZipf, qDocNovelty, qTextHeavy,
-    qTextBoilerplate, qDocDupMass)
+    qTextBoilerplate, qDocDupMass, qDocDatacard)
 }

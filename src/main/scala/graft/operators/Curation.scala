@@ -267,9 +267,13 @@ object Curation {
     * weights — bounded by the FIXED feature vocabulary, never the corpus
     * (the DSIR driver-state discipline). The oracle replays the three
     * passes as unrolled declarative CTEs. */
-  val qQualityClf = Q(
-    "q_quality_clf_train",
-    s"""WITH toks AS (
+  /** Shared oracle CTE body of the classifier family (token hash →
+    * feature counts → 3 unrolled perceptron passes → per-doc margins
+    * m1/m2/m3) — ONE val interpolated into both the training row and
+    * the filter-application row, so the two oracles cannot disagree on
+    * the training arithmetic. */
+  private val clfCtes =
+    s"""toks AS (
        |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS t
        |  FROM documents),
        |xc AS (
@@ -299,21 +303,16 @@ object Curation {
        |  FROM w2 LEFT JOIN g3 USING (b)),
        |m3 AS (
        |  SELECT xc.doc_id, xc.lang, xc.y, CAST(SUM(xc.x * w3.w) AS BIGINT) AS m
-       |  FROM xc JOIN w3 USING (b) GROUP BY 1, 2, 3)
-       |SELECT m1.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(CASE WHEN m1.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-       |  round(CAST(SUM(CASE WHEN m1.y * m1.m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / COUNT(*), 6) AS acc_p1,
-       |  round(CAST(SUM(CASE WHEN m2.y * m2.m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / COUNT(*), 6) AS acc_p2,
-       |  round(CAST(SUM(CASE WHEN m3.y * m3.m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / COUNT(*), 6) AS acc_p3,
-       |  CAST(SUM(m1.m) AS BIGINT) AS msum_p1,
-       |  CAST(SUM(m2.m) AS BIGINT) AS msum_p2,
-       |  CAST(SUM(m3.m) AS BIGINT) AS msum_p3
-       |FROM m1 JOIN m2 USING (doc_id, lang, y) JOIN m3 USING (doc_id, lang, y)
-       |GROUP BY m1.lang ORDER BY m1.lang""".stripMargin
-  ) { (spark, dir) =>
+       |  FROM xc JOIN w3 USING (b) GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Spark side of the shared classifier pipeline: the 3-pass training
+    * loop over the once-shuffled feature frame, returning the persisted
+    * per-doc margin frames (m1, m2, m3) — shared by the training row and
+    * the filter-application row (persistScratch dedups the sub-DAGs by
+    * canonical plan, so in one module run the corpus trains once). */
+  private def clfMargins(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val spk = spark
     import spk.implicits._
     val xc = Tables.documents(spark, dir)
@@ -353,6 +352,27 @@ object Curation {
     val g3 = gradient(m2.filter(col("y") * col("m") <= 0))
     w = w.map { case (b, v) => b -> (v + g3.getOrElse(b, 0L)) }
     val m3 = margins(wFrame(w)).persistScratch()
+    (m1, m2, m3)
+  }
+
+  val qQualityClf = Q(
+    "q_quality_clf_train",
+    s"""WITH $clfCtes
+       |SELECT m1.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN m1.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(CAST(SUM(CASE WHEN m1.y * m1.m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS acc_p1,
+       |  round(CAST(SUM(CASE WHEN m2.y * m2.m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS acc_p2,
+       |  round(CAST(SUM(CASE WHEN m3.y * m3.m > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS acc_p3,
+       |  CAST(SUM(m1.m) AS BIGINT) AS msum_p1,
+       |  CAST(SUM(m2.m) AS BIGINT) AS msum_p2,
+       |  CAST(SUM(m3.m) AS BIGINT) AS msum_p3
+       |FROM m1 JOIN m2 USING (doc_id, lang, y) JOIN m3 USING (doc_id, lang, y)
+       |GROUP BY m1.lang ORDER BY m1.lang""".stripMargin
+  ) { (spark, dir) =>
+    val (m1, m2, m3) = clfMargins(spark, dir)
     m1.select(col("doc_id"), col("lang"), col("y"), col("m").as("m1"))
       .join(m2.select(col("doc_id"), col("m").as("m2")), "doc_id")
       .join(m3.select(col("doc_id"), col("m").as("m3")), "doc_id")
@@ -373,6 +393,64 @@ object Curation {
         sum(col("m1")).cast("bigint").as("msum_p1"),
         sum(col("m2")).cast("bigint").as("msum_p2"),
         sum(col("m3")).cast("bigint").as("msum_p3"))
+      .orderBy("lang")
+  }
+
+  /** Quality-classifier APPLICATION — the filter step that consumes
+    * [[qQualityClf]]'s trained weights: keep every document whose final
+    * margin is above its language's MEAN margin (the integer-exact
+    * comparison m·n > Σm, so no division or rounding can flip a keep
+    * decision cross-engine), and grade the filter by what a pipeline
+    * operator actually reads off it — does the kept slice ENRICH
+    * exemplar (src0) density over the corpus base rate. Shares
+    * [[clfMargins]] / the clfCtes oracle body with the training row, so
+    * the two rows cannot disagree on the training arithmetic; in one
+    * module run the corpus trains once (persistScratch dedups the
+    * shared sub-DAGs by canonical plan). */
+  val qQualityClfFilter = Q(
+    "q_quality_clf_filter",
+    s"""WITH $clfCtes,
+       |lt AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(m) AS BIGINT) AS s
+       |  FROM m3 GROUP BY lang)
+       |SELECT m3.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN m3.m * lt.n > lt.s THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN m3.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN m3.m * lt.n > lt.s AND m3.y = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept_pos,
+       |  round(CAST(SUM(CASE WHEN m3.y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS pos_rate_all,
+       |  round(CAST(SUM(CASE WHEN m3.m * lt.n > lt.s AND m3.y = 1 THEN 1 ELSE 0
+       |      END) AS DOUBLE)
+       |    / greatest(SUM(CASE WHEN m3.m * lt.n > lt.s THEN 1 ELSE 0 END), 1), 6)
+       |    AS pos_rate_kept
+       |FROM m3 JOIN lt USING (lang)
+       |GROUP BY m3.lang ORDER BY m3.lang""".stripMargin
+  ) { (spark, dir) =>
+    val (_, _, m3) = clfMargins(spark, dir)
+    val lt = m3.groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum("m").cast("bigint").as("s"))
+    m3.join(broadcast(lt), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("m") * col("n") > col("s"), 1L).otherwise(0L))
+          .cast("bigint").as("n_kept"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_pos"),
+        sum(when(col("m") * col("n") > col("s") && col("y") === 1, 1L)
+          .otherwise(0L)).cast("bigint").as("n_kept_pos"),
+        round(sum(when(col("y") === 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("pos_rate_all"),
+        // greatest(n_kept, 1): a stratum where nothing beats the mean
+        // (e.g. one doc, m·1 = Σm) must yield 0.0, not a divide-by-zero
+        // under ANSI (RobustnessSpec's degenerate warehouse)
+        round(sum(when(col("m") * col("n") > col("s") && col("y") === 1, 1L)
+            .otherwise(0L)).cast("double")
+          / greatest(sum(when(col("m") * col("n") > col("s"), 1L)
+            .otherwise(0L)), lit(1L)), 6)
+          .as("pos_rate_kept"))
       .orderBy("lang")
   }
 
@@ -1057,7 +1135,7 @@ object Curation {
       .orderBy("source")
   }
 
-  def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qDsir, qQualityClf,
+  def all: Seq[Q] = Seq(qSampleHash, qSampleWeighted, qDsir, qQualityClf, qQualityClfFilter,
     qEventsFunnel, qTextRedact,
     qDocSourceCap,
     qDocMixBudget, qDocMixTemperature, qDocMedianGate, qEventsRetention,
