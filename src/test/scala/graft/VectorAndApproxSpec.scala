@@ -385,6 +385,50 @@ class VectorAndApproxSpec extends SparkTestBase {
       s"DROP TABLE IF EXISTS ${graft.operators.Scans.rtTable("ivf_idx")}$sfx"))
   }
 
+  test("residual encoding beats flat codes when cells carry real structure") {
+    // On the fixture corpus the label cells explain 0.45% of component
+    // variance, so the residual and flat IVF-PQ recall rungs coincide
+    // (BASELINE round 14). This planted corpus is the OTHER operating
+    // point — four well-separated centers, small within-cluster noise —
+    // where q1(x) removes most of the energy: the residual codebook's
+    // 16×32 budget resolves the noise scale that actually ranks
+    // neighbors, while the flat codebook must also span the center
+    // scale. The residual rung must dominate here, or the residual
+    // arithmetic isn't doing what the paper says it does.
+    val spk = spark
+    import spk.implicits._
+    val dim = 64
+    // deterministic noise in [-1, 1): splitmix-style hash of (row, pos)
+    def h(a: Long, b: Long): Double = {
+      val x = java.lang.Long.rotateLeft(a * 0x9E3779B97F4A7C15L + b, 31) *
+        -4658895280553007687L // 0xBF58476D1CE4E5B9
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val rows = (0 until 240).map { k =>
+      val c = k % 4
+      val v = Array.tabulate(dim) { p =>
+        val center = if (p / 16 == c) 0.7 else 0.0
+        (center + 0.05 * h(k.toLong, p.toLong)).toFloat
+      }
+      (k.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqres").toString
+    rows.write.parquet(s"$dir/embeddings.parquet")
+    def meanRecall(q: graft.Q): Double = {
+      val o = q.fn(spark, dir).collect().map(_.getDouble(2))
+      graft.sources.Scratch.releaseAll()
+      assert(o.nonEmpty, s"${q.name} returned no recall rows")
+      o.sum / o.length
+    }
+    val res = meanRecall(graft.operators.VectorOps.qVecRecallIvfPqRes)
+    val flat = meanRecall(graft.operators.VectorOps.qVecRecallIvfPq)
+    info(f"planted-cluster recall@5: residual $res%.3f vs flat $flat%.3f")
+    assert(res >= flat,
+      s"residual recall $res < flat recall $flat on a clustered corpus")
+    assert(res > 0.5,
+      s"residual recall $res should resolve in-cluster neighbors here")
+  }
+
   test("persisted residual IVF-PQ index probe matches the in-memory path") {
     // The residual artifact adds a coupling the flat variants don't
     // have: the codes are residuals AGAINST the persisted centroid
