@@ -1213,9 +1213,10 @@ object VectorOps {
       .select(col("a_id"), col("b_id"), col("adcu"), col("rk"))
   }
 
-  /** Spark side of the shared IVF-PQ pipeline: ADC top-5 per query vector
+  /** Spark side of the shared IVF-PQ pipeline: ADC top-k per query vector
     * over its 2 probed cells (columns a_id, b_id, adcu, rk). */
-  private def ivfpqTop5(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfpqTop5(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
     val e = cleanEmbeddings(spark, dir)
     val sp = pqSubvectors(e)
     val cb = pqTrain(spark, sp)
@@ -1225,7 +1226,7 @@ object VectorOps {
       .persistScratch() // cell-tagged codes, shared with q_vec_recall_ivfpq
     ivfpqRank(spark, e.filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding")),
-      cellCentroids(e), cb, enc)
+      cellCentroids(e), cb, enc, k = k)
   }
 
   /** Composed IVF-PQ ANN, graded: coarse cell probe (2 nearest label
@@ -1303,6 +1304,112 @@ object VectorOps {
       .filter(col("rk") <= 5)
       .select("a_id", "b_id")
     truth.join(ivfpqTop5(spark, dir).select("a_id", "b_id")
+        .withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg(count(col("hit")).cast("int").as("n_hit"),
+        round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
+      .orderBy("a_id")
+  }
+
+  /** Shared rerank CTE suffix over [[ivfpqDuck]]: widen the ADC cut to
+    * top-20 candidates, fetch both raw vectors, exact-dot re-rank to
+    * top-5 (rr). */
+  private val ivfpqRerankDuck =
+    s"""$ivfpqDuck,
+       |cand AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(row_number() OVER (PARTITION BY a_id
+       |        ORDER BY adcu DESC, b_id) AS INT) AS rk
+       |    FROM adcp)
+       |  WHERE rk <= 20),
+       |rr AS (
+       |  SELECT a_id, b_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY a_id
+       |      ORDER BY sim DESC, b_id) AS INT) AS rk
+       |  FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      round(list_sum(list_transform(list_zip(qa.embedding, qb.embedding),
+       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS sim
+       |    FROM cand c
+       |    JOIN emb qa ON qa.vec_id = c.a_id
+       |    JOIN emb qb ON qb.vec_id = c.b_id))""".stripMargin
+
+  /** Spark side of the two-tier pipeline: ADC top-20 candidates → exact
+    * re-rank top-5 (columns a_id, b_id, sim, rk). The candidate list is
+    * queries×20 rows, so it broadcasts and the corpus-sized embedding
+    * table serves the raw-float fetch MAP-SIDE — the re-rank tier never
+    * shuffles the corpus. */
+  private def ivfpqRerankTop5(spark: SparkSession, dir: String): DataFrame = {
+    val e = cleanEmbeddings(spark, dir)
+    val cand = ivfpqTop5(spark, dir, k = 20).select("a_id", "b_id")
+    val qv = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qa"))
+    val bv = e.select(col("vec_id").as("b_id"), col("embedding").as("qb"))
+    val topW = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    bv.join(broadcast(cand), "b_id")
+      .join(broadcast(qv), "a_id")
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("qa"), col("qb")), 6).as("sim"))
+      .withColumn("rk", row_number().over(topW))
+      .filter(col("rk") <= 5)
+      .select("a_id", "b_id", "sim", "rk")
+  }
+
+  /** Two-tier IVF-PQ serving, graded: ADC prunes to 20 candidates per
+    * query, then an exact-dot re-rank over ONLY those candidates' raw
+    * floats picks the top 5 — the production ANN serving shape (the ADC
+    * tier reads 17 bytes/vector for the whole corpus; the exact tier
+    * fetches 20 raw vectors per query). Quantization error inside the
+    * probed cells is fully repaired, so recall rises from the ADC rung
+    * toward the cell-pruning ceiling (q_vec_recall_ivfpq_rr measures
+    * it). */
+  val qVecIvfPqRerank = Q(
+    "q_vec_ivfpq_rerank",
+    s"""$ivfpqRerankDuck
+       |SELECT a_id, b_id, sim, rk FROM rr WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfpqRerankTop5(spark, dir).orderBy("a_id", "rk")
+  }
+
+  /** Recall@5 of the two-tier (ADC top-20 → exact re-rank top-5) pipeline
+    * vs brute force — read against q_vec_recall_ivfpq (pure ADC) to see
+    * how much of the quantization loss the exact tier buys back, and
+    * against the 2-probe cell ceiling to see what only more probes can
+    * recover. */
+  val qVecRecallIvfPqRr = Q(
+    "q_vec_recall_ivfpq_rr",
+    s"""$ivfpqRerankDuck,
+       |truth AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
+       |    FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 20)
+       |  WHERE rk <= 5)
+       |SELECT tr.a_id,
+       |  CAST(COUNT(p.b_id) AS INT) AS n_hit,
+       |  round(COUNT(p.b_id) / 5.0, 6) AS recall_at_5
+       |FROM truth tr LEFT JOIN (SELECT a_id, b_id FROM rr WHERE rk <= 5) p
+       |  ON tr.a_id = p.a_id AND tr.b_id = p.b_id
+       |GROUP BY tr.a_id
+       |ORDER BY tr.a_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    val truth = q.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("a_id", "b_id")
+    truth.join(ivfpqRerankTop5(spark, dir).select("a_id", "b_id")
         .withColumn("hit", lit(1)),
         Seq("a_id", "b_id"), "left")
       .groupBy("a_id")
@@ -2319,6 +2426,7 @@ object VectorOps {
     qVecKmeans, qVecKmeansIter, qVecNcc, qVecIvfProbe2,
     qVecIndexIvf, qVecIndexPq,
     qVecIvfPq, qVecIndexIvfPq, qVecRecallIvfPq,
+    qVecIvfPqRerank, qVecRecallIvfPqRr,
     qVecIvfPqRes, qVecIndexIvfPqRes, qVecRecallIvfPqRes,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,
