@@ -310,9 +310,18 @@ object Curation {
     * per-doc margin frames (m1, m2, m3) — shared by the training row and
     * the filter-application row (persistScratch dedups the sub-DAGs by
     * canonical plan, so in one module run the corpus trains once). */
-  private def clfMargins(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def clfMargins(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    clfTrain(spark, dir) match { case (m1, m2, m3, _) => (m1, m2, m3) }
+
+  /** Training loop returning the margin frames AND the final weight map
+    * — the serving artifact a streaming filter broadcasts
+    * (StreamingSpec's batch/stream parity test). */
+  private[graft] def clfTrain(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      Map[Long, Long]) = {
     val spk = spark
     import spk.implicits._
     val xc = Tables.documents(spark, dir)
@@ -352,7 +361,7 @@ object Curation {
     val g3 = gradient(m2.filter(col("y") * col("m") <= 0))
     w = w.map { case (b, v) => b -> (v + g3.getOrElse(b, 0L)) }
     val m3 = margins(wFrame(w)).persistScratch()
-    (m1, m2, m3)
+    (m1, m2, m3, w)
   }
 
   val qQualityClf = Q(

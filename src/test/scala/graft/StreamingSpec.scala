@@ -629,4 +629,63 @@ class StreamingSpec extends SparkTestBase {
     spk.sql(s"DROP TABLE IF EXISTS ${name}_sig")
     spk.sql(s"DROP TABLE IF EXISTS ${name}_emb")
   }
+  test("streaming quality filter matches the batch filter's keep decisions") {
+    // Serving pattern for the trained classifier: the weight table and
+    // the per-language cuts are ARTIFACTS of offline training; the
+    // stream applies them statelessly per micro-batch (broadcast weight
+    // join, no state store). Every keep decision must match the batch
+    // row's integer-exact rule (m*n > sum m) — batch/stream parity of
+    // the curation filter, the property that lets one filter run in
+    // both the backfill and the live ingest path.
+    val spk = spark
+    import spk.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spk.sqlContext
+    val dir = sf()
+    val (_, _, m3, w) = graft.operators.Curation.clfTrain(spk, dir)
+    val cuts = m3.groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum("m").cast("bigint").as("s"))
+      .persist()
+    val expected = m3.join(cuts, "lang")
+      .filter(col("m") * col("n") > col("s"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wDf = w.toSeq.toDF("b", "w").persist()
+    val docs = graft.sources.Tables.documents(spk, dir)
+      .select("doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val kept = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "lang")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val scored = batch
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("t"))
+          .withColumn("b",
+            expr(s"(${graft.functions.PortableHash.spark("t")}) % 1024"))
+          .join(broadcast(wDf), "b")
+          .groupBy("doc_id", "lang")
+          .agg(sum("w").cast("bigint").as("m"))
+          .join(broadcast(cuts), "lang")
+          .filter(col("m") * col("n") > col("s"))
+          .select("doc_id").collect().foreach(r => kept.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { g =>
+        input.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = kept.asScala.toSet
+    assert(streamed === expected,
+      s"stream/batch keep divergence: stream-only=${streamed.diff(expected)} " +
+        s"batch-only=${expected.diff(streamed)}")
+    assert(expected.nonEmpty, "parity test needs a nonempty kept set")
+    cuts.unpersist(); wDf.unpersist()
+    graft.sources.Scratch.releaseAll()
+  }
 }
