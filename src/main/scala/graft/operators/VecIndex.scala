@@ -291,6 +291,55 @@ object VecIndex {
     VectorOps.ivfpqRank(spark, batch, spark.table(s"${name}_cent"),
       spark.table(s"${name}_cb"), spark.table(s"${name}_code"), p, k)
 
+  /** IVF-PQ admit path (FAISS `add()`): encode a new batch against the
+    * FIXED persisted codebook and append its cell-tagged codes — no
+    * retraining, no touching existing codes or the centroid table
+    * (codebook refresh is the offline ivfpqWrite path). O(batch):
+    * the only index read is the replay guard's vec_id scan. Replay-safe:
+    * vec_ids already coded are dropped, so a crashed appender reruns
+    * without duplicating rows. */
+  def ivfpqAppend(batch: DataFrame, name: String, buckets: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.select("vec_id", "label", "embedding")
+      .join(spark.table(s"${name}_code").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    val coded = VectorOps.pqAssign(spark, VectorOps.pqSubvectors(fresh),
+        spark.table(s"${name}_cb")).select("vec_id", "s", "code")
+      .join(fresh.select("vec_id", "label"), "vec_id")
+      .localCheckpoint()
+    try Sinks.writeBucketed(coded, buckets, Seq("label"), s"${name}_code",
+      SaveMode.Append)
+    finally coded.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+  }
+
+  /** [[ivfpqAppend]] for the residual artifact: residualize the batch
+    * against the PERSISTED centroid table first, then encode with the
+    * persisted residual codebook — the appended codes are residuals of
+    * exactly the centroids stored beside them. */
+  def ivfpqResAppend(batch: DataFrame, name: String,
+      buckets: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val fresh = batch.select("vec_id", "label", "embedding")
+      .join(spark.table(s"${name}_code").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    val resv = fresh.join(broadcast(spark.table(s"${name}_cent")), "label")
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) - y)")
+          .as("embedding"))
+    val coded = VectorOps.pqAssign(spark, VectorOps.pqSubvectors(resv),
+        spark.table(s"${name}_cb")).select("vec_id", "s", "code")
+      .join(fresh.select("vec_id", "label"), "vec_id")
+      .localCheckpoint()
+    try Sinks.writeBucketed(coded, buckets, Seq("label"), s"${name}_code",
+      SaveMode.Append)
+    finally coded.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+  }
+
   /** Write the RESIDUAL-encoded IVF-PQ artifact (the full FAISS IVFPQ
     * form): same three-table layout as [[ivfpqWrite]], but `<name>_cb`
     * is trained on and `<name>_code` encodes the residuals x − q1(x)

@@ -960,7 +960,7 @@ object VectorOps {
     * s-indexed book keeps the lambda at 32 candidates, and the inner L2
     * is the graft_l2 primitive, not a zip_with fold that would allocate
     * and interpret per element inside the candidate lambda.) */
-  private[operators] def pqAssign(spark: SparkSession, sp: DataFrame,
+  private[graft] def pqAssign(spark: SparkSession, sp: DataFrame,
       cb: DataFrame): DataFrame = {
     graft.functions.VecExprs.registerL2(spark)
     // The book is a MAP keyed by subspace id, not a positional array: a
@@ -985,7 +985,7 @@ object VectorOps {
   }
 
   /** (vec_id, s, sv): the m=16 4-dim subvectors of every vector. */
-  private[operators] def pqSubvectors(e: DataFrame): DataFrame =
+  private[graft] def pqSubvectors(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
         explode(expr("sequence(0, 15)")).as("s"), col("embedding"))
       .select(col("vec_id"), col("s").cast("int").as("s"),

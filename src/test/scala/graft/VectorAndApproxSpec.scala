@@ -452,6 +452,83 @@ class VectorAndApproxSpec extends SparkTestBase {
       s"DROP TABLE IF EXISTS ${graft.operators.Scans.rtTable("ivfpqr_idx")}$sfx"))
   }
 
+  test("IVF-PQ append: fixed-codebook encode, replay-safe, probe-visible") {
+    // The FAISS add() contract for the composed index: an appended batch
+    // is encoded against the PERSISTED codebook (never retrained — the
+    // codes must equal an offline pqAssign with the stored book), the
+    // book and centroid tables stay byte-identical, a replayed append
+    // adds nothing, and appended vectors surface in the next probe.
+    val spk = spark
+    import spk.implicits._
+    val dir = sf()
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val name = "graft_vecspec_ivfpq_app"
+    graft.operators.VecIndex.ivfpqWrite(e.filter(col("vec_id") % 2 === 0), name)
+    val cbBefore = spk.table(s"${name}_cb")
+      .as[(Int, Int, Seq[Double])].collect().toSet
+    graft.operators.VecIndex.ivfpqAppend(e.filter(col("vec_id") % 2 === 1), name)
+    graft.operators.VecIndex.ivfpqAppend(e.filter(col("vec_id") % 2 === 1), name)
+    assert(spk.table(s"${name}_code").select("vec_id").distinct().count()
+      === e.count(), "replayed IVF-PQ append duplicated code rows")
+    assert(spk.table(s"${name}_cb").as[(Int, Int, Seq[Double])].collect().toSet
+      === cbBefore, "append must not retrain the codebook")
+    // the decisive identity: appended codes == offline encode with the
+    // stored book (append cannot have trained or drifted)
+    val expectOdd = graft.operators.VectorOps.pqAssign(spk,
+        graft.operators.VectorOps.pqSubvectors(
+          e.filter(col("vec_id") % 2 === 1)),
+        spk.table(s"${name}_cb"))
+      .select("vec_id", "s", "code").as[(Long, Int, Int)].collect().toSet
+    val gotOdd = spk.table(s"${name}_code").filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "s", "code").as[(Long, Int, Int)].collect().toSet
+    assert(gotOdd === expectOdd,
+      "appended codes differ from a fixed-book offline encode")
+    graft.sources.Scratch.releaseAll()
+    val probed = graft.operators.VecIndex.ivfpqProbe(spark, name,
+        e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")))
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(probed.exists(_._2 % 2 == 1),
+      "no appended (odd-id) vector ever surfaced as an ADC neighbor")
+    Seq("_cent", "_cb", "_code").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $name$sfx"))
+  }
+
+  test("residual IVF-PQ append residualizes against the persisted centroids") {
+    // Same add() contract for the residual artifact, plus its extra
+    // coupling: the appended codes must be residuals of exactly the
+    // PERSISTED centroid table (re-deriving centroids from the half
+    // corpus at append time would shift every code).
+    val spk = spark
+    import spk.implicits._
+    val dir = sf()
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val name = "graft_vecspec_ivfpqr_app"
+    graft.operators.VecIndex.ivfpqResWrite(
+      e.filter(col("vec_id") % 2 === 0), name)
+    graft.operators.VecIndex.ivfpqResAppend(
+      e.filter(col("vec_id") % 2 === 1), name)
+    graft.operators.VecIndex.ivfpqResAppend(
+      e.filter(col("vec_id") % 2 === 1), name)
+    assert(spk.table(s"${name}_code").select("vec_id").distinct().count()
+      === e.count(), "replayed residual append duplicated code rows")
+    val resvOdd = e.filter(col("vec_id") % 2 === 1)
+      .join(broadcast(spk.table(s"${name}_cent")), "label")
+      .select(col("vec_id"), col("label"),
+        expr("zip_with(embedding, cv, (x, y) -> CAST(x AS DOUBLE) - y)")
+          .as("embedding"))
+    val expectOdd = graft.operators.VectorOps.pqAssign(spk,
+        graft.operators.VectorOps.pqSubvectors(resvOdd),
+        spk.table(s"${name}_cb"))
+      .select("vec_id", "s", "code").as[(Long, Int, Int)].collect().toSet
+    val gotOdd = spk.table(s"${name}_code").filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "s", "code").as[(Long, Int, Int)].collect().toSet
+    assert(gotOdd === expectOdd,
+      "appended residual codes differ from a persisted-centroid encode")
+    graft.sources.Scratch.releaseAll()
+    Seq("_cent", "_cb", "_code").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $name$sfx"))
+  }
+
   test("VecIndex.register re-declares the ANN artifact in a bare catalog") {
     // Same recovery contract as DedupIndex.register, for the LSH tables:
     // re-registering a second name over the first name's directories
