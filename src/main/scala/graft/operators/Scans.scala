@@ -309,6 +309,94 @@ object Scans {
       .select("key", "seq", "bal").orderBy("key")
   }
 
+  /** Dataset VERSION DIFF over the pointer-published table — the audit a
+    * pipeline runs before promoting a snapshot ("what did this publish
+    * change?"): build v1 and v2 with real upsertBatch publishes, then
+    * diff CURRENT against the time-travel predecessor, classifying every
+    * key as added or changed (upsert never deletes). The Spark side
+    * computes the diff from the two PUBLISHED artifacts (two pointer
+    * reads), while the oracle recomputes both versions declaratively —
+    * so the version lineage itself is cross-engine-verified end to end.
+    * Scale: one keyed outer join between two table reads; at 100 TB both
+    * sides are the same bucketed layout, so the diff co-partitions. */
+  val qSinkVersionDiff = Q(
+    "q_sink_version_diff",
+    """WITH base AS (
+      |  SELECT c_custkey AS key, 0 AS seq, c_acctbal AS bal FROM customer),
+      |b1 AS (
+      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN -o_custkey
+      |              ELSE o_custkey END AS key,
+      |    1 AS seq, o_totalprice AS bal
+      |  FROM (
+      |    SELECT o_custkey, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1),
+      |b2 AS (
+      |  SELECT c_custkey AS key, 2 AS seq, 0.0 AS bal
+      |  FROM customer WHERE c_acctbal < 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000 AS key, 2 AS seq, c_acctbal AS bal
+      |  FROM customer WHERE c_acctbal < 0),
+      |v1 AS (
+      |  SELECT key, seq, bal FROM (
+      |    SELECT key, seq, bal,
+      |      row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      |    FROM (SELECT * FROM base UNION ALL SELECT * FROM b1))
+      |  WHERE rn = 1),
+      |v2 AS (
+      |  SELECT key, seq, bal FROM (
+      |    SELECT key, seq, bal,
+      |      row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      |    FROM (SELECT * FROM base UNION ALL SELECT * FROM b1
+      |          UNION ALL SELECT * FROM b2))
+      |  WHERE rn = 1)
+      |SELECT v2.key,
+      |  CASE WHEN v1.key IS NULL THEN 'added' ELSE 'changed' END AS change,
+      |  v1.bal AS old_bal, v2.bal AS new_bal
+      |FROM v2 LEFT JOIN v1 USING (key)
+      |WHERE v1.key IS NULL OR v1.bal <> v2.bal OR v1.seq <> v2.seq
+      |ORDER BY v2.key""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val path = rtDir("version_diff") + "/state"
+    graft.sources.Sinks.write(
+      Tables.customer(spark, dir).select(
+        col("c_custkey").as("key"), lit(0).as("seq"),
+        col("c_acctbal").as("bal")),
+      path)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val b1 = Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        when(col("o_custkey") % 2 === 1, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("key"),
+        lit(1).as("seq"), col("o_totalprice").as("bal"))
+    val neg = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
+    val b2 = neg.select(col("c_custkey").as("key"), lit(2).as("seq"),
+        lit(0.0).as("bal"))
+      .unionAll(neg.select((col("c_custkey") + 10000000L).as("key"),
+        lit(2).as("seq"), col("c_acctbal").as("bal")))
+    graft.sources.Sinks.upsertBatch(b1, path, "key", "seq") // publishes v1
+    graft.sources.Sinks.upsertBatch(b2, path, "key", "seq") // publishes v2
+    val cur = graft.sources.Sinks.readTable(spark, path)
+      .select("key", "seq", "bal")
+    val prev = graft.sources.Sinks.readTablePrevious(spark, path)
+      .getOrElse(sys.error(s"no predecessor version at $path"))
+      .select(col("key"), col("seq").as("old_seq"), col("bal").as("old_bal"))
+    cur.join(prev, Seq("key"), "left")
+      .filter(col("old_seq").isNull || col("old_bal") =!= col("bal") ||
+        col("old_seq") =!= col("seq"))
+      .select(col("key"),
+        when(col("old_seq").isNull, "added").otherwise("changed")
+          .as("change"),
+        col("old_bal"), col("bal").as("new_bal"))
+      .orderBy("key")
+  }
+
   /** Bucketed-sink co-located join ROUND-TRIP, graded end-to-end: write
     * orders and lineitem as bucketed tables hash-clustered on the join key
     * ([[graft.sources.Sinks.writeBucketed]], 8 buckets, bucket-sorted),
@@ -490,6 +578,6 @@ object Scans {
 
   def all: Seq[Q] =
     Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
-      qSinkTimeTravel,
+      qSinkTimeTravel, qSinkVersionDiff,
       qSinkBucketedJoin, qSourceJson, qSourceCsv, qSourceOrc, qSinkCompact)
 }
