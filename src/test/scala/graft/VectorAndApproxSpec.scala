@@ -452,6 +452,24 @@ class VectorAndApproxSpec extends SparkTestBase {
       s"DROP TABLE IF EXISTS ${graft.operators.Scans.rtTable("ivfpqr_idx")}$sfx"))
   }
 
+  test("exact re-rank never loses recall to the pure ADC tier") {
+    // The two-tier contract: rr picks the exact-best 5 of ADC's top-20 —
+    // a regression in the exact tier (wrong raw-float fetch join, stale
+    // candidate cut, sim computed on the wrong column) shows up here as
+    // the re-rank scoring BELOW the quantized tier it refines
+    // (sf0.001 measures 0.29 vs 0.24; sf0.1 0.28 vs 0.19).
+    val dir = sf()
+    def mean(q: graft.Q): Double = {
+      val o = q.fn(spark, dir).collect().map(_.getDouble(2))
+      graft.sources.Scratch.releaseAll()
+      o.sum / o.length
+    }
+    val rr = mean(graft.operators.VectorOps.qVecRecallIvfPqRr)
+    val adc = mean(graft.operators.VectorOps.qVecRecallIvfPq)
+    assert(rr >= adc, s"re-rank recall $rr < pure-ADC recall $adc")
+    assert(rr > 0.0, "re-rank recall must be nonzero on the fixture")
+  }
+
   test("IVF-PQ append: fixed-codebook encode, replay-safe, probe-visible") {
     // The FAISS add() contract for the composed index: an appended batch
     // is encoded against the PERSISTED codebook (never retrained — the
