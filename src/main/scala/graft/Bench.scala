@@ -106,6 +106,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    RunId.ensure() // export graft.run.id before the session's first log4j use
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = args.headOption.getOrElse("bench.json")

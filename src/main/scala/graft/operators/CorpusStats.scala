@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.sources.Scratch.PersistSyntax
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -356,32 +357,39 @@ object CorpusStats {
     * sources × languages), joined on the bounded source key. The
     * distinct-text count is the one heavyweight — it shuffles text
     * hashes, the same cost class as exact dedup itself. */
-  val qDocDatacard = Q(
-    "q_doc_datacard",
-    """WITH b AS (
-      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-      |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_uniq,
-      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-      |  FROM documents GROUP BY source),
-      |lc AS (
-      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
-      |  FROM documents GROUP BY 1, 2),
-      |e AS (
-      |  SELECT lc.source,
-      |    CAST(SUM(CAST(round((CAST(c AS DOUBLE) / b.n_docs)
-      |      * ln(CAST(c AS DOUBLE) / b.n_docs) * 1000000) AS BIGINT))
-      |      AS BIGINT) AS neg_u
-      |  FROM lc JOIN b USING (source) GROUP BY lc.source)
-      |SELECT b.source, n_docs, n_tokens,
-      |  CAST(n_docs - n_uniq AS BIGINT) AS n_dup_docs,
-      |  round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 6) AS dup_rate,
-      |  round(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS mean_chars,
-      |  CAST(-neg_u AS BIGINT) AS lang_entropy_u
-      |FROM b JOIN e USING (source)
-      |ORDER BY source""".stripMargin
-  ) { (spark, dir) =>
-    val d = Tables.documents(spark, dir)
+  /** DuckDB datacard CTE chain over relation `rel`, names suffixed `_$t`
+    * so two versions can coexist in one statement (the drift row). Ends
+    * with `card_$t`: one row per source with the full datasheet. ONE
+    * definition serves q_doc_datacard and q_doc_datacard_drift, so the
+    * drift can never diverge from the card it diffs. */
+  private def datacardDuck(rel: String, t: String) =
+    s"""b_$t AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(DISTINCT text) AS BIGINT) AS n_uniq,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |  FROM $rel GROUP BY source),
+       |lc_$t AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM $rel GROUP BY 1, 2),
+       |e_$t AS (
+       |  SELECT lc.source,
+       |    CAST(SUM(CAST(round((CAST(c AS DOUBLE) / b.n_docs)
+       |      * ln(CAST(c AS DOUBLE) / b.n_docs) * 1000000) AS BIGINT))
+       |      AS BIGINT) AS neg_u
+       |  FROM lc_$t lc JOIN b_$t b USING (source) GROUP BY lc.source),
+       |card_$t AS (
+       |  SELECT b.source, n_docs, n_tokens,
+       |    CAST(n_docs - n_uniq AS BIGINT) AS n_dup_docs,
+       |    round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 6) AS dup_rate,
+       |    round(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS mean_chars,
+       |    CAST(-neg_u AS BIGINT) AS lang_entropy_u
+       |  FROM b_$t b JOIN e_$t e USING (source))""".stripMargin
+
+  /** Spark datacard over an arbitrary documents frame (needs text,
+    * source, lang, n_chars): one row per source — the shared core of the
+    * graded card and the version-drift audit. */
+  private def datacard(d: DataFrame): DataFrame = {
     val b = d.groupBy("source")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"),
@@ -404,9 +412,73 @@ object CorpusStats {
         round(col("sum_chars").cast("double") / col("n_docs"), 6)
           .as("mean_chars"),
         (-col("neg_u")).cast("bigint").as("lang_entropy_u"))
+  }
+
+  val qDocDatacard = Q(
+    "q_doc_datacard",
+    s"""WITH ${datacardDuck("documents", "d")}
+       |SELECT source, n_docs, n_tokens, n_dup_docs, dup_rate, mean_chars,
+       |  lang_entropy_u
+       |FROM card_d
+       |ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    datacard(Tables.documents(spark, dir)).orderBy("source")
+  }
+
+  /** Per-VERSION datacard DRIFT over a pointer-published documents table —
+    * the audit a curation pipeline emits with every publish ("how did this
+    * snapshot move the datasheet?"): seed a third of the corpus, publish
+    * two real MERGE batches (v1 = two thirds, v2 = all), then diff the
+    * datacard of CURRENT against the time-travel predecessor per source —
+    * volume, token, dup-rate, and language-entropy drift. The Spark side
+    * computes both cards from the two PUBLISHED artifacts (two pointer
+    * reads, the q_sink_version_diff discipline); the oracle recomputes
+    * both versions declaratively from the doc_id thirds — so the publish
+    * lineage AND the datasheet arithmetic are cross-engine-verified in one
+    * row. Scale: two datacard passes (each two corpus scans with map-side
+    * partials) joined on the bounded source key. */
+  val qDocDatacardDrift = Q(
+    "q_doc_datacard_drift",
+    s"""WITH v1 AS (SELECT * FROM documents WHERE doc_id % 3 < 2),
+       |${datacardDuck("v1", "o")},
+       |${datacardDuck("documents", "n")}
+       |SELECT source,
+       |  o.n_docs AS n_docs_old, n.n_docs AS n_docs_new,
+       |  CAST(n.n_docs - o.n_docs AS BIGINT) AS d_docs,
+       |  CAST(n.n_tokens - o.n_tokens AS BIGINT) AS d_tokens,
+       |  o.dup_rate AS dup_rate_old, n.dup_rate AS dup_rate_new,
+       |  CAST(n.lang_entropy_u - o.lang_entropy_u AS BIGINT) AS d_entropy_u
+       |FROM card_n n JOIN card_o o USING (source)
+       |ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    val path = Scans.rtDir("datacard_drift") + "/docs"
+    val d = Tables.documents(spark, dir)
+    def third(r: Int, seq: Int) = d.filter(col("doc_id") % 3 === r)
+      .select(col("doc_id"), lit(seq).as("seq"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    graft.sources.Sinks.write(third(0, 0), path) // seed (legacy layout)
+    graft.sources.Sinks.upsertBatch(third(1, 1), path, "doc_id", "seq") // v1
+    graft.sources.Sinks.upsertBatch(third(2, 2), path, "doc_id", "seq") // v2
+    val cardOld = datacard(graft.sources.Sinks
+        .readTablePrevious(spark, path)
+        .getOrElse(sys.error(s"no predecessor version at $path")))
+      .select(col("source"), col("n_docs").as("n_docs_old"),
+        col("n_tokens").as("n_tokens_old"),
+        col("dup_rate").as("dup_rate_old"),
+        col("lang_entropy_u").as("entropy_old"))
+    val cardNew = datacard(graft.sources.Sinks.readTable(spark, path))
+    cardNew.join(cardOld, "source")
+      .select(col("source"), col("n_docs_old"),
+        col("n_docs").as("n_docs_new"),
+        (col("n_docs") - col("n_docs_old")).cast("bigint").as("d_docs"),
+        (col("n_tokens") - col("n_tokens_old")).cast("bigint")
+          .as("d_tokens"),
+        col("dup_rate_old"), col("dup_rate").as("dup_rate_new"),
+        (col("lang_entropy_u") - col("entropy_old")).cast("bigint")
+          .as("d_entropy_u"))
       .orderBy("source")
   }
 
   def all: Seq[Q] = Seq(qTextOov, qTextZipf, qDocNovelty, qTextHeavy,
-    qTextBoilerplate, qDocDupMass, qDocDatacard)
+    qTextBoilerplate, qDocDupMass, qDocDatacard, qDocDatacardDrift)
 }

@@ -111,23 +111,52 @@ object Scans {
     // location: <cwd>/spark-warehouse), which no tmp reaper owns — the
     // ~10 per-run bucketed index tables would accumulate forever. Two
     // sweeps: on exit, this process's own `graft_rt_<id>_*` tables; on
-    // startup, any `graft_rt_*` dir untouched for >1 day (a kill -9'd
-    // predecessor — its unique id is never reused, and nothing alive
-    // goes a day without touching its tables within one bench/test run).
+    // startup, any `graft_rt_*` dir whose OWNER's heartbeat file is stale
+    // or missing AND whose own mtime is >1 day old. The heartbeat (one
+    // `.graft_rt_<id>.alive` per JVM, touched on every rtTable call) is
+    // what keeps a live-but-quiet owner safe: a table dir's top-level
+    // mtime does not move when files are written DEEP inside it or when
+    // it is only read, so mtime alone would let a fresh process sweep a
+    // >24h-old JVM's in-use tables out from under it.
     val warehouse = java.nio.file.Paths
       .get(sys.props("user.dir"), "spark-warehouse").toFile
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    def heartbeatOf(tableDir: String): java.io.File = {
+      // graft_rt_<8-hex-id>_<name> → .graft_rt_<8-hex-id>.alive
+      val oid = tableDir.stripPrefix("graft_rt_").take(8)
+      new java.io.File(warehouse, s".graft_rt_$oid.alive")
+    }
     Option(warehouse.listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("graft_rt_") && f.lastModified() < cutoff)
-        rmTree(f)
+      val n = f.getName
+      val stale = f.lastModified() < cutoff
+      if (n.startsWith("graft_rt_") && stale &&
+          heartbeatOf(n).lastModified() < cutoff) rmTree(f)
+      // a dead owner's heartbeat is itself litter once its tables are gone
+      if (n.startsWith(".graft_rt_") && n.endsWith(".alive") && stale)
+        f.delete()
     })
+    warehouse.mkdirs()
+    new java.io.File(warehouse, s".graft_rt_$id.alive").createNewFile()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       rmTree(root)
       Option(warehouse.listFiles()).foreach(_.foreach { f =>
         if (f.getName.startsWith(s"graft_rt_${id}_")) rmTree(f)
       })
+      new java.io.File(warehouse, s".graft_rt_$id.alive").delete()
     }))
     id
+  }
+
+  /** Touch this JVM's warehouse heartbeat — called from [[rtTable]] so any
+    * process actively using rt tables advertises liveness to other
+    * processes' startup sweeps (File.lastModified granularity is seconds;
+    * the touch is one utimes syscall, free at query cadence). */
+  private def touchHeartbeat(): Unit = {
+    val hb = java.nio.file.Paths.get(sys.props("user.dir"),
+      "spark-warehouse", s".graft_rt_$rtSession.alive").toFile
+    if (!hb.setLastModified(System.currentTimeMillis())) {
+      hb.getParentFile.mkdirs(); hb.createNewFile(); ()
+    }
   }
 
   /** Per-JVM CATALOG name for a round-trip query's table artifact — the
@@ -135,8 +164,10 @@ object Scans {
     * working dir, so a fixed table name would let two concurrent JVMs
     * DROP/overwrite each other's live index files (the same hazard
     * [[rtDir]] solves for path artifacts). */
-  private[graft] def rtTable(name: String): String =
+  private[graft] def rtTable(name: String): String = {
+    touchHeartbeat()
     s"graft_rt_${rtSession}_$name"
+  }
 
   private[operators] def rtDir(name: String): String = {
     val p = java.nio.file.Paths
@@ -397,6 +428,71 @@ object Scans {
       .orderBy("key")
   }
 
+  /** DEEP time travel through the keep-N pointer history, graded
+    * end-to-end: seed a keyed table, drive THREE MERGE publishes through
+    * the pointer protocol, then read the table as of TWO publishes back
+    * ([[graft.sources.Sinks.readTableVersion]] back=2) — the state after
+    * batch 1, surviving two later pointer swaps. The oracle states that
+    * state declaratively (latest-wins over base ∪ batch 1) and knows
+    * nothing about versions, so the graded hash proves the N-line history
+    * window ([[graft.sources.Sinks.HistoryKeep]] = 3) really retains
+    * byte-exact older versions, not just the immediate predecessor — the
+    * "diff against last week's publish" read a long-running ingest asks
+    * for. All version names ride in the ONE atomically-renamed pointer
+    * file, so no history depth can disagree with the live version.
+    * Scale: a metadata read — cost identical to reading the live table. */
+  val qSinkHistory = Q(
+    "q_sink_history",
+    """WITH base AS (
+      |  SELECT c_custkey AS key, 0 AS seq, c_acctbal AS bal FROM customer),
+      |b1 AS (
+      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN -o_custkey
+      |              ELSE o_custkey END AS key,
+      |    1 AS seq, o_totalprice AS bal
+      |  FROM (
+      |    SELECT o_custkey, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM b1)
+      |SELECT key, seq, bal FROM (
+      |  SELECT key, seq, bal,
+      |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      |  FROM u)
+      |WHERE rn = 1
+      |ORDER BY key""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val path = rtDir("sink_history") + "/state"
+    graft.sources.Sinks.write(
+      Tables.customer(spark, dir).select(
+        col("c_custkey").as("key"), lit(0).as("seq"),
+        col("c_acctbal").as("bal")),
+      path)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val b1 = Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        when(col("o_custkey") % 2 === 1, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("key"),
+        lit(1).as("seq"), col("o_totalprice").as("bal"))
+    val b2 = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("key"), lit(2).as("seq"),
+        lit(0.0).as("bal"))
+    val b3 = Tables.customer(spark, dir)
+      .select((col("c_custkey") + 20000000L).as("key"), lit(3).as("seq"),
+        col("c_acctbal").as("bal"))
+    graft.sources.Sinks.upsertBatch(b1, path, "key", "seq") // publishes v1
+    graft.sources.Sinks.upsertBatch(b2, path, "key", "seq") // publishes v2
+    graft.sources.Sinks.upsertBatch(b3, path, "key", "seq") // publishes v3
+    graft.sources.Sinks.readTableVersion(spark, path, 2)
+      .getOrElse(sys.error(s"no depth-2 version at $path"))
+      .select("key", "seq", "bal").orderBy("key")
+  }
+
   /** Bucketed-sink co-located join ROUND-TRIP, graded end-to-end: write
     * orders and lineitem as bucketed tables hash-clustered on the join key
     * ([[graft.sources.Sinks.writeBucketed]], 8 buckets, bucket-sorted),
@@ -578,6 +674,6 @@ object Scans {
 
   def all: Seq[Q] =
     Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
-      qSinkTimeTravel, qSinkVersionDiff,
+      qSinkTimeTravel, qSinkVersionDiff, qSinkHistory,
       qSinkBucketedJoin, qSourceJson, qSourceCsv, qSourceOrc, qSinkCompact)
 }

@@ -1138,10 +1138,13 @@ object VectorOps {
   // 16×32 codebook the flat-PQ family trains — both stages reuse their
   // standalone derivations, so the composition cannot drift from its parts.
 
-  /** Shared IVF-PQ CTE suffix over [[pqCtes]]: exact-unit cell centroids →
-    * 2-nearest-cell probes (panel vec_id < 20, the PQ discipline) → ADC
-    * restricted to probed cells → top-5 (ipq5). */
-  private val ivfpqDuck =
+  /** Shared IVF-PQ CTE suffix over [[pqCtes]], parameterized on the probe
+    * count: exact-unit cell centroids → p-nearest-cell probes (panel
+    * vec_id < 20, the PQ discipline) → ADC restricted to probed cells →
+    * top-5 (ipq5). p is the serving-recall lever (the r14 rerank
+    * measurement proved the residual error is 100% cell pruning at p=2),
+    * so the graded family publishes p=2 and p=4 rungs. */
+  private def ivfpqDuckP(p: Int) =
     s"""WITH $pqCtes,
        |cent AS (
        |  SELECT label, i - 1 AS pos,
@@ -1157,7 +1160,7 @@ object VectorOps {
        |        ORDER BY round(list_sum(list_transform(list_zip(q.embedding, cvec.cv),
        |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC, cvec.label) AS INT) AS crk
        |    FROM (SELECT vec_id, embedding FROM emb WHERE vec_id < 20) q, cvec)
-       |  WHERE crk <= 2),
+       |  WHERE crk <= $p),
        |adcp AS (
        |  SELECT l.a_id, e.vec_id AS b_id, SUM(l.lutu) AS adcu
        |  FROM enc e
@@ -1173,6 +1176,8 @@ object VectorOps {
        |        ORDER BY adcu DESC, b_id) AS INT) AS rk
        |    FROM adcp)
        |  WHERE rk <= 5)""".stripMargin
+
+  private val ivfpqDuck = ivfpqDuckP(2)
 
   /** The IVF-PQ probe core, parameterized over WHERE the artifact lives:
     * rank the centroid table (broadcast, k rows) to each query's p nearest
@@ -1214,9 +1219,9 @@ object VectorOps {
   }
 
   /** Spark side of the shared IVF-PQ pipeline: ADC top-k per query vector
-    * over its 2 probed cells (columns a_id, b_id, adcu, rk). */
+    * over its p probed cells (columns a_id, b_id, adcu, rk). */
   private def ivfpqTop5(spark: SparkSession, dir: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, p: Int = 2): DataFrame = {
     val e = cleanEmbeddings(spark, dir)
     val sp = pqSubvectors(e)
     val cb = pqTrain(spark, sp)
@@ -1226,7 +1231,7 @@ object VectorOps {
       .persistScratch() // cell-tagged codes, shared with q_vec_recall_ivfpq
     ivfpqRank(spark, e.filter(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding")),
-      cellCentroids(e), cb, enc, k = k)
+      cellCentroids(e), cb, enc, p = p, k = k)
   }
 
   /** Composed IVF-PQ ANN, graded: coarse cell probe (2 nearest label
@@ -1312,11 +1317,11 @@ object VectorOps {
       .orderBy("a_id")
   }
 
-  /** Shared rerank CTE suffix over [[ivfpqDuck]]: widen the ADC cut to
+  /** Shared rerank CTE suffix over [[ivfpqDuckP]]: widen the ADC cut to
     * top-20 candidates, fetch both raw vectors, exact-dot re-rank to
-    * top-5 (rr). */
-  private val ivfpqRerankDuck =
-    s"""$ivfpqDuck,
+    * top-5 (rr). Parameterized on the probe count like its base. */
+  private def ivfpqRerankDuckP(p: Int) =
+    s"""${ivfpqDuckP(p)},
        |cand AS (
        |  SELECT a_id, b_id FROM (
        |    SELECT a_id, b_id,
@@ -1336,14 +1341,17 @@ object VectorOps {
        |    JOIN emb qa ON qa.vec_id = c.a_id
        |    JOIN emb qb ON qb.vec_id = c.b_id))""".stripMargin
 
+  private val ivfpqRerankDuck = ivfpqRerankDuckP(2)
+
   /** Spark side of the two-tier pipeline: ADC top-20 candidates → exact
     * re-rank top-5 (columns a_id, b_id, sim, rk). The candidate list is
     * queries×20 rows, so it broadcasts and the corpus-sized embedding
     * table serves the raw-float fetch MAP-SIDE — the re-rank tier never
     * shuffles the corpus. */
-  private def ivfpqRerankTop5(spark: SparkSession, dir: String): DataFrame = {
+  private def ivfpqRerankTop5(spark: SparkSession, dir: String,
+      p: Int = 2): DataFrame = {
     val e = cleanEmbeddings(spark, dir)
-    val cand = ivfpqTop5(spark, dir, k = 20).select("a_id", "b_id")
+    val cand = ivfpqTop5(spark, dir, k = 20, p = p).select("a_id", "b_id")
     val qv = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("a_id"), col("embedding").as("qa"))
     val bv = e.select(col("vec_id").as("b_id"), col("embedding").as("qb"))
@@ -1416,6 +1424,111 @@ object VectorOps {
       .agg(count(col("hit")).cast("int").as("n_hit"),
         round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
       .orderBy("a_id")
+  }
+
+  // ---- composed IVF-PQ at probe=4 (the serving-recall lever) ------------
+  // The r14 two-tier measurement (BASELINE.md round 14) proved the rerank
+  // rung sits EXACTLY on the p=2 cell-pruning ceiling: the remaining error
+  // budget is 100% probe count, 0% code resolution. Standalone exact IVF
+  // reaches 0.55 recall at p=4 vs 0.28 at p=2 — so p=4 is the one knob
+  // that still moves composed-serving recall, at 2× the ADC lookups and
+  // an unchanged index artifact (probe count is a QUERY-time parameter;
+  // the cells, codes, and LUT layout are identical to the p=2 rows).
+
+  /** Spark half of a recall@5 rung: brute-force top-5 truth for the
+    * vec_id<20 panel, left-joined against `top` (a_id, b_id). Shared by
+    * the p=4 rungs so they cannot drift from the ladder's definition. */
+  private def recallVsTruth(spark: SparkSession, dir: String,
+      top: DataFrame): DataFrame = {
+    val e = cleanEmbeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    val truth = q.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("a_id", "b_id")
+    truth.join(top.select("a_id", "b_id").withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg(count(col("hit")).cast("int").as("n_hit"),
+        round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
+      .orderBy("a_id")
+  }
+
+  /** DuckDB half of a recall@5 rung, appended after a CTE chain that
+    * defines `emb` and the probed top-5 relation `topRel`. */
+  private def duckRecallTail(topRel: String) =
+    s""",
+       |truth AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
+       |    FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 20)
+       |  WHERE rk <= 5)
+       |SELECT tr.a_id,
+       |  CAST(COUNT(p.b_id) AS INT) AS n_hit,
+       |  round(COUNT(p.b_id) / 5.0, 6) AS recall_at_5
+       |FROM truth tr LEFT JOIN $topRel p
+       |  ON tr.a_id = p.a_id AND tr.b_id = p.b_id
+       |GROUP BY tr.a_id
+       |ORDER BY tr.a_id""".stripMargin
+
+  /** Composed IVF-PQ ANN at probe=4, graded: [[qVecIvfPq]]'s exact plan
+    * with the coarse probe widened to the 4 nearest cells — same trained
+    * book, same codes, same broadcast shapes; only the (query, cell)
+    * probe list doubles (still batch×4 rows, broadcast). */
+  val qVecIvfPqP4 = Q(
+    "q_vec_ivfpq_p4",
+    s"""${ivfpqDuckP(4)}
+       |SELECT a_id, b_id, round(adcu / 1000000.0, 6) AS adc, rk FROM ipq5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfpqTop5(spark, dir, p = 4)
+      .select(col("a_id"), col("b_id"),
+        round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
+      .orderBy("a_id", "rk")
+  }
+
+  /** Recall@5 of IVF-PQ at probe=4 — the ladder rung that prices the
+    * probe-count knob against q_vec_recall_ivfpq (p=2): identical index,
+    * 2× probed cells. */
+  val qVecRecallIvfPqP4 = Q(
+    "q_vec_recall_ivfpq_p4",
+    s"""${ivfpqDuckP(4)}${duckRecallTail("ipq5")}""".stripMargin
+  ) { (spark, dir) =>
+    recallVsTruth(spark, dir, ivfpqTop5(spark, dir, p = 4))
+  }
+
+  /** Two-tier IVF-PQ serving at probe=4, graded: ADC top-20 over 4 probed
+    * cells, exact-dot re-rank to top-5 — the production operating point
+    * the p=2 rows motivate (the exact tier repairs ALL in-cell
+    * quantization loss, so recall here should sit on the p=4 cell
+    * ceiling, the 0.55 class). */
+  val qVecIvfPqRerankP4 = Q(
+    "q_vec_ivfpq_rerank_p4",
+    s"""${ivfpqRerankDuckP(4)}
+       |SELECT a_id, b_id, sim, rk FROM rr WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfpqRerankTop5(spark, dir, p = 4).orderBy("a_id", "rk")
+  }
+
+  /** Recall@5 of the p=4 two-tier pipeline vs brute force — read against
+    * q_vec_recall_ivfpq_rr (p=2 ceiling) and q_vec_recall_ivf4 to see the
+    * probe-count lever move the SERVING recall. */
+  val qVecRecallIvfPqRrP4 = Q(
+    "q_vec_recall_ivfpq_rr_p4",
+    s"""${ivfpqRerankDuckP(4)}${duckRecallTail(
+        "(SELECT a_id, b_id FROM rr WHERE rk <= 5)")}""".stripMargin
+  ) { (spark, dir) =>
+    recallVsTruth(spark, dir, ivfpqRerankTop5(spark, dir, p = 4)
+      .filter(col("rk") <= 5))
   }
 
   // ---- residual-encoded IVF-PQ (the full FAISS IVFPQ form) --------------
@@ -2427,6 +2540,7 @@ object VectorOps {
     qVecIndexIvf, qVecIndexPq,
     qVecIvfPq, qVecIndexIvfPq, qVecRecallIvfPq,
     qVecIvfPqRerank, qVecRecallIvfPqRr,
+    qVecIvfPqP4, qVecRecallIvfPqP4, qVecIvfPqRerankP4, qVecRecallIvfPqRrP4,
     qVecIvfPqRes, qVecIndexIvfPqRes, qVecRecallIvfPqRes,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,

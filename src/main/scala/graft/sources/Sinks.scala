@@ -151,7 +151,7 @@ object Sinks {
     * atomic pointer rename, so a crash at any point leaves readers (who
     * resolve through [[readTable]]) on a complete table version. */
   def upsertBatch(batch: DataFrame, path: String, keyCol: String,
-      seqCol: String): Unit = {
+      seqCol: String): Unit = withTableLock(batch.sparkSession, path) {
     val spark = batch.sparkSession
     // A crashed FIRST publish over a legacy (pointerless) layout leaves
     // fully-staged orphan `data-*` dirs in the root; the legacy-base read
@@ -231,7 +231,7 @@ object Sinks {
     * as data columns and must be re-materialized as directories);
     * `coalesce` (not repartition) keeps the rewrite shuffle-free. */
   def compact(spark: SparkSession, path: String, files: Int,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil): Unit = withTableLock(spark, path) {
     // resolve through the pointer so repeated compactions (and compaction
     // after more writeBatch litter landed in the live version) read the
     // current data dir; commit via the same atomic pointer swap. On a
@@ -304,24 +304,101 @@ object Sinks {
   //   - crash between pointer-tmp write and rename → same;
   //   - crash after the swap, before retirement → new version live, stale
   //     dirs leak until the next publish retires them.
-  // The PREDECESSOR version survives one extra publish cycle, so a reader
-  // that resolved CURRENT just before a swap can finish its scan. This is
-  // the minimal slice of a table format's commit protocol — no manifest
-  // lists, no snapshot history — sized to the delete→rename window it
-  // closes (SinkSourceSpec simulates the crash points).
+  // The pointer names up to [[HistoryKeep]] versions (line 1 = live, later
+  // lines = predecessors, newest first), so readers that resolved CURRENT
+  // just before a swap can finish their scan AND a bounded time-travel
+  // history ("diff vs N publishes ago") is a metadata read. Versions
+  // beyond the window are retired by the publish that rolls them out.
+  // This is the minimal slice of a table format's commit protocol — no
+  // manifest lists, no snapshot log — sized to the delete→rename window
+  // it closes (SinkSourceSpec simulates the crash points).
   //
-  // SINGLE WRITER per table root. Readers are safe at any time (they
-  // resolve through the atomically-swapped pointer), but the MUTATORS
-  // (upsertBatch, compact, publish, vacuum) assume no concurrent writer:
-  // a publish retires every root entry outside {pointer, new version,
-  // predecessor}, so a second in-flight writer's staged `data-*` dir
-  // would be deleted mid-write, and two merges racing the same base
-  // would lose one's rows on the pointer swap. Real table formats close
-  // this with a CAS/lock on the commit; this slice deliberately doesn't
-  // carry one — serialize writers externally (the rtDir per-process
-  // isolation plays that role in this repo's tests and bench).
+  // SINGLE WRITER per table root, now ENFORCED: every mutator
+  // (upsertBatch, compact, vacuum) runs under a best-effort lease file
+  // ([[withTableLock]] — atomic create-if-absent on `.LOCK`), so a second
+  // concurrent writer FAILS FAST with [[ConcurrentWriterException]]
+  // instead of having its staged `data-*` dir silently deleted by the
+  // first writer's retirement, or losing its merge on the pointer swap.
+  // A crashed holder's lease goes stale after [[LockStaleMs]] and is
+  // reclaimed by the next writer. Readers never touch the lock — they
+  // resolve through the atomically-swapped pointer and are safe at any
+  // time.
 
   private val PointerFile = "CURRENT"
+
+  /** Lease file name: dot-prefixed so parquet readers of a legacy
+    * (pointerless) root ignore it, and upsertBatch's legacy
+    * table-existence probe doesn't mistake it for committed data. */
+  private val LockFile = ".LOCK"
+
+  /** Versions the pointer file names: the live one + 2 predecessors.
+    * Retention cost is HistoryKeep × table size; the window is what
+    * "compare against last-but-one publish" audits read. */
+  val HistoryKeep = 3
+
+  /** A lease whose acquire-timestamp is older than this is presumed
+    * crashed and is reclaimable by the next writer. Mutations here are
+    * single staged-write + pointer-swap cycles — minutes, not hours — so
+    * one hour is far past any live holder at the scales this repo runs;
+    * a deployment with multi-hour merges would raise it (or refresh the
+    * lease mid-flight, which this slice deliberately doesn't carry). */
+  val LockStaleMs: Long = 60L * 60 * 1000
+
+  /** A second concurrent mutator on one table root — the documented
+    * single-writer contract, made checkable. */
+  final class ConcurrentWriterException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Run `body` holding the table root's writer lease. Acquisition is an
+    * atomic-create of [[LockFile]] carrying (token, acquire-millis); if
+    * the file already exists, a fresh lease fails the caller fast and a
+    * stale one (crashed holder, see [[LockStaleMs]]) is reclaimed once.
+    * Release deletes the file only if it still carries OUR token — if a
+    * long pause made another writer reclaim the lease, deleting
+    * unconditionally would free THEIR lock. */
+  private def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(root, LockFile)
+    val token = java.util.UUID.randomUUID().toString
+    def lease(): Option[(String, Long)] =
+      try {
+        val in = fs.open(lock)
+        val txt = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        txt.split("\n").map(_.trim) match {
+          case Array(t, ts, _*) if ts.forall(_.isDigit) && ts.nonEmpty =>
+            Some((t, ts.toLong))
+          case _ => None // torn/empty write: a crashed acquire — stale
+        }
+      } catch { case _: java.io.IOException => None }
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // create-if-absent IS the CAS
+        try out.write(s"$token\n${System.currentTimeMillis()}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val stale = lease() match {
+        case Some((_, ts)) => System.currentTimeMillis() - ts > LockStaleMs
+        case None => true // unreadable lease = crashed mid-create
+      }
+      if (stale) fs.delete(lock, false)
+      if (!stale || !tryAcquire())
+        throw new ConcurrentWriterException(
+          s"table root $path is locked by a concurrent writer " +
+            s"(lease ${lease().getOrElse("unreadable")}); mutators are " +
+            "single-writer — retry after it completes, or reclaim after " +
+            s"${LockStaleMs / 60000} min if it crashed")
+    }
+    try body
+    finally if (lease().exists(_._1 == token)) fs.delete(lock, false)
+  }
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -363,24 +440,28 @@ object Sinks {
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(resolveTable(spark, path))
 
-  /** Time-travel read, one publish back: the PREDECESSOR version that the
-    * publish protocol retains for in-flight readers doubles as a
-    * single-step snapshot history — "what did this table say before the
-    * last MERGE/compaction" is the question every incident review asks
-    * first. The predecessor's name rides in the pointer file's second
-    * line (written in the same atomic rename as the current version), so
-    * this is a metadata read, never a directory-listing heuristic over
-    * retired dirs. Returns None for a table that has no published
-    * predecessor (plain dir, or first publish). Deeper history is a
-    * documented non-goal: retention is exactly one version, so `steps`
-    * beyond 1 would need a real table format's snapshot log. */
-  def readTablePrevious(spark: SparkSession, path: String): Option[DataFrame] = {
+  /** Time-travel read, `back` publishes ago (back = 0 is the live
+    * version): every retained version's name rides in the ONE atomically-
+    * renamed pointer file (newest first), so this is a metadata read,
+    * never a directory-listing heuristic over retired dirs — and the
+    * whole history can never disagree with the live version. Returns None
+    * beyond the retained window ([[HistoryKeep]] versions; a plain dir or
+    * a first publish has no history at all). Deeper history than the
+    * window is the non-goal boundary: that's a real table format's
+    * snapshot log. Scale: cost is identical to reading the live table. */
+  def readTableVersion(spark: SparkSession, path: String,
+      back: Int): Option[DataFrame] = {
+    require(back >= 0, s"back must be >= 0, got $back")
     val root = new org.apache.hadoop.fs.Path(path)
-    readPointerLines(fsOf(spark, root), root) match {
-      case _ +: prev +: _ => Some(spark.read.parquet(s"$path/$prev"))
-      case _ => None
-    }
+    readPointerLines(fsOf(spark, root), root).lift(back)
+      .map(name => spark.read.parquet(s"$path/$name"))
   }
+
+  /** Time-travel read, one publish back — the "what did this table say
+    * before the last MERGE/compaction" question every incident review
+    * asks first. Sugar over [[readTableVersion]](…, 1). */
+  def readTablePrevious(spark: SparkSession, path: String): Option[DataFrame] =
+    readTableVersion(spark, path, 1)
 
   private def stageName(): String =
     s"data-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -424,47 +505,49 @@ object Sinks {
     }
 
   /** Commit `stagedName` (a data dir already fully written inside the
-    * table root) as the live version: atomic pointer swap, then retire
-    * every root entry except the new version, its predecessor, and the
-    * pointer itself — which also absorbs a legacy (pre-pointer) layout's
-    * root-level files on first publish. Single-writer (see the protocol
-    * note above): the retirement deletes any other writer's in-flight
-    * staged dir. */
+    * table root) as the live version: atomic pointer swap naming the new
+    * version plus up to [[HistoryKeep]]−1 predecessors, then retire every
+    * root entry except the retained versions, the pointer, and the writer
+    * lease — which also absorbs a legacy (pre-pointer) layout's
+    * root-level files on first publish, and rolls the version that just
+    * fell out of the history window into retirement. Runs under the
+    * caller's table lock (every public mutator holds it). */
   private def publish(spark: SparkSession, rootPath: String,
       stagedName: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(rootPath)
     val fs = fsOf(spark, root)
-    val prev = readPointer(fs, root)
-    // line 2 records the predecessor so time travel needs no dir listing
-    writePointer(spark, root, stagedName +: prev.toSeq)
-    retireExcept(fs, root, Set(PointerFile, stagedName) ++ prev)
+    val kept = (stagedName +: readPointerLines(fs, root)).take(HistoryKeep)
+    writePointer(spark, root, kept)
+    retireExcept(fs, root, Set(PointerFile, LockFile) ++ kept)
   }
 
   /** Version retention / VACUUM for a published table root — the
     * maintenance operator a long-running ingest loop schedules so disk
     * growth stays bounded by the retention contract, not by uptime:
     * collects crashed-stage `data-*` litter and pointer-tmp files, and —
-    * with `retainPredecessor = false` — also the predecessor version
+    * with `retainPredecessor = false` — also every predecessor version
     * (shrinking retention to the live version only, for when the
-    * one-version grace window has provably drained). The live version
-    * and the pointer always survive. Dropping the predecessor first
+    * history grace window has provably drained). The live version
+    * and the pointer always survive. Dropping predecessors first
     * rewrites the pointer to a single line via the SAME atomic rename as
     * a publish, so a crash between pointer rewrite and deletion leaves
-    * an unreferenced dir the next vacuum collects — never a pointer
+    * unreferenced dirs the next vacuum collects — never a pointer
     * naming a deleted dir, and time travel reports None instead of
     * dangling. On a pointerless root this is exactly the uncommitted-
-    * stage sweep. Single-writer, like every mutator here. */
+    * stage sweep. Holds the writer lease, like every mutator here. */
   def vacuum(spark: SparkSession, path: String,
       retainPredecessor: Boolean = true): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) return
-    val lines = readPointerLines(fs, root)
-    if (lines.isEmpty) { sweepUncommittedStages(spark, path); return }
-    val current = lines.head
-    val prev = lines.drop(1).headOption.filter(_ => retainPredecessor)
-    if (!retainPredecessor && lines.size > 1)
-      writePointer(spark, root, Seq(current))
-    retireExcept(fs, root, Set(PointerFile, current) ++ prev)
+    withTableLock(spark, path) {
+      val lines = readPointerLines(fs, root)
+      if (lines.isEmpty) sweepUncommittedStages(spark, path)
+      else {
+        val kept = if (retainPredecessor) lines else Seq(lines.head)
+        if (kept != lines) writePointer(spark, root, kept)
+        retireExcept(fs, root, Set(PointerFile, LockFile) ++ kept)
+      }
+    }
   }
 }

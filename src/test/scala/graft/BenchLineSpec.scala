@@ -133,13 +133,57 @@ class BenchLineSpec extends SparkTestBase with Matchers {
       org.slf4j.LoggerFactory.getLogger("graft.fixture").info(marker)
       assert(seen.isEmpty,
         s"fixture logger leaked into the console channel: $seen")
-      val f = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-fixture-stats.log")
-      assert(f.exists, "fixture stats file appender did not write")
-      val src = scala.io.Source.fromFile(f)
-      try assert(src.getLines().exists(_.contains(marker)),
-        "fixture stats line missing from the file channel")
-      finally src.close()
+      // the file name is per-process (graft.run.id rides the appender
+      // path) — scan every stats file rather than guessing whether log4j
+      // initialized before or after RunId exported the property
+      val files = Option(new java.io.File(sys.props("java.io.tmpdir"))
+        .listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("graft-fixture-stats.*\\.log"))
+      assert(files.nonEmpty, "fixture stats file appender did not write")
+      assert(files.exists { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().exists(_.contains(marker)) finally src.close()
+      }, "fixture stats line missing from the file channel")
+    } finally root.removeAppender(app)
+  }
+
+  test("suppressed WARN categories never reach the console channel") {
+    // The bench tail lock, generalized: every WARN class that has ever
+    // landed ahead of the JSON line (DAGScheduler "broadcasting large task
+    // binary" — the r14 tail; rdd lineage truncation — r13; BlockManager
+    // re-registration) must be level-filtered by the shipped config BEFORE
+    // appender dispatch. Emitting a WARN through each category and
+    // asserting nothing reaches a root-attached appender proves the
+    // config's suppression list covers them — for any appender, console
+    // included.
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val suppressed = Seq(
+      "org.apache.spark.scheduler.DAGScheduler",
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      "org.apache.spark.storage.BlockManager",
+      "org.apache.spark.util.SparkStringUtils",
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+    val app = new AbstractAppender(
+      "graft-suppress-probe", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (suppressed.exists(e.getLoggerName.startsWith))
+          seen.add(s"${e.getLoggerName}: ${e.getMessage.getFormattedMessage}")
+    }
+    app.start()
+    val root = LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    root.addAppender(app)
+    try {
+      suppressed.foreach { cat =>
+        org.slf4j.LoggerFactory.getLogger(cat)
+          .warn(s"probe warn for $cat — must be level-filtered")
+      }
+      assert(seen.isEmpty,
+        s"suppressed categories leaked WARNs into the tail: $seen")
     } finally root.removeAppender(app)
   }
 

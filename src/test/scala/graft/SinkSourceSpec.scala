@@ -414,4 +414,87 @@ class SinkSourceSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect().toSet === Set((1L, "a", 1L)),
       "pointerless vacuum touched committed root files")
   }
+
+  test("a second concurrent writer fails fast; a crashed lease is reclaimed") {
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_lock").toString + "/t"
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, "a", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    // simulate writer 1 mid-mutation: a FRESH lease file is present
+    val lock = java.nio.file.Paths.get(s"$table/.LOCK")
+    Files.writeString(lock,
+      s"someone-else\n${System.currentTimeMillis()}\n")
+    val e = intercept[graft.sources.Sinks.ConcurrentWriterException] {
+      graft.sources.Sinks.upsertBatch(
+        Seq((2L, "b", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the rejected writer must not have touched the table or the lease
+    assert(Files.exists(lock), "rejected writer deleted a live lease")
+    assert(graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long)].collect().toSet === Set((1L, "a", 1L)),
+      "rejected writer mutated the table")
+    // vacuum and compact honor the same lease
+    intercept[graft.sources.Sinks.ConcurrentWriterException] {
+      graft.sources.Sinks.vacuum(spk, table)
+    }
+    intercept[graft.sources.Sinks.ConcurrentWriterException] {
+      graft.sources.Sinks.compact(spk, table, 1)
+    }
+    // a CRASHED holder's lease (acquire-stamp older than LockStaleMs) is
+    // reclaimed: the next writer proceeds and leaves no lease behind
+    Files.writeString(lock,
+      s"crashed\n${System.currentTimeMillis() - graft.sources.Sinks.LockStaleMs - 1000}\n")
+    // the raw rewrite bypassed Hadoop's checksummed local FS — drop the
+    // stale .crc sidecar or the lease read fails its checksum
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$table/..LOCK.crc"))
+    graft.sources.Sinks.upsertBatch(
+      Seq((2L, "b", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    assert(graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "a", 1L), (2L, "b", 1L)),
+      "reclaiming writer lost the merge")
+    assert(!Files.exists(lock), "completed writer left its lease behind")
+    // an UNREADABLE lease (torn write from a crash mid-create) is stale too
+    Files.writeString(lock, "")
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$table/..LOCK.crc"))
+    graft.sources.Sinks.vacuum(spk, table)
+    assert(!Files.exists(lock), "vacuum left a reclaimed torn lease behind")
+  }
+
+  test("version history keeps HistoryKeep versions and time travels to depth 2") {
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_hist").toString + "/t"
+    def version(back: Int): Option[Set[(Long, String, Long)]] =
+      graft.sources.Sinks.readTableVersion(spk, table, back)
+        .map(_.as[(Long, String, Long)].collect().toSet)
+    def up(rows: (Long, String, Long)*): Unit =
+      graft.sources.Sinks.upsertBatch(
+        rows.toDF("key", "v", "seq"), table, "key", "seq")
+    up((1L, "a", 1L))                       // v1
+    up((2L, "b", 2L))                       // v2
+    up((1L, "a3", 3L))                      // v3
+    val v1 = Set((1L, "a", 1L))
+    val v2 = v1 + ((2L, "b", 2L))
+    val v3 = Set((1L, "a3", 3L), (2L, "b", 2L))
+    assert(version(0) === Some(v3) && version(1) === Some(v2) &&
+      version(2) === Some(v1), "history window does not hold 3 versions")
+    assert(version(3).isEmpty, "history deeper than the window must be None")
+    // the window ROLLS: a 4th publish retires v1's dir and pointer line
+    up((3L, "c", 4L))
+    assert(version(1) === Some(v3) && version(2) === Some(v2),
+      "history did not roll forward with the 4th publish")
+    assert(version(3).isEmpty, "rolled-out version still readable")
+    val dirs = new java.io.File(table).listFiles().map(_.getName)
+      .count(_.startsWith("data-"))
+    assert(dirs === graft.sources.Sinks.HistoryKeep,
+      s"retirement must keep exactly HistoryKeep dirs, found $dirs")
+    // shrinking vacuum drops the WHOLE history, not just one predecessor
+    graft.sources.Sinks.vacuum(spk, table, retainPredecessor = false)
+    assert(version(1).isEmpty && new java.io.File(table).listFiles()
+      .count(_.getName.startsWith("data-")) === 1,
+      "shrinking vacuum left history behind")
+  }
 }

@@ -23,7 +23,9 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 object SparkTestBase {
   @volatile private var _session: SparkSession = _
 
-  private def build(): SparkSession = SparkSession.builder()
+  private def build(): SparkSession = {
+    RunId.ensure() // export graft.run.id before the session's first log4j use
+    SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
@@ -31,6 +33,7 @@ object SparkTestBase {
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  }
 
   def session: SparkSession = synchronized {
     if (_session == null || _session.sparkContext.isStopped) {
