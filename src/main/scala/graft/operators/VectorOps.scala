@@ -877,8 +877,12 @@ object VectorOps {
   // CTE body WITHOUT the leading WITH, through the per-query LUT — the
   // shared prefix of the flat-PQ queries (pqDuck) and the composed IVF-PQ
   // family (ivfpqDuck), so the two can never disagree on training/encode.
-  private val pqCtes =
-    s"""emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+  // Parameterized on the corpus SELECT so the clustered-corpus rungs run
+  // the IDENTICAL chain over a generated table.
+  private val defaultEmbSql =
+    s"SELECT * FROM embeddings WHERE $sqlClean"
+  private def pqCtesFrom(embSql: String) =
+    s"""emb AS ($embSql),
        |sp AS (
        |  SELECT vec_id, CAST(t.s AS INT) AS s,
        |    embedding[t.s * 4 + 1 : t.s * 4 + 4] AS sv
@@ -918,6 +922,8 @@ object VectorOps {
        |      AS BIGINT) AS lutu
        |  FROM sp q JOIN cb USING (s)
        |  WHERE q.vec_id < 20)""".stripMargin
+
+  private val pqCtes = pqCtesFrom(defaultEmbSql)
 
   private val pqDuck =
     s"""WITH $pqCtes,
@@ -1144,8 +1150,8 @@ object VectorOps {
     * top-5 (ipq5). p is the serving-recall lever (the r14 rerank
     * measurement proved the residual error is 100% cell pruning at p=2),
     * so the graded family publishes p=2 and p=4 rungs. */
-  private def ivfpqDuckP(p: Int) =
-    s"""WITH $pqCtes,
+  private def ivfpqDuckP(p: Int, embSql: String = defaultEmbSql) =
+    s"""WITH ${pqCtesFrom(embSql)},
        |cent AS (
        |  SELECT label, i - 1 AS pos,
        |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
@@ -1221,8 +1227,15 @@ object VectorOps {
   /** Spark side of the shared IVF-PQ pipeline: ADC top-k per query vector
     * over its p probed cells (columns a_id, b_id, adcu, rk). */
   private def ivfpqTop5(spark: SparkSession, dir: String,
+      k: Int = 5, p: Int = 2): DataFrame =
+    ivfpqTop5From(spark, cleanEmbeddings(spark, dir), k, p)
+
+  /** [[ivfpqTop5]] over an arbitrary (vec_id, label, embedding) corpus —
+    * the clustered-corpus rungs run the IDENTICAL pipeline over a
+    * generated frame, so the operating-point comparison can't drift from
+    * the graded family. */
+  private def ivfpqTop5From(spark: SparkSession, e: DataFrame,
       k: Int = 5, p: Int = 2): DataFrame = {
-    val e = cleanEmbeddings(spark, dir)
     val sp = pqSubvectors(e)
     val cb = pqTrain(spark, sp)
       .persistScratch() // trained book: encode + LUT + the recall twin
@@ -1439,8 +1452,12 @@ object VectorOps {
     * vec_id<20 panel, left-joined against `top` (a_id, b_id). Shared by
     * the p=4 rungs so they cannot drift from the ladder's definition. */
   private def recallVsTruth(spark: SparkSession, dir: String,
+      top: DataFrame): DataFrame =
+    recallVsTruthE(spark, cleanEmbeddings(spark, dir), top)
+
+  /** [[recallVsTruth]] over an arbitrary corpus frame. */
+  private def recallVsTruthE(spark: SparkSession, e: DataFrame,
       top: DataFrame): DataFrame = {
-    val e = cleanEmbeddings(spark, dir)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
@@ -1545,9 +1562,10 @@ object VectorOps {
   /** Shared residual-IVF-PQ CTE suffix: cell centroids → per-vector
     * residuals → residual PQ train/encode (the pqCtes discipline, over
     * rsp instead of sp) → probes + per-probe integer-unit base term →
-    * cell-restricted residual ADC + base → top-5 (ripq5). */
-  private val ivfpqResDuck =
-    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+    * cell-restricted residual ADC + base → top-5 (ripq5). Parameterized
+    * on the corpus SELECT like [[pqCtesFrom]]. */
+  private def ivfpqResDuckFrom(embSql: String) =
+    s"""WITH emb AS ($embSql),
        |cent AS (
        |  SELECT label, i - 1 AS pos,
        |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000000) AS BIGINT))
@@ -1627,6 +1645,8 @@ object VectorOps {
        |    FROM radc)
        |  WHERE rk <= 5)""".stripMargin
 
+  private val ivfpqResDuck = ivfpqResDuckFrom(defaultEmbSql)
+
   /** The residual IVF-PQ probe core: probe p nearest cells (carrying each
     * probe's 1e-6-unit BASE term q·c), LUT the query's RAW subvectors
     * against the residual codebook (cell-independent under inner
@@ -1670,8 +1690,12 @@ object VectorOps {
     * the exact cell centroids, residual codebook trained and encoded by
     * the SAME pqTrain/pqAssign used for flat PQ (graft_l2 dispatches on
     * the double residual arrays), ADC+base top-5 for the vec_id<20 panel. */
-  private def ivfpqResTop5(spark: SparkSession, dir: String): DataFrame = {
-    val e = cleanEmbeddings(spark, dir)
+  private def ivfpqResTop5(spark: SparkSession, dir: String): DataFrame =
+    ivfpqResTop5From(spark, cleanEmbeddings(spark, dir))
+
+  /** [[ivfpqResTop5]] over an arbitrary (vec_id, label, embedding) corpus
+    * (see [[ivfpqTop5From]]). */
+  private def ivfpqResTop5From(spark: SparkSession, e: DataFrame): DataFrame = {
     val cvec = cellCentroids(e)
       .persistScratch() // feeds residuals, probes, and the base term
     val resv = e.join(broadcast(cvec), "label")
@@ -1769,6 +1793,88 @@ object VectorOps {
       .agg(count(col("hit")).cast("int").as("n_hit"),
         round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
       .orderBy("a_id")
+  }
+
+  // ---- the residual operating point, GRADED on a clustered corpus -------
+  // The fixture embeddings are near-uniform across cells, so residual and
+  // flat encodings tie there (BASELINE.md round 14's variance audit); the
+  // residual win only appears when between-cell variance dominates — the
+  // regime real embedding corpora live in (Jégou §V-A's motivation). These
+  // rungs GENERATE such a corpus deterministically in BOTH engines —
+  // portable-md5 jitter (±0.15) around 8 portable-md5 planted centers
+  // (±0.8), float32-cast so the generated table is type-identical to the
+  // parquet fixture — then run the UNCHANGED flat and residual IVF-PQ
+  // chains over it. Green hashes prove both engines built the same corpus
+  // AND ranked it identically; the recall pair makes the 2×-class residual
+  // win an oracle-verified number instead of a spec-only fixture claim.
+
+  /** Planted-center corpus knobs, interpolated into BOTH engines' SQL from
+    * one definition (the shared-constant rule). */
+  private val CluCells = 8
+  private val CluCenterU = 1000000L  // ±0.8 in 1.25e6 units
+  private val CluJitterU = 187500L   // ±0.15 in 1.25e6 units
+  private val CluScale = 1250000.0
+
+  /** DuckDB generated-corpus SELECT: one row per fixture vec_id, label =
+    * vec_id % k, dim d = (center(label, d) + jitter(vec_id, d)) / scale,
+    * float32-cast. */
+  private def cluEmbDuck: String = {
+    // the dim lambda variable is `d`, NOT `i` — PortableHash.duck's inner
+    // list_transform binds `i`, which would shadow an outer `i` and hash
+    // the hex position instead of the dimension
+    val c = graft.functions.PortableHash.duck(
+      s"'gc|' || CAST(vec_id % $CluCells AS VARCHAR) || '|' || CAST(d AS VARCHAR)")
+    val j = graft.functions.PortableHash.duck(
+      "'gj|' || CAST(vec_id AS VARCHAR) || '|' || CAST(d AS VARCHAR)")
+    s"""SELECT vec_id, vec_id % $CluCells AS label,
+       |  list_transform(range(0, 64), d -> CAST(
+       |    (($c % ${2 * CluCenterU + 1} - $CluCenterU)
+       |     + ($j % ${2 * CluJitterU + 1} - $CluJitterU)) / $CluScale
+       |    AS FLOAT)) AS embedding
+       |FROM embeddings""".stripMargin
+  }
+
+  /** Spark generated corpus — same arithmetic, same md5 strings, same
+    * float32 cast, so the two engines' corpora are bit-identical. Pure
+    * per-row expressions over the fixture's vec_id column: at 100 TB this
+    * is a map-only stage (the generator exists only to make the operating
+    * point gradeable; a real corpus arrives clustered already). */
+  private def cluEmb(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.functions.PortableHash.spark(
+      s"concat('gc|', CAST(vec_id % $CluCells AS STRING), '|', CAST(d AS STRING))")
+    val j = graft.functions.PortableHash.spark(
+      "concat('gj|', CAST(vec_id AS STRING), '|', CAST(d AS STRING))")
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      (col("vec_id") % CluCells).as("label"),
+      expr(
+        s"""transform(sequence(0, 63), d -> CAST(
+           |  (($c % ${2 * CluCenterU + 1} - $CluCenterU)
+           |   + ($j % ${2 * CluJitterU + 1} - $CluJitterU)) / $CluScale
+           |  AS FLOAT))""".stripMargin).as("embedding"))
+  }
+
+  /** Recall@5 of FLAT-code IVF-PQ on the clustered corpus — the baseline
+    * half of the operating-point pair. */
+  val qVecRecallIvfPqClu = Q(
+    "q_vec_recall_ivfpq_clu",
+    s"""${ivfpqDuckP(2, cluEmbDuck)}${duckRecallTail("ipq5")}""".stripMargin
+  ) { (spark, dir) =>
+    val e = cluEmb(spark, dir).persistScratch() // corpus feeds chain + truth
+    recallVsTruthE(spark, e, ivfpqTop5From(spark, e))
+  }
+
+  /** Recall@5 of RESIDUAL-code IVF-PQ on the clustered corpus — read
+    * against q_vec_recall_ivfpq_clu: identical cells, probes, and code
+    * budget; the delta is pure residual-encoding win in the regime where
+    * between-cell variance dominates (VectorAndApproxSpec locks the
+    * ordering; BASELINE.md records the measured pair). */
+  val qVecRecallIvfPqResClu = Q(
+    "q_vec_recall_ivfpq_res_clu",
+    s"""${ivfpqResDuckFrom(cluEmbDuck)}${duckRecallTail("ripq5")}""".stripMargin
+  ) { (spark, dir) =>
+    val e = cluEmb(spark, dir).persistScratch() // corpus feeds chain + truth
+    recallVsTruthE(spark, e, ivfpqResTop5From(spark, e))
   }
 
   /** k×64 cell-centroid table (label, cv) from exact integer-unit sums
@@ -2542,6 +2648,7 @@ object VectorOps {
     qVecIvfPqRerank, qVecRecallIvfPqRr,
     qVecIvfPqP4, qVecRecallIvfPqP4, qVecIvfPqRerankP4, qVecRecallIvfPqRrP4,
     qVecIvfPqRes, qVecIndexIvfPqRes, qVecRecallIvfPqRes,
+    qVecRecallIvfPqClu, qVecRecallIvfPqResClu,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,
