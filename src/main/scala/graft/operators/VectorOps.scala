@@ -1331,9 +1331,11 @@ object VectorOps {
   }
 
   /** Shared rerank CTE suffix over [[ivfpqDuckP]]: widen the ADC cut to
-    * top-20 candidates, fetch both raw vectors, exact-dot re-rank to
-    * top-5 (rr). Parameterized on the probe count like its base. */
-  private def ivfpqRerankDuckP(p: Int) =
+    * top-`w` candidates, fetch both raw vectors, exact-dot re-rank to
+    * top-5 (rr). Parameterized on the probe count like its base, and on
+    * the cut width — the p4 ladder measured the fixed w=20 cut binding
+    * below the cell ceiling once 4 cells double the candidate pool. */
+  private def ivfpqRerankDuckP(p: Int, w: Int = 20) =
     s"""${ivfpqDuckP(p)},
        |cand AS (
        |  SELECT a_id, b_id FROM (
@@ -1341,7 +1343,7 @@ object VectorOps {
        |      CAST(row_number() OVER (PARTITION BY a_id
        |        ORDER BY adcu DESC, b_id) AS INT) AS rk
        |    FROM adcp)
-       |  WHERE rk <= 20),
+       |  WHERE rk <= $w),
        |rr AS (
        |  SELECT a_id, b_id, sim,
        |    CAST(row_number() OVER (PARTITION BY a_id
@@ -1362,9 +1364,9 @@ object VectorOps {
     * table serves the raw-float fetch MAP-SIDE — the re-rank tier never
     * shuffles the corpus. */
   private def ivfpqRerankTop5(spark: SparkSession, dir: String,
-      p: Int = 2): DataFrame = {
+      p: Int = 2, w: Int = 20): DataFrame = {
     val e = cleanEmbeddings(spark, dir)
-    val cand = ivfpqTop5(spark, dir, k = 20, p = p).select("a_id", "b_id")
+    val cand = ivfpqTop5(spark, dir, k = w, p = p).select("a_id", "b_id")
     val qv = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("a_id"), col("embedding").as("qa"))
     val bv = e.select(col("vec_id").as("b_id"), col("embedding").as("qb"))
@@ -1545,6 +1547,33 @@ object VectorOps {
         "(SELECT a_id, b_id FROM rr WHERE rk <= 5)")}""".stripMargin
   ) { (spark, dir) =>
     recallVsTruth(spark, dir, ivfpqRerankTop5(spark, dir, p = 4)
+      .filter(col("rk") <= 5))
+  }
+
+  /** Two-tier serving at probe=4 with the ADC cut WIDENED to 40
+    * candidates, graded: the p=4 ladder measured the w=20 re-rank at 0.41
+    * vs a 0.46 cell ceiling — the fixed cut was the binding constraint,
+    * not probe count or code resolution. Doubling the cut costs only 2×
+    * the per-query raw-vector fetch (still broadcast, still map-side);
+    * the ADC tier and the index artifact are unchanged. */
+  val qVecIvfPqRerankP4W40 = Q(
+    "q_vec_ivfpq_rerank_p4_w40",
+    s"""${ivfpqRerankDuckP(4, 40)}
+       |SELECT a_id, b_id, sim, rk FROM rr WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfpqRerankTop5(spark, dir, p = 4, w = 40).orderBy("a_id", "rk")
+  }
+
+  /** Recall@5 of the p=4/w=40 two-tier pipeline — read against
+    * q_vec_recall_ivfpq_rr_p4 (w=20) and the 0.46 p=4 cell ceiling: the
+    * rung that prices the cut-width knob. */
+  val qVecRecallIvfPqRrP4W40 = Q(
+    "q_vec_recall_ivfpq_rr_p4_w40",
+    s"""${ivfpqRerankDuckP(4, 40)}${duckRecallTail(
+        "(SELECT a_id, b_id FROM rr WHERE rk <= 5)")}""".stripMargin
+  ) { (spark, dir) =>
+    recallVsTruth(spark, dir, ivfpqRerankTop5(spark, dir, p = 4, w = 40)
       .filter(col("rk") <= 5))
   }
 
@@ -1793,6 +1822,100 @@ object VectorOps {
       .agg(count(col("hit")).cast("int").as("n_hit"),
         round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
       .orderBy("a_id")
+  }
+
+  // ---- index-health datasheet (the maintenance read before serving) -----
+  // FAISS documents imbalance_factor = k·Σn_c²/N² as THE number to check
+  // before serving an IVF index: probe latency is proportional to probed
+  // cell size, so a skewed coarse quantizer makes tail queries pay the
+  // whole skew. The PQ analogue is codebook utilization — a subspace
+  // whose 32 codewords collapse onto a few live codes wastes its bits
+  // (Jégou §IV's dead-codeword concern). Both are one aggregate over the
+  // index's own tables (labels / codes) — at 100 TB a metadata-cost scan
+  // of the 17-byte/vector artifact, never the raw floats.
+
+  /** Per-CELL size datasheet of the IVF coarse quantizer: vectors per
+    * cell, share, and the cell's contribution to FAISS's imbalance
+    * factor (k·n²/N²; the factors sum to k·Σn²/N², =1 when perfectly
+    * balanced). Both ratios are exact integer MICRO-units via integer
+    * division — the double form round(k·n²/N², 6) landed EXACTLY on a
+    * .xxxxxx5 rounding tie at sf0.1 (10·189²/2000² = 0.0893025) and the
+    * engines split; truncating integer division of exact BIGINTs cannot
+    * tie. One groupBy on the bounded label key. */
+  val qVecCellStats = Q(
+    "q_vec_cell_stats",
+    s"""WITH emb AS (SELECT * FROM embeddings WHERE $sqlClean),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM emb),
+       |c AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |  FROM emb GROUP BY label),
+       |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS cells FROM c)
+       |SELECT label, n_vecs,
+       |  CAST(1000000 * n_vecs // total AS BIGINT) AS share_u,
+       |  CAST(1000000 * cells * n_vecs * n_vecs // (total * total) AS BIGINT)
+       |    AS imb_u
+       |FROM c, n, k
+       |ORDER BY label""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    val c = e.groupBy("label").agg(count(lit(1)).cast("bigint").as("n_vecs"))
+      .persistScratch() // feeds the rows AND both scalar denominators
+    val n = c.agg(sum("n_vecs").cast("bigint").as("total"),
+      count(lit(1)).cast("bigint").as("cells"))
+    c.crossJoin(broadcast(n))
+      .select(col("label"), col("n_vecs"),
+        expr("1000000L * n_vecs div total").cast("bigint").as("share_u"),
+        expr("1000000L * cells * n_vecs * n_vecs div (total * total)")
+          .cast("bigint").as("imb_u"))
+      .orderBy("label")
+  }
+
+  /** Per-SUBSPACE codebook-utilization datasheet of the trained PQ book:
+    * live codes (of 32), code-distribution entropy (micro-nats, the
+    * datacard discipline — terms fixed per code BEFORE the BIGINT sum),
+    * and the hottest code's share. Read before serving: a subspace with
+    * few live codes or near-zero entropy is wasting its bits. One
+    * (s, code) aggregate over the codes table; the 16-row totals frame
+    * broadcasts back. */
+  val qVecIndexStats = Q(
+    "q_vec_index_stats",
+    s"""WITH $pqCtes,
+       |cnt AS (
+       |  SELECT s, code, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM enc GROUP BY s, code),
+       |tot AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY s),
+       |term AS (
+       |  SELECT cnt.s, cnt.c,
+       |    CAST(round((CAST(cnt.c AS DOUBLE) / tot.n)
+       |      * ln(CAST(cnt.c AS DOUBLE) / tot.n) * 1000000) AS BIGINT)
+       |      AS term_u
+       |  FROM cnt JOIN tot USING (s))
+       |SELECT term.s,
+       |  CAST(COUNT(*) AS INT) AS n_codes_used,
+       |  CAST(-SUM(term_u) AS BIGINT) AS code_entropy_u,
+       |  round(CAST(MAX(term.c) AS DOUBLE) / ANY_VALUE(tot.n), 6)
+       |    AS top_share
+       |FROM term JOIN tot USING (s)
+       |GROUP BY term.s
+       |ORDER BY term.s""".stripMargin
+  ) { (spark, dir) =>
+    val sp = pqSubvectors(cleanEmbeddings(spark, dir))
+    val cb = pqTrain(spark, sp).persistScratch() // book: encode below
+    val cnt = pqAssign(spark, sp, cb)
+      .groupBy("s", "code").agg(count(lit(1)).cast("bigint").as("c"))
+      .persistScratch() // feeds the per-s totals AND the entropy terms
+    val tot = cnt.groupBy("s").agg(sum("c").cast("bigint").as("n"))
+    cnt.join(broadcast(tot), "s")
+      .select(col("s"), col("c"), col("n"),
+        round((col("c").cast("double") / col("n"))
+          * log(col("c").cast("double") / col("n")) * 1000000)
+          .cast("bigint").as("term_u"))
+      .groupBy("s")
+      .agg(count(lit(1)).cast("int").as("n_codes_used"),
+        (-sum("term_u")).cast("bigint").as("code_entropy_u"),
+        round(max(col("c")).cast("double") / first(col("n")), 6)
+          .as("top_share"))
+      .orderBy("s")
   }
 
   // ---- the residual operating point, GRADED on a clustered corpus -------
@@ -2647,8 +2770,10 @@ object VectorOps {
     qVecIvfPq, qVecIndexIvfPq, qVecRecallIvfPq,
     qVecIvfPqRerank, qVecRecallIvfPqRr,
     qVecIvfPqP4, qVecRecallIvfPqP4, qVecIvfPqRerankP4, qVecRecallIvfPqRrP4,
+    qVecIvfPqRerankP4W40, qVecRecallIvfPqRrP4W40,
     qVecIvfPqRes, qVecIndexIvfPqRes, qVecRecallIvfPqRes,
     qVecRecallIvfPqClu, qVecRecallIvfPqResClu,
+    qVecCellStats, qVecIndexStats,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,

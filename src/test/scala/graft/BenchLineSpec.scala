@@ -166,6 +166,7 @@ class BenchLineSpec extends SparkTestBase with Matchers {
       "org.apache.spark.rdd.MapPartitionsRDD",
       "org.apache.spark.storage.BlockManager",
       "org.apache.spark.util.SparkStringUtils",
+      "org.apache.spark.sql.catalyst.analysis.ResolveWriteToStream",
       "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
     val app = new AbstractAppender(
       "graft-suppress-probe", null, null, false, Property.EMPTY_ARRAY) {

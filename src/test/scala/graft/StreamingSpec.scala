@@ -131,12 +131,12 @@ class StreamingSpec extends SparkTestBase {
     assert(state() === Map(1L -> "a3", 2L -> "b1", 3L -> "c1"),
       "a replayed stale batch must lose to greater stored seqs")
     // pointer-published layout: CURRENT names the live data dir, and at
-    // most the predecessor version is retained alongside it
+    // most HistoryKeep versions (live + retained predecessors) survive
     assert(new java.io.File(table + "/CURRENT").exists(),
       "upsertBatch must publish through the CURRENT pointer")
     assert(new java.io.File(table).listFiles()
-      .count(_.getName.startsWith("data-")) <= 2,
-      "publish must retire all but the live version and its predecessor")
+      .count(_.getName.startsWith("data-")) <= graft.sources.Sinks.HistoryKeep,
+      "publish must retire every version beyond the history window")
     // EQUAL-seq determinism: two different values at the same seq resolve
     // by the row-hash tiebreak (a total order), so applying them in either
     // order — or replaying either afterwards — converges to one winner

@@ -489,6 +489,10 @@ class VectorAndApproxSpec extends SparkTestBase {
     assert(adc4 >= adc2, s"p4 ADC recall $adc4 < p2 $adc2")
     assert(rr4 > rr2, s"p4 re-rank recall $rr4 must beat p2 $rr2")
     assert(rr4 >= adc4, s"p4 re-rank $rr4 < p4 ADC $adc4")
+    // the cut-width knob: a 40-candidate cut must never lose to 20 (it
+    // re-ranks a superset; sf0.1 measures 0.44 vs 0.41)
+    val rr4w = mean(graft.operators.VectorOps.qVecRecallIvfPqRrP4W40)
+    assert(rr4w >= rr4, s"w40 re-rank recall $rr4w < w20 $rr4")
   }
 
   test("residual encoding strictly beats flat codes on the clustered corpus") {
