@@ -428,6 +428,130 @@ object Scans {
       .orderBy("key")
   }
 
+  /** Schema-EVOLVING streaming MERGE, graded end-to-end: seed a keyed
+    * table (key, seq, bal), then publish a batch that ADDS a column
+    * (`tier`) and a later batch that must carry it — the additive
+    * mergeSchema contract ([[graft.sources.Sinks.upsertBatch]]): base-won
+    * rows read NULL in the new column, batch-won rows carry their value,
+    * and a batch missing a current column fails loudly instead of
+    * silently dropping data. The oracle states the evolved table
+    * declaratively (base rows with NULL tier, latest-wins per key), so
+    * a silently-dropped column, a mistyped null, or a wrong winner all
+    * break the cross-engine hash. Scale: same single full-outer join per
+    * batch as q_merge_stream — evolution costs nothing extra. */
+  val qMergeEvolve = Q(
+    "q_merge_evolve",
+    """WITH base AS (
+      |  SELECT c_custkey AS key, 0 AS seq, c_acctbal AS bal,
+      |    CAST(NULL AS VARCHAR) AS tier
+      |  FROM customer),
+      |b1 AS (
+      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN -o_custkey
+      |              ELSE o_custkey END AS key,
+      |    1 AS seq, o_totalprice AS bal,
+      |    CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS tier
+      |  FROM (
+      |    SELECT o_custkey, o_totalprice,
+      |      row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders)
+      |  WHERE rn = 1),
+      |b2 AS (
+      |  SELECT c_custkey AS key, 2 AS seq, 0.0 AS bal, 'reset' AS tier
+      |  FROM customer WHERE c_acctbal < 0),
+      |u AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM b1
+      |  UNION ALL SELECT * FROM b2)
+      |SELECT key, seq, bal, tier FROM (
+      |  SELECT key, seq, bal, tier,
+      |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      |  FROM u)
+      |WHERE rn = 1
+      |ORDER BY key""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val path = rtDir("merge_evolve") + "/state"
+    graft.sources.Sinks.write(
+      Tables.customer(spark, dir).select(
+        col("c_custkey").as("key"), lit(0).as("seq"),
+        col("c_acctbal").as("bal")),
+      path)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val b1 = Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        when(col("o_custkey") % 2 === 1, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("key"),
+        lit(1).as("seq"), col("o_totalprice").as("bal"),
+        when(col("o_totalprice") > 150000, "big").otherwise("small")
+          .as("tier"))
+    val b2 = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("key"), lit(2).as("seq"),
+        lit(0.0).as("bal"), lit("reset").as("tier"))
+    graft.sources.Sinks.upsertBatch(b1, path, "key", "seq") // evolves schema
+    graft.sources.Sinks.upsertBatch(b2, path, "key", "seq") // carries tier
+    graft.sources.Sinks.readTable(spark, path)
+      .select("key", "seq", "bal", "tier").orderBy("key")
+  }
+
+  /** MERGE-with-DELETE via tombstones, graded end-to-end: deletes are
+    * soft (a batch upserts the key with `deleted = true`; latest-wins
+    * seq resolution makes the delete replay-safe exactly like any other
+    * upsert, and a later batch can RESURRECT the key), then
+    * [[graft.sources.Sinks.purgeTombstones]] physically drops flagged
+    * rows once the replay horizon has drained — a purge-then-replay
+    * would re-insert, the same retention contract as Delta's VACUUM.
+    * Exercised: delete batch, selective un-delete, a STALE replay of the
+    * delete (must lose to the stored higher seq), purge, read. The
+    * oracle knows nothing about tombstones or purges — it states the
+    * final table as latest-wins filtered on the flag — so a purge that
+    * drops a live row, resurrects a deleted key, or loses the un-delete
+    * breaks the hash. Scale: purge is one filter-rewrite publish cycle;
+    * every read until then filters a boolean column. */
+  val qMergeDelete = Q(
+    "q_merge_delete",
+    """WITH base AS (
+      |  SELECT c_custkey AS key, 0 AS seq, c_acctbal AS bal,
+      |    FALSE AS deleted
+      |  FROM customer),
+      |b1 AS (
+      |  SELECT c_custkey AS key, 1 AS seq, 0.0 AS bal, TRUE AS deleted
+      |  FROM customer WHERE c_acctbal < 0),
+      |b2 AS (
+      |  SELECT c_custkey AS key, 2 AS seq, 1.0 AS bal, FALSE AS deleted
+      |  FROM customer WHERE c_acctbal < -500),
+      |u AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM b1
+      |  UNION ALL SELECT * FROM b2)
+      |SELECT key, seq, bal, deleted FROM (
+      |  SELECT key, seq, bal, deleted,
+      |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      |  FROM u)
+      |WHERE rn = 1 AND NOT deleted
+      |ORDER BY key""".stripMargin
+  ) { (spark, dir) =>
+    val path = rtDir("merge_delete") + "/state"
+    graft.sources.Sinks.write(
+      Tables.customer(spark, dir).select(
+        col("c_custkey").as("key"), lit(0).as("seq"),
+        col("c_acctbal").as("bal"), lit(false).as("deleted")),
+      path)
+    val neg = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
+    val b1 = neg.select(col("c_custkey").as("key"), lit(1).as("seq"),
+      lit(0.0).as("bal"), lit(true).as("deleted"))
+    val b2 = Tables.customer(spark, dir).filter(col("c_acctbal") < -500)
+      .select(col("c_custkey").as("key"), lit(2).as("seq"),
+        lit(1.0).as("bal"), lit(false).as("deleted"))
+    graft.sources.Sinks.upsertBatch(b1, path, "key", "seq") // soft delete
+    graft.sources.Sinks.upsertBatch(b2, path, "key", "seq") // resurrect some
+    graft.sources.Sinks.upsertBatch(b1, path, "key", "seq") // stale replay
+    graft.sources.Sinks.purgeTombstones(spark, path, "deleted")
+    graft.sources.Sinks.readTable(spark, path)
+      .select("key", "seq", "bal", "deleted").orderBy("key")
+  }
+
   /** DEEP time travel through the keep-N pointer history, graded
     * end-to-end: seed a keyed table, drive THREE MERGE publishes through
     * the pointer protocol, then read the table as of TWO publishes back
@@ -674,6 +798,7 @@ object Scans {
 
   def all: Seq[Q] =
     Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
+      qMergeEvolve, qMergeDelete,
       qSinkTimeTravel, qSinkVersionDiff, qSinkHistory,
       qSinkBucketedJoin, qSourceJson, qSourceCsv, qSourceOrc, qSinkCompact)
 }

@@ -191,6 +191,13 @@ object Sinks {
       if (!tableExists) latest
       else {
         val base = spark.read.parquet(resolved)
+        // ADDITIVE SCHEMA EVOLUTION: a batch must carry every current
+        // table column (key/seq resolution and the row-hash tiebreak are
+        // defined over them) and MAY append new ones — base-won rows get
+        // null in the new columns, the Delta/Iceberg mergeSchema
+        // contract. A batch MISSING a table column fails loudly below
+        // (unresolved __b_ column), never silently drops data.
+        val newCols = latest.columns.filterNot(base.columns.contains).toSeq
         // prefix every batch column so the full-outer join is unambiguous;
         // per key, the greater (seq, row-hash) wins — batch on exact ties
         // (identical row) and inserts
@@ -210,6 +217,11 @@ object Sinks {
           .select(base.columns.toSeq.map { c =>
             functions.when(batchWins, functions.col(s"__b_$c"))
               .otherwise(functions.col(c)).as(c)
+          } ++ newCols.map { c =>
+            // typed null: a bare lit(null) is NullType, unwritable parquet
+            functions.when(batchWins, functions.col(s"__b_$c"))
+              .otherwise(functions.lit(null).cast(latest.schema(c).dataType))
+              .as(c)
           }: _*)
       }
     // Stage fully (the merge reads the live version, which the publish
@@ -217,6 +229,28 @@ object Sinks {
     // with the single atomic pointer swap.
     val staged = stageName()
     merged.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
+    publish(spark, path, staged)
+  }
+
+  /** MERGE-with-DELETE's retention half: drop every row whose boolean
+    * `deleteCol` is true from the live version and publish the shrunk
+    * table. Deletes under this protocol are SOFT — a batch upserts the
+    * key with the tombstone flag set, latest-wins seq resolution makes
+    * the delete replay-safe exactly like any other upsert, and readers
+    * filter the flag — so the tombstone ROW must survive until the
+    * at-least-once replay horizon has drained: purging earlier lets a
+    * stale replayed batch resurrect the key (the same contract as
+    * Delta's VACUUM vs time travel). Runs under the writer lease; one
+    * filter-and-rewrite cycle through the same staged publish as
+    * compaction. */
+  def purgeTombstones(spark: SparkSession, path: String,
+      deleteCol: String): Unit = withTableLock(spark, path) {
+    sweepUncommittedStages(spark, path)
+    val df = spark.read.parquet(resolveTable(spark, path))
+      .filter(!functions.coalesce(
+        functions.col(deleteCol).cast("boolean"), functions.lit(false)))
+    val staged = stageName()
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
     publish(spark, path, staged)
   }
 

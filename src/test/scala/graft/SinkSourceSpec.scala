@@ -463,6 +463,38 @@ class SinkSourceSpec extends SparkTestBase {
     assert(!Files.exists(lock), "vacuum left a reclaimed torn lease behind")
   }
 
+  test("merge schema evolution is additive and loud") {
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_evolve").toString + "/t"
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("key", "v", "seq"),
+      table, "key", "seq")
+    // additive: a batch with a NEW column evolves the schema; the
+    // base-won row reads a typed NULL, the batch-won rows their values
+    graft.sources.Sinks.upsertBatch(
+      Seq((2L, "b2", 2L, 7L), (3L, "c", 1L, 9L))
+        .toDF("key", "v", "seq", "extra"),
+      table, "key", "seq")
+    val rows = graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(rows === Set((1L, "a", 1L, None), (2L, "b2", 2L, Some(7L)),
+      (3L, "c", 1L, Some(9L))),
+      s"evolved merge produced $rows")
+    // a post-evolution batch MISSING a current column must fail loudly
+    // (silently nulling surviving data is the bug class this forbids)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.sources.Sinks.upsertBatch(
+        Seq((4L, "d", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    }
+    // the failed mutation staged nothing permanent and released its lease
+    assert(!Files.exists(java.nio.file.Paths.get(s"$table/.LOCK")),
+      "failed evolve left the writer lease behind")
+    assert(graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long, Option[Long])].collect().toSet === rows,
+      "failed evolve mutated the table")
+  }
+
   test("version history keeps HistoryKeep versions and time travels to depth 2") {
     val spk = spark
     import spk.implicits._
