@@ -32,7 +32,7 @@ class BenchLineSpec extends SparkTestBase with Matchers {
     val rs = fakeResults
     val line = Bench.stdoutLine(rs, Seq("q_broken" -> "boom \"quoted\""), sf(),
       fakeSentinels, Nil)
-    val parsed = spark.read.json(Seq(line).toDS)
+    val parsed = spark.read.json(Seq(line).toDS())
     assert(!parsed.columns.contains("_corrupt_record"), s"unparseable: $line")
     val row = parsed.selectExpr("metric", "value", "n").head()
     assert(row.getString(0) === "total")
@@ -192,7 +192,7 @@ class BenchLineSpec extends SparkTestBase with Matchers {
     import spark.implicits._
     val rs = fakeResults :+ ("q_broken" -> -1.0)
     val full = Bench.fullJson(rs, Seq("q_broken" -> "x"), sf())
-    val parsed = spark.read.json(Seq(full).toDS)
+    val parsed = spark.read.json(Seq(full).toDS())
     assert(!parsed.columns.contains("_corrupt_record"))
     // -1 sentinel rows are excluded from the total, included in n
     assert(parsed.selectExpr("n").head().getLong(0) === rs.size)

@@ -564,14 +564,14 @@ class DedupSpec extends SparkTestBase {
     // ckpt registry must, or a long-lived session (the bench) leaks one
     // frame per CC round and later queries run under memory pressure.
     graft.sources.Scratch.releaseAll() // clean slate from earlier tests
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L), (100L, 101L))
       .toDF("a_id", "b_id").repartition(6)
     graft.operators.SketchDedup.connectedComponents(edges).count()
-    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val during = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(during.nonEmpty, "CC run must leave checkpoint blocks to release")
     graft.sources.Scratch.releaseAll()
-    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val after = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(after.isEmpty,
       s"releaseAll left ${after.size} persistent RDDs (ids $after) pinned")
   }

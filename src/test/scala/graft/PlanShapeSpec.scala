@@ -405,6 +405,43 @@ class PlanShapeSpec extends SparkTestBase {
       "q_vec_pq's encode argmin lost the graft_l2 primitive (HOF fold regression)")
   }
 
+  test("clustered-corpus rungs: generation is map-only, scoring keeps the broadcast discipline") {
+    // The generated corpus must be a pure per-row projection over the
+    // fixture scan — an exchange in the generator would mean the
+    // operating-point rows pay a shuffle the real pipeline never would
+    // (a real corpus arrives already materialized). The scoring chain
+    // reuses ivfpqRank / ivfpqResRank verbatim, so the q_vec_pq lock's
+    // no-shuffled-join contract must hold here too.
+    for (name <- Seq("q_vec_recall_ivfpq_clu", "q_vec_recall_ivfpq_res_clu")) {
+      val plan = finalPlan(name).split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$name shuffled a corpus side into a join:\n$plan")
+      // generator purity: no exchange keyed on the corpus row id anywhere
+      // (the only hashpartitioning keys are group/cell/code rollups)
+      assert(!plan.contains("hashpartitioning(vec_id#"),
+        s"$name re-partitioned the generated corpus on vec_id:\n$plan")
+    }
+  }
+
+  test("index datasheet rows: one bounded rollup, no corpus-sized hints") {
+    // q_vec_cell_stats: the only join is the 1-row totals frame riding a
+    // sanctioned one-row BNLJ; q_vec_index_stats: the 16-row per-subspace
+    // totals join back by broadcast. A sort-merge join or a vec_id
+    // exchange would mean the datasheet re-shuffled the index tables it
+    // is supposed to read at metadata cost.
+    for (name <- Seq("q_vec_cell_stats", "q_vec_index_stats")) {
+      val plan = finalPlan(name).split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$name shuffled a side into a join:\n$plan")
+      assert(!plan.contains("hashpartitioning(vec_id#"),
+        s"$name re-partitioned on the corpus row id:\n$plan")
+    }
+  }
+
   test("kmeans iterations never re-partition the corpus (map-only assignment)") {
     // The Lloyd loop's scale contract: assignment is a per-row argmax
     // against a one-row broadcast book, so NO exchange may be keyed on
