@@ -1336,13 +1336,20 @@ object VectorOps {
     * the cut width — the p4 ladder measured the fixed w=20 cut binding
     * below the cell ceiling once 4 cells double the candidate pool. */
   private def ivfpqRerankDuckP(p: Int, w: Int = 20) =
-    s"""${ivfpqDuckP(p)},
+    s"""${ivfpqDuckP(p)}${duckExactRerank("adcp", w)}"""
+
+  /** Shared exact-tier CTE suffix: cut the ADC relation `src`
+    * (a_id, b_id, adcu) to top-`w` candidates, fetch both raw vectors,
+    * exact-dot re-rank (rr) — ONE definition serves the flat and the
+    * residual two-tier families. */
+  private def duckExactRerank(src: String, w: Int) =
+    s""",
        |cand AS (
        |  SELECT a_id, b_id FROM (
        |    SELECT a_id, b_id,
        |      CAST(row_number() OVER (PARTITION BY a_id
        |        ORDER BY adcu DESC, b_id) AS INT) AS rk
-       |    FROM adcp)
+       |    FROM $src)
        |  WHERE rk <= $w),
        |rr AS (
        |  SELECT a_id, b_id, sim,
@@ -1364,14 +1371,23 @@ object VectorOps {
     * table serves the raw-float fetch MAP-SIDE — the re-rank tier never
     * shuffles the corpus. */
   private def ivfpqRerankTop5(spark: SparkSession, dir: String,
-      p: Int = 2, w: Int = 20): DataFrame = {
-    val e = cleanEmbeddings(spark, dir)
-    val cand = ivfpqTop5(spark, dir, k = w, p = p).select("a_id", "b_id")
+      p: Int = 2, w: Int = 20): DataFrame =
+    exactRerankTop5(spark, cleanEmbeddings(spark, dir),
+      ivfpqTop5(spark, dir, k = w, p = p))
+
+  /** The shared exact TIER: re-rank an ADC candidate cut (a_id, b_id) by
+    * true dot product over the raw vectors of corpus `e`, top-5 per
+    * query. The candidate list is queries×w rows, so it broadcasts and
+    * the corpus serves the raw-float fetch MAP-SIDE — the corpus never
+    * shuffles for the re-rank. One definition serves the flat and
+    * residual two-tier families. */
+  private def exactRerankTop5(spark: SparkSession, e: DataFrame,
+      cand: DataFrame): DataFrame = {
     val qv = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("a_id"), col("embedding").as("qa"))
     val bv = e.select(col("vec_id").as("b_id"), col("embedding").as("qb"))
     val topW = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
-    bv.join(broadcast(cand), "b_id")
+    bv.join(broadcast(cand.select("a_id", "b_id")), "b_id")
       .join(broadcast(qv), "a_id")
       .select(col("a_id"), col("b_id"),
         round(dot(spark)(col("qa"), col("qb")), 6).as("sim"))
@@ -1592,8 +1608,8 @@ object VectorOps {
     * residuals → residual PQ train/encode (the pqCtes discipline, over
     * rsp instead of sp) → probes + per-probe integer-unit base term →
     * cell-restricted residual ADC + base → top-5 (ripq5). Parameterized
-    * on the corpus SELECT like [[pqCtesFrom]]. */
-  private def ivfpqResDuckFrom(embSql: String) =
+    * on the corpus SELECT like [[pqCtesFrom]] and on the probe count. */
+  private def ivfpqResDuckFrom(embSql: String, p: Int = 2) =
     s"""WITH emb AS ($embSql),
        |cent AS (
        |  SELECT label, i - 1 AS pos,
@@ -1651,7 +1667,7 @@ object VectorOps {
        |        ORDER BY round(list_sum(list_transform(list_zip(q.embedding, cvec.cv),
        |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC, cvec.label) AS INT) AS crk
        |    FROM (SELECT vec_id, embedding FROM emb WHERE vec_id < 20) q, cvec)
-       |  WHERE crk <= 2),
+       |  WHERE crk <= $p),
        |rlut AS (
        |  SELECT q.vec_id AS a_id, rcb.s, rcb.c,
        |    CAST(round(list_sum(list_transform(list_zip(q.sv, rcb.cv),
@@ -1723,8 +1739,9 @@ object VectorOps {
     ivfpqResTop5From(spark, cleanEmbeddings(spark, dir))
 
   /** [[ivfpqResTop5]] over an arbitrary (vec_id, label, embedding) corpus
-    * (see [[ivfpqTop5From]]). */
-  private def ivfpqResTop5From(spark: SparkSession, e: DataFrame): DataFrame = {
+    * (see [[ivfpqTop5From]]), parameterized on cut and probe count. */
+  private def ivfpqResTop5From(spark: SparkSession, e: DataFrame,
+      k: Int = 5, p: Int = 2): DataFrame = {
     val cvec = cellCentroids(e)
       .persistScratch() // feeds residuals, probes, and the base term
     val resv = e.join(broadcast(cvec), "label")
@@ -1738,7 +1755,8 @@ object VectorOps {
       .join(e.select("vec_id", "label"), "vec_id")
       .persistScratch() // cell-tagged residual codes, shared w/ recall row
     ivfpqResRank(spark, e.filter(col("vec_id") < 20)
-      .select(col("vec_id"), col("embedding")), cvec, rcb, renc)
+      .select(col("vec_id"), col("embedding")), cvec, rcb, renc,
+      p = p, k = k)
   }
 
   /** Residual-encoded IVF-PQ ANN, graded: the full FAISS IVFPQ form —
@@ -1822,6 +1840,71 @@ object VectorOps {
       .agg(count(col("hit")).cast("int").as("n_hit"),
         round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
       .orderBy("a_id")
+  }
+
+  // ---- two-tier serving over RESIDUAL codes (the full FAISS stack) ------
+  // The flat family's rerank rungs proved the exact tier repairs in-cell
+  // quantization loss and the p/w knobs move the ceiling; these rows
+  // complete the serving matrix by running the SAME exact tier over the
+  // residual ADC — coarse probe + residual codes + base term + exact
+  // re-rank is precisely FAISS IVFPQ + refine, the shape production ANN
+  // serving deploys.
+
+  /** Spark side of the residual two-tier pipeline: residual ADC top-`w`
+    * over `p` probed cells → shared exact tier. */
+  private def ivfpqResRerankTop5(spark: SparkSession, dir: String,
+      p: Int = 2, w: Int = 20): DataFrame = {
+    val e = cleanEmbeddings(spark, dir)
+    exactRerankTop5(spark, e, ivfpqResTop5From(spark, e, k = w, p = p))
+  }
+
+  /** Two-tier serving over residual codes, graded: residual ADC prunes
+    * to 20 candidates over 2 probed cells, the exact tier re-ranks to
+    * top-5 — [[qVecIvfPqRerank]]'s plan with the finer residual codes
+    * feeding the cut. */
+  val qVecIvfPqResRerank = Q(
+    "q_vec_ivfpq_res_rerank",
+    s"""${ivfpqResDuckFrom(defaultEmbSql)}${duckExactRerank("radc", 20)}
+       |SELECT a_id, b_id, sim, rk FROM rr WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfpqResRerankTop5(spark, dir).orderBy("a_id", "rk")
+  }
+
+  /** Recall@5 of the residual two-tier pipeline — read against
+    * q_vec_recall_ivfpq_rr (flat codes, same probes/cut): both should sit
+    * on the p=2 cell ceiling, proving the exact tier equalizes code
+    * resolutions once the true candidates survive the cut. */
+  val qVecRecallIvfPqResRr = Q(
+    "q_vec_recall_ivfpq_res_rr",
+    s"""${ivfpqResDuckFrom(defaultEmbSql)}${duckExactRerank("radc", 20)}${duckRecallTail(
+        "(SELECT a_id, b_id FROM rr WHERE rk <= 5)")}""".stripMargin
+  ) { (spark, dir) =>
+    recallVsTruth(spark, dir, ivfpqResRerankTop5(spark, dir)
+      .filter(col("rk") <= 5))
+  }
+
+  /** The FULL production stack at the best measured operating point,
+    * graded: residual codes + probe=4 + cut=40 + exact re-rank — every
+    * serving knob the ladder priced, composed. */
+  val qVecIvfPqResRerankP4W40 = Q(
+    "q_vec_ivfpq_res_rerank_p4_w40",
+    s"""${ivfpqResDuckFrom(defaultEmbSql, 4)}${duckExactRerank("radc", 40)}
+       |SELECT a_id, b_id, sim, rk FROM rr WHERE rk <= 5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfpqResRerankTop5(spark, dir, p = 4, w = 40).orderBy("a_id", "rk")
+  }
+
+  /** Recall@5 of the full stack (residual, p=4, w=40) — the top rung of
+    * the serving ladder; read against the 0.46 p=4 cell ceiling. */
+  val qVecRecallIvfPqResRrP4W40 = Q(
+    "q_vec_recall_ivfpq_res_rr_p4_w40",
+    s"""${ivfpqResDuckFrom(defaultEmbSql, 4)}${duckExactRerank("radc", 40)}${duckRecallTail(
+        "(SELECT a_id, b_id FROM rr WHERE rk <= 5)")}""".stripMargin
+  ) { (spark, dir) =>
+    recallVsTruth(spark, dir, ivfpqResRerankTop5(spark, dir, p = 4, w = 40)
+      .filter(col("rk") <= 5))
   }
 
   // ---- index-health datasheet (the maintenance read before serving) -----
@@ -2772,6 +2855,8 @@ object VectorOps {
     qVecIvfPqP4, qVecRecallIvfPqP4, qVecIvfPqRerankP4, qVecRecallIvfPqRrP4,
     qVecIvfPqRerankP4W40, qVecRecallIvfPqRrP4W40,
     qVecIvfPqRes, qVecIndexIvfPqRes, qVecRecallIvfPqRes,
+    qVecIvfPqResRerank, qVecRecallIvfPqResRr,
+    qVecIvfPqResRerankP4W40, qVecRecallIvfPqResRrP4W40,
     qVecRecallIvfPqClu, qVecRecallIvfPqResClu,
     qVecCellStats, qVecIndexStats,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,

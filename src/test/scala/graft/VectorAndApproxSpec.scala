@@ -493,6 +493,13 @@ class VectorAndApproxSpec extends SparkTestBase {
     // re-ranks a superset; sf0.1 measures 0.44 vs 0.41)
     val rr4w = mean(graft.operators.VectorOps.qVecRecallIvfPqRrP4W40)
     assert(rr4w >= rr4, s"w40 re-rank recall $rr4w < w20 $rr4")
+    // the exact tier EQUALIZES code resolutions: the residual two-tier
+    // rung must never fall below the flat one at the same probes/cut
+    // (sf0.1 measures them exactly equal at both operating points)
+    val resRr = mean(graft.operators.VectorOps.qVecRecallIvfPqResRr)
+    val resRr4w = mean(graft.operators.VectorOps.qVecRecallIvfPqResRrP4W40)
+    assert(resRr >= rr2, s"residual re-rank $resRr < flat re-rank $rr2")
+    assert(resRr4w >= rr4, s"residual full stack $resRr4w < flat p4 $rr4")
   }
 
   test("residual encoding strictly beats flat codes on the clustered corpus") {
