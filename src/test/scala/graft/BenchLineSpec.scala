@@ -155,7 +155,10 @@ class BenchLineSpec extends SparkTestBase with Matchers {
     // appender dispatch. Emitting a WARN through each category and
     // asserting nothing reaches a root-attached appender proves the
     // config's suppression list covers them — for any appender, console
-    // included.
+    // included. The names here must be the REAL emitter FQCNs (log4j
+    // matches category prefixes): a misspelled package would pass this
+    // test while suppressing nothing in a live run, because the probe
+    // logs through the same (wrong) name the config filters.
     import org.apache.logging.log4j.LogManager
     import org.apache.logging.log4j.core.LogEvent
     import org.apache.logging.log4j.core.appender.AbstractAppender
@@ -166,7 +169,8 @@ class BenchLineSpec extends SparkTestBase with Matchers {
       "org.apache.spark.rdd.MapPartitionsRDD",
       "org.apache.spark.storage.BlockManager",
       "org.apache.spark.util.SparkStringUtils",
-      "org.apache.spark.sql.catalyst.analysis.ResolveWriteToStream",
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
       "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
     val app = new AbstractAppender(
       "graft-suppress-probe", null, null, false, Property.EMPTY_ARRAY) {
