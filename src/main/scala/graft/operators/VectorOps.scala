@@ -1562,8 +1562,7 @@ object VectorOps {
     s"""${ivfpqRerankDuckP(4)}${duckRecallTail(
         "(SELECT a_id, b_id FROM rr WHERE rk <= 5)")}""".stripMargin
   ) { (spark, dir) =>
-    recallVsTruth(spark, dir, ivfpqRerankTop5(spark, dir, p = 4)
-      .filter(col("rk") <= 5))
+    recallVsTruth(spark, dir, ivfpqRerankTop5(spark, dir, p = 4))
   }
 
   /** Two-tier serving at probe=4 with the ADC cut WIDENED to 40
@@ -1589,8 +1588,7 @@ object VectorOps {
     s"""${ivfpqRerankDuckP(4, 40)}${duckRecallTail(
         "(SELECT a_id, b_id FROM rr WHERE rk <= 5)")}""".stripMargin
   ) { (spark, dir) =>
-    recallVsTruth(spark, dir, ivfpqRerankTop5(spark, dir, p = 4, w = 40)
-      .filter(col("rk") <= 5))
+    recallVsTruth(spark, dir, ivfpqRerankTop5(spark, dir, p = 4, w = 40))
   }
 
   // ---- residual-encoded IVF-PQ (the full FAISS IVFPQ form) --------------
@@ -1880,8 +1878,7 @@ object VectorOps {
     s"""${ivfpqResDuckFrom(defaultEmbSql)}${duckExactRerank("radc", 20)}${duckRecallTail(
         "(SELECT a_id, b_id FROM rr WHERE rk <= 5)")}""".stripMargin
   ) { (spark, dir) =>
-    recallVsTruth(spark, dir, ivfpqResRerankTop5(spark, dir)
-      .filter(col("rk") <= 5))
+    recallVsTruth(spark, dir, ivfpqResRerankTop5(spark, dir))
   }
 
   /** The FULL production stack at the best measured operating point,
@@ -1903,8 +1900,7 @@ object VectorOps {
     s"""${ivfpqResDuckFrom(defaultEmbSql, 4)}${duckExactRerank("radc", 40)}${duckRecallTail(
         "(SELECT a_id, b_id FROM rr WHERE rk <= 5)")}""".stripMargin
   ) { (spark, dir) =>
-    recallVsTruth(spark, dir, ivfpqResRerankTop5(spark, dir, p = 4, w = 40)
-      .filter(col("rk") <= 5))
+    recallVsTruth(spark, dir, ivfpqResRerankTop5(spark, dir, p = 4, w = 40))
   }
 
   // ---- index-health datasheet (the maintenance read before serving) -----
@@ -1934,9 +1930,10 @@ object VectorOps {
        |  FROM emb GROUP BY label),
        |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS cells FROM c)
        |SELECT label, n_vecs,
-       |  CAST(1000000 * n_vecs // total AS BIGINT) AS share_u,
-       |  CAST(1000000 * cells * n_vecs * n_vecs // (total * total) AS BIGINT)
-       |    AS imb_u
+       |  CAST(CAST(1000000 AS HUGEINT) * n_vecs // total AS BIGINT)
+       |    AS share_u,
+       |  CAST(CAST(1000000 AS HUGEINT) * cells * n_vecs * n_vecs
+       |    // (CAST(total AS HUGEINT) * total) AS BIGINT) AS imb_u
        |FROM c, n, k
        |ORDER BY label""".stripMargin
   ) { (spark, dir) =>
@@ -1945,10 +1942,16 @@ object VectorOps {
       .persistScratch() // feeds the rows AND both scalar denominators
     val n = c.agg(sum("n_vecs").cast("bigint").as("total"),
       count(lit(1)).cast("bigint").as("cells"))
+    // DECIMAL(38,0) intermediates (DuckDB mirror: HUGEINT): at the 100 TB
+    // scale this row is FOR, total² and 1e6·n² overflow Int64 (N ≥ ~3e9
+    // vectors) — the centroid-sum wide-accumulator discipline applies;
+    // the final micro-unit quotients are ≤ 1e6·k and fit BIGINT
     c.crossJoin(broadcast(n))
       .select(col("label"), col("n_vecs"),
-        expr("1000000L * n_vecs div total").cast("bigint").as("share_u"),
-        expr("1000000L * cells * n_vecs * n_vecs div (total * total)")
+        expr("""CAST(1000000 AS DECIMAL(38,0)) * n_vecs div total""")
+          .cast("bigint").as("share_u"),
+        expr("""CAST(1000000 AS DECIMAL(38,0)) * cells * n_vecs * n_vecs
+               |div (CAST(total AS DECIMAL(38,0)) * total)""".stripMargin)
           .cast("bigint").as("imb_u"))
       .orderBy("label")
   }

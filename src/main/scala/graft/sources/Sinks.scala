@@ -204,8 +204,19 @@ object Sinks {
         val b = latest.columns.foldLeft(latest) { (d, c) =>
           d.withColumnRenamed(c, s"__b_$c")
         }
-        val baseHash = rowHash(base.columns.toSeq)
-        val batchHash = rowHash(base.columns.toSeq, "__b_")
+        // the equal-seq tiebreak hashes the FULL post-evolution column set
+        // on BOTH sides (typed nulls where the base lacks a new column) —
+        // hashing only base.columns would order an evolving batch's rows
+        // without their new columns, and a replay AFTER the evolution
+        // (when those columns exist on both sides) could pick a different
+        // winner, breaking the replay-convergence contract above
+        val allCols = base.columns.toSeq ++ newCols
+        val baseHash = functions.xxhash64(allCols.sorted.map { c =>
+          if (newCols.contains(c))
+            functions.lit(null).cast(latest.schema(c).dataType)
+          else functions.col(c)
+        }: _*)
+        val batchHash = rowHash(allCols, "__b_")
         val batchWins = functions.col(s"__b_$keyCol").isNotNull &&
           (functions.col(keyCol).isNull ||
             functions.col(s"__b_$seqCol") > functions.col(seqCol) ||
@@ -386,10 +397,17 @@ object Sinks {
   /** Run `body` holding the table root's writer lease. Acquisition is an
     * atomic-create of [[LockFile]] carrying (token, acquire-millis); if
     * the file already exists, a fresh lease fails the caller fast and a
-    * stale one (crashed holder, see [[LockStaleMs]]) is reclaimed once.
-    * Release deletes the file only if it still carries OUR token — if a
-    * long pause made another writer reclaim the lease, deleting
-    * unconditionally would free THEIR lock. */
+    * stale one (crashed holder, see [[LockStaleMs]]) is reclaimed.
+    * RECLAIM is single-winner: the stale file is first RENAMED to a
+    * reclaimer-unique name (rename is the atomic primitive on every
+    * Hadoop filesystem) — of two racing reclaimers exactly one rename
+    * succeeds, so the loser can never delete the winner's fresh lease
+    * out from under it (the delete-then-create shape would let both
+    * proceed and reintroduce the lost-merge race the lock exists to
+    * close). Release deletes the file only while OUR lease is still
+    * inside its validity window and still carries our token — a holder
+    * that overstayed [[LockStaleMs]] leaves the file alone, because a
+    * reclaimer may legitimately own it by then. */
   private def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
@@ -417,21 +435,37 @@ object Sinks {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def fail(): Nothing =
+      throw new ConcurrentWriterException(
+        s"table root $path is locked by a concurrent writer " +
+          s"(lease ${lease().getOrElse("unreadable")}); mutators are " +
+          "single-writer — retry after it completes, or reclaim after " +
+          s"${LockStaleMs / 60000} min if it crashed")
     if (!tryAcquire()) {
       val stale = lease() match {
         case Some((_, ts)) => System.currentTimeMillis() - ts > LockStaleMs
         case None => true // unreadable lease = crashed mid-create
       }
-      if (stale) fs.delete(lock, false)
-      if (!stale || !tryAcquire())
-        throw new ConcurrentWriterException(
-          s"table root $path is locked by a concurrent writer " +
-            s"(lease ${lease().getOrElse("unreadable")}); mutators are " +
-            "single-writer — retry after it completes, or reclaim after " +
-            s"${LockStaleMs / 60000} min if it crashed")
+      if (!stale) fail()
+      // single-winner reclaim: atomically move the stale lease aside; a
+      // losing racer's rename fails and it backs off (a crashed winner's
+      // .reclaim litter is swept by the next publish's retirement)
+      val trash = new org.apache.hadoop.fs.Path(root, s"$LockFile.reclaim.$token")
+      val won = try fs.rename(lock, trash)
+      catch { case _: java.io.IOException => false }
+      if (!won) fail()
+      fs.delete(trash, false)
+      if (!tryAcquire()) fail()
     }
+    val heldSince = System.currentTimeMillis()
     try body
-    finally if (lease().exists(_._1 == token)) fs.delete(lock, false)
+    finally {
+      // only release a lease that is provably still OURS: inside the
+      // validity window no reclaim can have happened, so token-match +
+      // delete cannot race; past the window a reclaimer may own the file
+      if (System.currentTimeMillis() - heldSince < LockStaleMs &&
+          lease().exists(_._1 == token)) fs.delete(lock, false)
+    }
   }
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =

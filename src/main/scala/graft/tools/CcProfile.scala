@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   */
 object CcProfile {
   def main(args: Array[String]): Unit = {
+    graft.RunId.ensure() // per-process fixture-log path before log4j init
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = if (args.length > 1) args(1) else "32"
     val spark = SparkSession.builder()

@@ -11,6 +11,7 @@ import graft.sources.Tables
   * surface. `sbt "runMain graft.tools.IngestProfile [sfDir]"` */
 object IngestProfile {
   def main(args: Array[String]): Unit = {
+    graft.RunId.ensure() // per-process fixture-log path before log4j init
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    graft.RunId.ensure() // per-process fixture-log path before log4j init
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = if (args.length > 1) args(1) else "/tmp/plan_audit.txt"
     val spark = SparkSession.builder()

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.FormattedMode
   * `sbt "runMain graft.tools.PlanDump <query> [sfDir]"` */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    graft.RunId.ensure() // per-process fixture-log path before log4j init
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * piecewise to attribute wall time). */
 object PqProfile {
   def main(args: Array[String]): Unit = {
+    graft.RunId.ensure() // per-process fixture-log path before log4j init
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
