@@ -726,34 +726,8 @@ object VectorOps {
        |ORDER BY cid""".stripMargin
   ) { (spark, dir) =>
     val e = cleanEmbeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // map-only argmax assignment: the whole centroid book rides in ONE
-    // broadcast row, best cluster = array_max over struct(sim, -cid)
-    // (struct ordering gives max sim, then min cid). The HOF fold casts
-    // elementwise (float seeds AND double trained centroids), unlike
-    // graft_dot which reads both sides as floats. The embedding is
-    // carried through so the mean pass needs no corpus join-back.
-    def assign(cents: DataFrame): DataFrame = {
-      val book = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("book"))
-      e.crossJoin(broadcast(book))
-        .select(col("vec_id"), col("embedding"), expr(
-          """array_max(transform(book, b -> struct(
-            |  round(aggregate(zip_with(embedding, b.cv,
-            |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) AS s,
-            |  -b.cid AS nc)))""".stripMargin).as("best"))
-        .select(col("vec_id"), (-col("best.nc")).cast("long").as("cid"),
-          col("embedding"))
-    }
-    // exact 1e-9-unit centroid means of an assignment
-    def means(asg: DataFrame): DataFrame =
-      asg.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg((sum(round(col("v").cast("double") * 1000000000L)
-          .cast("decimal(38,0)")).cast("double") / lit(1000000000.0)
-          / count(lit(1))).as("c"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
-          .as("cv"))
+    def assign(cents: DataFrame): DataFrame = kmeansAssign(e, cents)
+    def means(asg: DataFrame): DataFrame = kmeansMeans(asg)
     val seeds = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val asg1 = assign(seeds).persistScratch() // n1 + the c1 means
@@ -772,6 +746,38 @@ object VectorOps {
       .select(col("cid"), col("n1"), col("n2"), col("shift"))
       .orderBy("cid")
   }
+
+  /** Map-only Lloyd ASSIGNMENT, hoisted for reuse (the kmeans-iter loop
+    * and the trained-quantizer IVF-PQ share it): the whole centroid book
+    * rides in ONE broadcast row, best cluster = array_max over
+    * struct(sim, -cid) (struct ordering gives max sim, then min cid).
+    * The HOF fold casts elementwise (float seeds AND double trained
+    * centroids), unlike graft_dot which reads both sides as floats. The
+    * embedding is carried through so a following mean pass needs no
+    * corpus join-back. */
+  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val book = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("book"))
+    e.crossJoin(broadcast(book))
+      .select(col("vec_id"), col("embedding"), expr(
+        """array_max(transform(book, b -> struct(
+          |  round(aggregate(zip_with(embedding, b.cv,
+          |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6) AS s,
+          |  -b.cid AS nc)))""".stripMargin).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).cast("long").as("cid"),
+        col("embedding"))
+  }
+
+  /** Exact 1e-9-unit centroid means of an assignment (cid, embedding). */
+  private def kmeansMeans(asg: DataFrame): DataFrame =
+    asg.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg((sum(round(col("v").cast("double") * 1000000000L)
+        .cast("decimal(38,0)")).cast("double") / lit(1000000000.0)
+        / count(lit(1))).as("c"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cv"))
 
   /** Multi-probe IVF ANN: per query, rank the k cell centroids (exact
     * integer-unit means, as q_vec_centroid), probe the TWO nearest cells,
@@ -1158,19 +1164,29 @@ object VectorOps {
        |      / 1000000000.0 / COUNT(*) AS c
        |  FROM emb, range(1, 65) t(i)
        |  GROUP BY label, pos),
-       |cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+       |cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label)${
+         ivfpqAdcTail(p, "cvec", "emb")}""".stripMargin
+
+  /** The probe→cell-restricted-ADC→top-5 tail shared by every composed
+    * IVF-PQ oracle: `cellsRel` is the (label, cv) centroid relation the
+    * coarse ranker probes, `memberRel` the (vec_id, label) relation that
+    * says which cell each encoded vector lives in — the label-cell family
+    * passes (cvec, emb); the TRAINED-quantizer family passes its Lloyd
+    * outputs. One definition, so the families cannot drift. */
+  private def ivfpqAdcTail(p: Int, cellsRel: String, memberRel: String) =
+    s""",
        |probes AS (
        |  SELECT vec_id AS a_id, label FROM (
-       |    SELECT q.vec_id, cvec.label,
+       |    SELECT q.vec_id, $cellsRel.label,
        |      CAST(row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY round(list_sum(list_transform(list_zip(q.embedding, cvec.cv),
-       |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC, cvec.label) AS INT) AS crk
-       |    FROM (SELECT vec_id, embedding FROM emb WHERE vec_id < 20) q, cvec)
+       |        ORDER BY round(list_sum(list_transform(list_zip(q.embedding, $cellsRel.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC, $cellsRel.label) AS INT) AS crk
+       |    FROM (SELECT vec_id, embedding FROM emb WHERE vec_id < 20) q, $cellsRel)
        |  WHERE crk <= $p),
        |adcp AS (
        |  SELECT l.a_id, e.vec_id AS b_id, SUM(l.lutu) AS adcu
        |  FROM enc e
-       |  JOIN emb be ON be.vec_id = e.vec_id
+       |  JOIN $memberRel be ON be.vec_id = e.vec_id
        |  JOIN probes p ON p.label = be.label
        |  JOIN lut l ON l.a_id = p.a_id AND l.s = e.s AND l.c = e.code
        |  WHERE e.vec_id <> l.a_id
@@ -1838,6 +1854,99 @@ object VectorOps {
       .agg(count(col("hit")).cast("int").as("n_hit"),
         round(count(col("hit")) / 5.0, 6).as("recall_at_5"))
       .orderBy("a_id")
+  }
+
+  // ---- TRAINED coarse quantizer (the real FAISS train path) -------------
+  // Every other IVF rung uses the fixture's label column as its cells — a
+  // production corpus has no labels: FAISS trains the coarse quantizer
+  // with k-means and assigns cells by nearest trained centroid. These
+  // rows run that path end-to-end: Lloyd seeds (8 smallest clean ids) →
+  // one exact-integer-unit mean round → nearest-centroid cell assignment
+  // → the UNCHANGED IVF-PQ ADC tail over the trained cells. The trainer
+  // is the q_vec_kmeans_iter machinery (shared code both engines), so
+  // the composed index cannot drift from the graded trainer.
+
+  /** DuckDB trained-cell chain: seeds → assign → means (tcv: label, cv)
+    * → re-assign (tasg: vec_id, label) → shared ADC tail. */
+  private def ivfpqTrainedDuck(p: Int = 2) =
+    s"""WITH ${pqCtesFrom(defaultEmbSql)},
+       |ts0 AS (SELECT vec_id AS cid, embedding AS cv FROM emb WHERE vec_id < 8),
+       |tasg1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, ts0.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(e.embedding, ts0.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) DESC,
+       |          ts0.cid) AS rk
+       |    FROM emb e, ts0)
+       |  WHERE rk = 1),
+       |tc1c AS (
+       |  SELECT a.cid, CAST(t.i AS INT) - 1 AS pos,
+       |    SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000)
+       |        AS BIGINT)) / 1000000000.0 / COUNT(*) AS c
+       |  FROM tasg1 a JOIN emb e USING (vec_id), range(1, 65) t(i)
+       |  GROUP BY a.cid, pos),
+       |tcv AS (SELECT cid AS label, list(c ORDER BY pos) AS cv
+       |        FROM tc1c GROUP BY cid),
+       |tasg AS (
+       |  SELECT vec_id, label FROM (
+       |    SELECT e.vec_id, tcv.label,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(e.embedding, tcv.cv),
+       |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC,
+       |          tcv.label) AS rk
+       |    FROM emb e, tcv)
+       |  WHERE rk = 1)${ivfpqAdcTail(p, "tcv", "tasg")}""".stripMargin
+
+  /** Spark trained-cell IVF-PQ: the SAME Lloyd primitives as
+    * q_vec_kmeans_iter (map-only broadcast-book assignment, exact
+    * integer-unit means) produce the centroid table and the cell
+    * membership, then the UNCHANGED ivfpqRank scores the probed cells'
+    * codes. Scale shape: training adds one (cid, pos) mean rollup and
+    * two map-only assignment passes over the corpus — no new corpus
+    * exchange classes beyond the graded trainer's. */
+  private def ivfpqTrainedTop5(spark: SparkSession, dir: String,
+      k: Int = 5, p: Int = 2): DataFrame = {
+    val e = cleanEmbeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val tcv = kmeansMeans(kmeansAssign(e, seeds))
+      .persistScratch() // trained centroids: re-assign + the probe ranker
+    val tasg = kmeansAssign(e, tcv)
+      .select(col("vec_id"), col("cid").as("label"))
+    val sp = pqSubvectors(e)
+    val cb = pqTrain(spark, sp)
+      .persistScratch() // trained book: encode + LUT + the recall twin
+    val enc = pqAssign(spark, sp, cb).select("vec_id", "s", "code")
+      .join(tasg, "vec_id")
+      .persistScratch() // trained-cell-tagged codes, shared w/ recall row
+    ivfpqRank(spark, e.filter(col("vec_id") < 20),
+      tcv.select(col("cid").as("label"), col("cv")), cb, enc, p = p, k = k)
+  }
+
+  /** Composed IVF-PQ over a TRAINED coarse quantizer, graded — the
+    * unlabeled-corpus form every production deployment runs. */
+  val qVecIvfPqTrained = Q(
+    "q_vec_ivfpq_trained",
+    s"""${ivfpqTrainedDuck()}
+       |SELECT a_id, b_id, round(adcu / 1000000.0, 6) AS adc, rk FROM ipq5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    ivfpqTrainedTop5(spark, dir)
+      .select(col("a_id"), col("b_id"),
+        round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
+      .orderBy("a_id", "rk")
+  }
+
+  /** Recall@5 of the trained-quantizer IVF-PQ — read against
+    * q_vec_recall_ivfpq (label cells): the delta prices what one Lloyd
+    * round of cell training buys (or costs) vs the fixture's planted
+    * partition at the same probe count and code budget. */
+  val qVecRecallIvfPqTrained = Q(
+    "q_vec_recall_ivfpq_trained",
+    s"""${ivfpqTrainedDuck()}${duckRecallTail("ipq5")}""".stripMargin
+  ) { (spark, dir) =>
+    recallVsTruth(spark, dir, ivfpqTrainedTop5(spark, dir))
   }
 
   // ---- two-tier serving over RESIDUAL codes (the full FAISS stack) ------
@@ -2860,6 +2969,7 @@ object VectorOps {
     qVecIvfPqRes, qVecIndexIvfPqRes, qVecRecallIvfPqRes,
     qVecIvfPqResRerank, qVecRecallIvfPqResRr,
     qVecIvfPqResRerankP4W40, qVecRecallIvfPqResRrP4W40,
+    qVecIvfPqTrained, qVecRecallIvfPqTrained,
     qVecRecallIvfPqClu, qVecRecallIvfPqResClu,
     qVecCellStats, qVecIndexStats,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
