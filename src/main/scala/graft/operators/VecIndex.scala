@@ -291,6 +291,36 @@ object VecIndex {
     VectorOps.ivfpqRank(spark, batch, spark.table(s"${name}_cent"),
       spark.table(s"${name}_cb"), spark.table(s"${name}_code"), p, k)
 
+  /** Persisted IVF-PQ index over a TRAINED coarse quantizer — the
+    * unlabeled-corpus form of [[ivfpqWrite]]: the centroid table is the
+    * Lloyd-trained tcv (NOT a recomputed mean of the assigned members,
+    * which would drift one iteration ahead of what the in-memory chain
+    * probes) and the codes are tagged with the nearest-trained-centroid
+    * cell. Probed by the same [[ivfpqProbe]], so the round-trip is
+    * bit-identical to the in-memory trained pipeline. */
+  def ivfpqTrainedWrite(emb: DataFrame, name: String, buckets: Int = 4): Unit = {
+    val spark = emb.sparkSession
+    val (tcv, tasg0) = VectorOps.trainedCells(
+      emb.select("vec_id", "embedding"))
+    val tasg = tasg0.localCheckpoint()
+    try {
+      Sinks.writeBucketed(tcv, 1, Seq("label"), s"${name}_cent")
+      val sp = VectorOps.pqSubvectors(emb)
+      val cb = VectorOps.pqTrain(spark, sp).localCheckpoint()
+      try {
+        Sinks.writeBucketed(cb, 1, Seq("s"), s"${name}_cb")
+        Sinks.writeBucketed(
+          VectorOps.pqAssign(spark, sp, cb).select("vec_id", "s", "code")
+            .join(tasg, "vec_id"),
+          buckets, Seq("label"), s"${name}_code")
+      } finally cb.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
+    } finally tasg.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
+  }
+
   /** IVF-PQ admit path (FAISS `add()`): encode a new batch against the
     * FIXED persisted codebook and append its cell-tagged codes — no
     * retraining, no touching existing codes or the centroid table

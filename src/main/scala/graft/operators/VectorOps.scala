@@ -1905,23 +1905,34 @@ object VectorOps {
     * codes. Scale shape: training adds one (cid, pos) mean rollup and
     * two map-only assignment passes over the corpus — no new corpus
     * exchange classes beyond the graded trainer's. */
-  private def ivfpqTrainedTop5(spark: SparkSession, dir: String,
-      k: Int = 5, p: Int = 2): DataFrame = {
-    val e = cleanEmbeddings(spark, dir).select(col("vec_id"), col("embedding"))
+  /** The trained coarse quantizer's two outputs — (tcv: label, cv)
+    * trained centroids and (tasg: vec_id, label) nearest-centroid cell
+    * membership — shared by the in-memory chain and the persisted index
+    * writer ([[VecIndex.ivfpqTrainedWrite]]) so the two can never
+    * disagree on the training recipe. */
+  private[operators] def trainedCells(e: DataFrame)
+      : (DataFrame, DataFrame) = {
     val seeds = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val tcv = kmeansMeans(kmeansAssign(e, seeds))
       .persistScratch() // trained centroids: re-assign + the probe ranker
     val tasg = kmeansAssign(e, tcv)
       .select(col("vec_id"), col("cid").as("label"))
+    (tcv.select(col("cid").as("label"), col("cv")), tasg)
+  }
+
+  private def ivfpqTrainedTop5(spark: SparkSession, dir: String,
+      k: Int = 5, p: Int = 2): DataFrame = {
+    val e = cleanEmbeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (tcv, tasg) = trainedCells(e)
     val sp = pqSubvectors(e)
     val cb = pqTrain(spark, sp)
       .persistScratch() // trained book: encode + LUT + the recall twin
     val enc = pqAssign(spark, sp, cb).select("vec_id", "s", "code")
       .join(tasg, "vec_id")
       .persistScratch() // trained-cell-tagged codes, shared w/ recall row
-    ivfpqRank(spark, e.filter(col("vec_id") < 20),
-      tcv.select(col("cid").as("label"), col("cv")), cb, enc, p = p, k = k)
+    ivfpqRank(spark, e.filter(col("vec_id") < 20), tcv, cb, enc,
+      p = p, k = k)
   }
 
   /** Composed IVF-PQ over a TRAINED coarse quantizer, graded — the
@@ -1933,6 +1944,28 @@ object VectorOps {
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
     ivfpqTrainedTop5(spark, dir)
+      .select(col("a_id"), col("b_id"),
+        round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
+      .orderBy("a_id", "rk")
+  }
+
+  /** Persisted TRAINED-quantizer index ROUND-TRIP, graded end-to-end:
+    * identical oracle to [[qVecIvfPqTrained]], but the trained centroid
+    * table, codebook, and trained-cell-tagged codes are
+    * [[VecIndex.ivfpqTrainedWrite]]'s parquet artifact, read back through
+    * the catalog and probed by the same ivfpqProbe core — the
+    * unlabeled-corpus index now has a disk artifact like every other ANN
+    * rung. */
+  val qVecIndexIvfPqTrained = Q(
+    "q_vec_index_ivfpq_trained",
+    s"""${ivfpqTrainedDuck()}
+       |SELECT a_id, b_id, round(adcu / 1000000.0, 6) AS adc, rk FROM ipq5
+       |ORDER BY a_id, rk""".stripMargin
+  ) { (spark, dir) =>
+    val e = cleanEmbeddings(spark, dir)
+    VecIndex.ivfpqTrainedWrite(e, Scans.rtTable("ivfpqt_idx"))
+    VecIndex.ivfpqProbe(spark, Scans.rtTable("ivfpqt_idx"),
+      e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")))
       .select(col("a_id"), col("b_id"),
         round(col("adcu").cast("double") / 1000000.0, 6).as("adc"), col("rk"))
       .orderBy("a_id", "rk")
@@ -2969,7 +3002,7 @@ object VectorOps {
     qVecIvfPqRes, qVecIndexIvfPqRes, qVecRecallIvfPqRes,
     qVecIvfPqResRerank, qVecRecallIvfPqResRr,
     qVecIvfPqResRerankP4W40, qVecRecallIvfPqResRrP4W40,
-    qVecIvfPqTrained, qVecRecallIvfPqTrained,
+    qVecIvfPqTrained, qVecIndexIvfPqTrained, qVecRecallIvfPqTrained,
     qVecRecallIvfPqClu, qVecRecallIvfPqResClu,
     qVecCellStats, qVecIndexStats,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,

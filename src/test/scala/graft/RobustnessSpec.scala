@@ -169,7 +169,11 @@ class RobustnessSpec extends SparkTestBase {
     rows.write.parquet(s"$dir/embeddings.parquet")
     val queries = SparkEntry.queries
     Seq("q_vec_pq", "q_vec_recall_pq", "q_vec_index_pq", "q_vec_kmeans",
-        "q_vec_kmeans_iter")
+        "q_vec_kmeans_iter",
+        // the trained-quantizer family seeds its coarse cells on
+        // vec_id < 8 — same empty-book degradation contract
+        "q_vec_ivfpq_trained", "q_vec_index_ivfpq_trained",
+        "q_vec_recall_ivfpq_trained")
       .foreach { name =>
         try {
           val n = queries(name)(spk, dir).collect().length
