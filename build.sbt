@@ -15,6 +15,12 @@ Test / fork := true
 // spark.sql.extensions plugin path, so suites cannot run concurrently.
 Test / parallelExecution := false
 run / fork := true
+// RAW pass-through for the forked run's stdout/stderr: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which is why
+// the driver's JSON-line parser has read Bench's stdout line as
+// unparseable since round 12 ("parsed": null) — the line itself was
+// always within budget, the decoration broke it.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -248,8 +248,17 @@ object Bench {
     Files.writeString(Paths.get(outPath),
       fullJson(results, errors.reverse, sfDir, sentinels, cacheWarns.reverse,
         setupErrors.reverse, rerun) + "\n")
-    println(stdoutLine(results, errors.reverse, sfDir, sentinels,
-      cacheWarns.reverse, setupErrors.reverse, rerun))
+    val line = stdoutLine(results, errors.reverse, sfDir, sentinels,
+      cacheWarns.reverse, setupErrors.reverse, rerun)
+    println(line)
+    // Belt and suspenders for the driver's tail parser: emit the SAME
+    // line on stderr too (build.sbt's StdoutOutput strategy passes both
+    // streams through undecorated; under any logged strategy at least
+    // one stream's copy survives with only a level prefix). Flush both
+    // so the line can't be cut by JVM exit buffering.
+    System.out.flush()
+    System.err.println(line)
+    System.err.flush()
     spark.stop()
   }
 

@@ -198,6 +198,24 @@ object Sinks {
         // contract. A batch MISSING a table column fails loudly below
         // (unresolved __b_ column), never silently drops data.
         val newCols = latest.columns.filterNot(base.columns.contains).toSeq
+        // TYPE parity for columns on BOTH sides: the when/otherwise merge
+        // below would silently coerce a same-name-different-type batch
+        // column (e.g. a BIGINT batch over an INT base), permanently
+        // widening the table schema on publish AND changing the xxhash64
+        // tiebreak inputs for replayed pre-widening batches (int and long
+        // hash differently) — evolution is additive-only, so a type
+        // change fails loudly here instead
+        val typeClash = base.columns.filter(latest.columns.contains)
+          .flatMap { c =>
+            val bt = base.schema(c).dataType
+            val lt = latest.schema(c).dataType
+            if (bt == lt) None
+            else Some(s"$c (table ${bt.sql}, batch ${lt.sql})")
+          }
+        if (typeClash.nonEmpty) throw new IllegalArgumentException(
+          "schema evolution is additive-only: the batch changes the type " +
+            s"of existing column(s) ${typeClash.mkString(", ")} — cast " +
+            "the batch to the table's types explicitly before upserting")
         // prefix every batch column so the full-outer join is unambiguous;
         // per key, the greater (seq, row-hash) wins — batch on exact ties
         // (identical row) and inserts
@@ -394,29 +412,49 @@ object Sinks {
   final class ConcurrentWriterException(msg: String)
     extends RuntimeException(msg)
 
+  /** Safety margin subtracted from [[LockStaleMs]] by the release-path
+    * window guard: the holder measures its window from `heldSince`
+    * (stamped AFTER acquisition) while a reclaimer judges staleness from
+    * the lease file's own timestamp (stamped BEFORE the holder returned
+    * from acquire), so near the boundary the reclaimer's clock runs a
+    * little AHEAD of the holder's — the margin keeps the holder from
+    * touching the file inside that skew. */
+  private val ReleaseGraceMs: Long = 5L * 60 * 1000
+
   /** Run `body` holding the table root's writer lease. Acquisition is an
     * atomic-create of [[LockFile]] carrying (token, acquire-millis); if
     * the file already exists, a fresh lease fails the caller fast and a
     * stale one (crashed holder, see [[LockStaleMs]]) is reclaimed.
-    * RECLAIM is single-winner: the stale file is first RENAMED to a
-    * reclaimer-unique name (rename is the atomic primitive on every
-    * Hadoop filesystem) — of two racing reclaimers exactly one rename
-    * succeeds, so the loser can never delete the winner's fresh lease
-    * out from under it (the delete-then-create shape would let both
-    * proceed and reintroduce the lost-merge race the lock exists to
-    * close). Release deletes the file only while OUR lease is still
-    * inside its validity window and still carries our token — a holder
-    * that overstayed [[LockStaleMs]] leaves the file alone, because a
-    * reclaimer may legitimately own it by then. */
+    * The create-if-absent CAS is scheme-aware: HDFS-like filesystems get
+    * `fs.create(overwrite = false)` (an atomic namespace op there), but
+    * Hadoop's Local/ChecksumFileSystem implements overwrite=false as a
+    * non-atomic exists-then-create, so `file:` roots use
+    * O_CREAT|O_EXCL via java.nio instead — the kernel-level
+    * create-exclusive.
+    * RECLAIM is single-winner AND re-verified: the candidate file is
+    * first RENAMED to a reclaimer-unique name (rename is the atomic
+    * primitive on every Hadoop filesystem) — of two racing reclaimers
+    * exactly one rename succeeds — and then the staleness judgment is
+    * REPEATED on the moved file's content, which now only this reclaimer
+    * can touch. That closes the observe-then-rename TOCTOU: reclaimer B,
+    * delayed between reading a stale lease and renaming, would otherwise
+    * yank the FRESH lease reclaimer A just created; B's re-read sees a
+    * fresh foreign lease, restores it, and fails fast.
+    * RELEASE is the same rename-then-verify shape (rename to a
+    * holder-unique name, confirm it still carries our token, only then
+    * delete; restore on mismatch) and only runs while the lease is still
+    * inside its validity window less [[ReleaseGraceMs]] — a holder that
+    * overstayed leaves the file alone, because a reclaimer may
+    * legitimately own it by then. */
   private def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(root, LockFile)
     val token = java.util.UUID.randomUUID().toString
-    def lease(): Option[(String, Long)] =
+    def leaseAt(p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
       try {
-        val in = fs.open(lock)
+        val in = fs.open(p)
         val txt = try new String(
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8)
@@ -427,20 +465,47 @@ object Sinks {
           case _ => None // torn/empty write: a crashed acquire — stale
         }
       } catch { case _: java.io.IOException => None }
+    def lease(): Option[(String, Long)] = leaseAt(lock)
+    val leaseBytes =
+      s"$token\n${System.currentTimeMillis()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def tryAcquire(): Boolean =
       try {
-        val out = fs.create(lock, false) // create-if-absent IS the CAS
-        try out.write(s"$token\n${System.currentTimeMillis()}\n"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+        if (fs.getUri.getScheme == "file") {
+          // LocalFileSystem's create(overwrite=false) is exists-then-
+          // create, NOT atomic; O_CREAT|O_EXCL is. No .crc sidecar is
+          // written here, which is fine: ChecksumFileSystem reads a
+          // sidecar-less file unverified, and rename/delete of the lease
+          // go through fs so any test-fabricated sidecar moves with it.
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(lock.toUri.getPath), leaseBytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } else {
+          val out = fs.create(lock, false) // atomic on HDFS-like schemes
+          try out.write(leaseBytes)
+          finally out.close()
+          true
+        }
+      } catch {
+        // FileAlreadyExistsException (the nio CREATE_NEW loss) IS an
+        // IOException — one case covers both CAS branches
+        case _: java.io.IOException => false
+      }
     def fail(): Nothing =
       throw new ConcurrentWriterException(
         s"table root $path is locked by a concurrent writer " +
           s"(lease ${lease().getOrElse("unreadable")}); mutators are " +
           "single-writer — retry after it completes, or reclaim after " +
           s"${LockStaleMs / 60000} min if it crashed")
+    // best-effort restore of a lease we turn out not to own: rename back,
+    // or (if the slot was re-created meanwhile) drop our duplicate copy
+    def restore(from: org.apache.hadoop.fs.Path): Unit = {
+      val back = try fs.rename(from, lock)
+      catch { case _: java.io.IOException => false }
+      if (!back) fs.delete(from, false)
+    }
     if (!tryAcquire()) {
       val stale = lease() match {
         case Some((_, ts)) => System.currentTimeMillis() - ts > LockStaleMs
@@ -454,17 +519,38 @@ object Sinks {
       val won = try fs.rename(lock, trash)
       catch { case _: java.io.IOException => false }
       if (!won) fail()
+      // re-judge staleness on the MOVED content — the decision and the
+      // object are now the same exclusively-held file, so a fresh lease
+      // that slid under the rename (created by a faster reclaimer after
+      // our lease() read) is detected, restored, and failed fast
+      val movedStale = leaseAt(trash) match {
+        case Some((_, ts)) => System.currentTimeMillis() - ts > LockStaleMs
+        case None => true // torn content: a crashed acquire — stale
+      }
+      if (!movedStale) { restore(trash); fail() }
       fs.delete(trash, false)
       if (!tryAcquire()) fail()
     }
     val heldSince = System.currentTimeMillis()
     try body
     finally {
-      // only release a lease that is provably still OURS: inside the
-      // validity window no reclaim can have happened, so token-match +
-      // delete cannot race; past the window a reclaimer may own the file
-      if (System.currentTimeMillis() - heldSince < LockStaleMs &&
-          lease().exists(_._1 == token)) fs.delete(lock, false)
+      // only release a lease that is provably still OURS: rename it to a
+      // holder-unique name first (atomic — nobody else can then touch
+      // it), verify it still carries our token, and only then delete;
+      // a foreign lease caught by the rename (a reclaimer racing the
+      // validity boundary) is restored. The window guard keeps an
+      // overstaying holder from touching the file at all, with
+      // ReleaseGraceMs covering the heldSince-vs-file-timestamp skew.
+      if (System.currentTimeMillis() - heldSince <
+          LockStaleMs - ReleaseGraceMs) {
+        val rel = new org.apache.hadoop.fs.Path(root, s"$LockFile.release.$token")
+        val moved = try fs.rename(lock, rel)
+        catch { case _: java.io.IOException => false }
+        if (moved) {
+          if (leaseAt(rel).exists(_._1 == token)) fs.delete(rel, false)
+          else restore(rel)
+        }
+      }
     }
   }
 

@@ -495,6 +495,133 @@ class SinkSourceSpec extends SparkTestBase {
       "failed evolve mutated the table")
   }
 
+  test("schema evolution rejects a same-name type change loudly") {
+    // The silent-coercion class: a batch carrying an existing column under
+    // the same NAME but a different TYPE (bal as BIGINT over an INT base)
+    // would be coerced by the when/otherwise merge, permanently widening
+    // the table schema on publish and changing the xxhash64 tie-break
+    // inputs for replayed pre-widening batches (int and long hash
+    // differently). Evolution is additive-only: type changes fail loudly.
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_typeclash").toString + "/t"
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, 10, 1L), (2L, 20, 1L)).toDF("key", "bal", "seq"),
+      table, "key", "seq")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.upsertBatch(
+        Seq((2L, 99L, 2L)).toDF("key", "bal", "seq"), // bal BIGINT vs INT
+        table, "key", "seq")
+    }
+    assert(e.getMessage.contains("bal") &&
+      e.getMessage.toLowerCase.contains("additive"),
+      s"type-clash error must name the column and the contract: ${e.getMessage}")
+    // the rejected batch mutated nothing and released its lease
+    assert(graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, Int, Long)].collect().toSet ===
+      Set((1L, 10, 1L), (2L, 20, 1L)),
+      "rejected type-changing batch mutated the table")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$table/.LOCK")),
+      "rejected type-changing batch left the writer lease behind")
+    // an explicitly-cast batch (the documented fix) proceeds normally
+    graft.sources.Sinks.upsertBatch(
+      Seq((2L, 99L, 2L)).toDF("key", "bal", "seq")
+        .withColumn("bal", col("bal").cast("int")),
+      table, "key", "seq")
+    assert(graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, Int, Long)].collect().toSet ===
+      Set((1L, 10, 1L), (2L, 99, 2L)),
+      "explicitly-cast batch did not merge")
+  }
+
+  test("stale-lease reclaim is single-winner under concurrent mutators") {
+    // Two cron-synchronized writers hitting one crashed lease is the
+    // likely deployment shape: exactly the observe/rename TOCTOU window
+    // the reclaim's re-verify closes (a racer that renames a lease must
+    // re-judge staleness on the MOVED content and restore a fresh foreign
+    // lease instead of deleting it). Run 4 concurrent upserts over one
+    // stale lease: every thread either commits or fails fast with
+    // ConcurrentWriterException, the final table holds the base row plus
+    // exactly the winners' keys, and no lease litter survives the last
+    // publish.
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_reclaim_race").toString + "/t"
+    graft.sources.Sinks.upsertBatch(
+      Seq((0L, "base", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    val lock = java.nio.file.Paths.get(s"$table/.LOCK")
+    Files.writeString(lock,
+      s"crashed\n${System.currentTimeMillis() - graft.sources.Sinks.LockStaleMs - 1000}\n")
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$table/..LOCK.crc"))
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val won = new ConcurrentLinkedQueue[Long]()
+    val failed = new ConcurrentLinkedQueue[Long]()
+    val threads = (1L to 4L).map { k =>
+      new Thread(() =>
+        try {
+          graft.sources.Sinks.upsertBatch(
+            Seq((k, s"w$k", 2L)).toDF("key", "v", "seq"), table, "key", "seq")
+          won.add(k)
+        } catch {
+          case _: graft.sources.Sinks.ConcurrentWriterException => failed.add(k)
+        })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val winners = won.asScala.toSet
+    assert(winners.size + failed.size() === 4,
+      s"a racer died with an unexpected exception: won=$winners failed=${failed.asScala}")
+    assert(winners.nonEmpty, "no racer reclaimed the stale lease")
+    val rows = graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows === Set((0L, "base", 1L)) ++ winners.map(k => (k, s"w$k", 2L)),
+      s"concurrent reclaim lost or duplicated a committed write: $rows")
+    val litter = new java.io.File(table).listFiles().map(_.getName)
+      .filter(_.startsWith(".LOCK")).toSeq
+    assert(litter.isEmpty, s"lease litter survived the final publish: $litter")
+  }
+
+  test("a reader resolved before a publish scans one complete version") {
+    // Snapshot isolation for readers under a concurrent publish: the
+    // pointer protocol retains predecessors (HistoryKeep versions total)
+    // precisely so an in-flight scan that resolved CURRENT before the
+    // swap still reads its complete version — the resolve→swap→scan
+    // interleaving, driven here explicitly. Within the history window the
+    // old frame stays readable and byte-identical; past it, the reader
+    // gets a loud failure, never a torn mix of versions.
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_snapiso").toString + "/t"
+    def up(rows: (Long, String, Long)*): Unit =
+      graft.sources.Sinks.upsertBatch(
+        rows.toDF("key", "v", "seq"), table, "key", "seq")
+    up((1L, "a", 1L)) // v1
+    // reader resolves CURRENT now (the pointer read happens HERE; the
+    // data files are opened lazily at each action)
+    val resolvedDir = graft.sources.Sinks.resolveTable(spk, table)
+    val reader = spk.read.parquet(resolvedDir)
+    val v1 = Set((1L, "a", 1L))
+    // publish lands AFTER the resolve, BEFORE the scan — the snapshot
+    // contract: the reader sees exactly the version it resolved
+    up((2L, "b", 2L)) // v2; v1 retained as predecessor
+    assert(reader.as[(Long, String, Long)].collect().toSet === v1,
+      "reader scanned a different version than it resolved")
+    // still true one more publish later (v1 is within the keep-3 window)
+    up((3L, "c", 3L)) // v3; window = [v3, v2, v1]
+    assert(reader.as[(Long, String, Long)].collect().toSet === v1,
+      "retained predecessor changed under a second publish")
+    // a FRESH resolve sees the new live version, complete
+    assert(graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)),
+      "fresh reader does not see the live version")
+    // past the window the old version is GONE loudly (dir retired), not
+    // silently remapped: the reader fails its next action
+    up((4L, "d", 4L)) // v4 retires v1
+    intercept[Exception] { reader.collect() }
+  }
+
   test("version history keeps HistoryKeep versions and time travels to depth 2") {
     val spk = spark
     import spk.implicits._
