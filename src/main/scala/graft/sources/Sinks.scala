@@ -66,27 +66,46 @@ object Sinks {
     * proves zero exchanges on a bucketed⋈bucketed join). Bucketing
     * metadata lives in the session catalog, hence `saveAsTable` + a table
     * name rather than a bare path. */
+  /** A managed table's files OUTLIVE an in-memory catalog: a fresh
+    * session that re-creates the same table name fails with
+    * LOCATION_ALREADY_EXISTS even in Overwrite mode, because overwrite
+    * only replaces tables the current catalog knows about. Drop any
+    * current registration AND any orphaned default location first so
+    * the sink is idempotent across engine restarts. */
+  private def dropManagedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def writeBucketed(df: DataFrame, buckets: Int, bucketCols: Seq[String],
       table: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = df.sparkSession
-    if (mode == SaveMode.Overwrite) {
-      // A managed table's files OUTLIVE an in-memory catalog: a fresh
-      // session that re-creates the same table name fails with
-      // LOCATION_ALREADY_EXISTS even in Overwrite mode, because overwrite
-      // only replaces tables the current catalog knows about. Drop any
-      // current registration AND any orphaned default location first so
-      // the sink is idempotent across engine restarts.
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(table)))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    if (mode == SaveMode.Overwrite) dropManagedTable(spark, table)
     df.write.format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .mode(mode).saveAsTable(table)
+  }
+
+  /** CLUSTERED (sorted, non-bucketed) managed parquet table: range-
+    * partition on the sort key into `files` output files and sort within
+    * each, so every file covers one contiguous key interval and its
+    * parquet min/max stats are tight — the write half of data skipping
+    * (Delta OPTIMIZE ZORDER's layout, with the interleaved key computed
+    * by the caller). Unlike [[writeBucketed]] the reader needs no bucket
+    * spec: any engine scans the files, and a stats manifest prunes them. */
+  def writeClustered(df: DataFrame, files: Int, sortCols: Seq[String],
+      table: String): Unit = {
+    val spark = df.sparkSession
+    dropManagedTable(spark, table)
+    df.repartitionByRange(files, sortCols.map(df.col): _*)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(table)
   }
 
   /** Re-declare an existing bucketed-table artifact in a bare session
@@ -421,6 +440,16 @@ object Sinks {
     * touching the file inside that skew. */
   private val ReleaseGraceMs: Long = 5L * 60 * 1000
 
+  /** Staleness bound for the RECLAIM MUTEX (`.LOCK.reclaim`): the mutex
+    * guards a millisecond-scale read-judge-delete-create block, so ten
+    * minutes is far past any live reclaimer; a crashed one's mutex is
+    * swept after this. Residual (accepted, documented): a reclaimer
+    * stalled LONGER than this between its staleness re-read and its
+    * delete can, in principle, wake up and delete a successor's fresh
+    * lease — the classic lease/GC-pause hazard; a deployment needing
+    * stronger guarantees uses storage-level fencing tokens. */
+  private val ReclaimMutexStaleMs: Long = 10L * 60 * 1000
+
   /** Run `body` holding the table root's writer lease. Acquisition is an
     * atomic-create of [[LockFile]] carrying (token, acquire-millis); if
     * the file already exists, a fresh lease fails the caller fast and a
@@ -431,15 +460,22 @@ object Sinks {
     * non-atomic exists-then-create, so `file:` roots use
     * O_CREAT|O_EXCL via java.nio instead — the kernel-level
     * create-exclusive.
-    * RECLAIM is single-winner AND re-verified: the candidate file is
-    * first RENAMED to a reclaimer-unique name (rename is the atomic
-    * primitive on every Hadoop filesystem) — of two racing reclaimers
-    * exactly one rename succeeds — and then the staleness judgment is
-    * REPEATED on the moved file's content, which now only this reclaimer
-    * can touch. That closes the observe-then-rename TOCTOU: reclaimer B,
-    * delayed between reading a stale lease and renaming, would otherwise
-    * yank the FRESH lease reclaimer A just created; B's re-read sees a
-    * fresh foreign lease, restores it, and fails fast.
+    * RECLAIM runs under a dedicated RECLAIM MUTEX (`.LOCK.reclaim`,
+    * same create-exclusive CAS) so a live holder's lease is NEVER
+    * touched: with the mutex held, the staleness judgment is repeated on
+    * the lease's current content, and only a still-stale lease is
+    * deleted before the normal acquire CAS decides the next holder.
+    * Content can't change under the mutex — creators require absence,
+    * release deletes only its own verified token inside the validity
+    * window, and rival reclaimers are excluded — so the delete is sound.
+    * The earlier rename-the-lease-aside design was NOT: between moving a
+    * fresh lease aside and restoring it the lock slot sat empty, so a
+    * third racer could acquire while the real holder was mid-publish —
+    * two writers, colliding pointer swaps (caught by the 4-thread
+    * reclaim-race spec). A reclaimer that crashes holding the mutex
+    * leaves it behind; it goes stale after [[ReclaimMutexStaleMs]]
+    * (reclaim is a millisecond-scale op) and the next reclaimer sweeps
+    * it — and any publish's retirement collects it too.
     * RELEASE is the same rename-then-verify shape (rename to a
     * holder-unique name, confirm it still carries our token, only then
     * delete; restore on mismatch) and only runs while the lease is still
@@ -466,10 +502,11 @@ object Sinks {
         }
       } catch { case _: java.io.IOException => None }
     def lease(): Option[(String, Long)] = leaseAt(lock)
-    val leaseBytes =
+    def stamped: Array[Byte] =
       s"$token\n${System.currentTimeMillis()}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    def tryAcquire(): Boolean =
+    def tryCreateExclusive(p: org.apache.hadoop.fs.Path,
+        bytes: Array[Byte]): Boolean =
       try {
         if (fs.getUri.getScheme == "file") {
           // LocalFileSystem's create(overwrite=false) is exists-then-
@@ -478,13 +515,13 @@ object Sinks {
           // sidecar-less file unverified, and rename/delete of the lease
           // go through fs so any test-fabricated sidecar moves with it.
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(lock.toUri.getPath), leaseBytes,
+            java.nio.file.Paths.get(p.toUri.getPath), bytes,
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
           true
         } else {
-          val out = fs.create(lock, false) // atomic on HDFS-like schemes
-          try out.write(leaseBytes)
+          val out = fs.create(p, false) // atomic on HDFS-like schemes
+          try out.write(bytes)
           finally out.close()
           true
         }
@@ -493,6 +530,7 @@ object Sinks {
         // IOException — one case covers both CAS branches
         case _: java.io.IOException => false
       }
+    def tryAcquire(): Boolean = tryCreateExclusive(lock, stamped)
     def fail(): Nothing =
       throw new ConcurrentWriterException(
         s"table root $path is locked by a concurrent writer " +
@@ -512,24 +550,34 @@ object Sinks {
         case None => true // unreadable lease = crashed mid-create
       }
       if (!stale) fail()
-      // single-winner reclaim: atomically move the stale lease aside; a
-      // losing racer's rename fails and it backs off (a crashed winner's
-      // .reclaim litter is swept by the next publish's retirement)
-      val trash = new org.apache.hadoop.fs.Path(root, s"$LockFile.reclaim.$token")
-      val won = try fs.rename(lock, trash)
-      catch { case _: java.io.IOException => false }
-      if (!won) fail()
-      // re-judge staleness on the MOVED content — the decision and the
-      // object are now the same exclusively-held file, so a fresh lease
-      // that slid under the rename (created by a faster reclaimer after
-      // our lease() read) is detected, restored, and failed fast
-      val movedStale = leaseAt(trash) match {
-        case Some((_, ts)) => System.currentTimeMillis() - ts > LockStaleMs
-        case None => true // torn content: a crashed acquire — stale
+      // reclaim mutex: serializes reclaimers WITHOUT ever emptying a
+      // live holder's lock slot (the scaladoc's rename-aside
+      // post-mortem). A fresh lease is never deleted: content is
+      // immutable while the file exists and the mutex is held.
+      val rmx = new org.apache.hadoop.fs.Path(root, s"$LockFile.reclaim")
+      def tryMutex(): Boolean = tryCreateExclusive(rmx, stamped)
+      if (!tryMutex()) {
+        val mutexStale = leaseAt(rmx) match {
+          case Some((_, ts)) =>
+            System.currentTimeMillis() - ts > ReclaimMutexStaleMs
+          case None => true // torn mutex write: a crashed reclaimer
+        }
+        if (!mutexStale) fail()
+        fs.delete(rmx, false) // crashed reclaimer's mutex: sweep and retry
+        if (!tryMutex()) fail()
       }
-      if (!movedStale) { restore(trash); fail() }
-      fs.delete(trash, false)
-      if (!tryAcquire()) fail()
+      try {
+        // re-judge on the lease's CURRENT content — under the mutex the
+        // only way it changes is vanishing entirely (a release), which
+        // the acquire CAS below adjudicates anyway
+        val stillStale = lease() match {
+          case Some((_, ts)) => System.currentTimeMillis() - ts > LockStaleMs
+          case None => true
+        }
+        if (!stillStale) fail()
+        fs.delete(lock, false)
+        if (!tryAcquire()) fail()
+      } finally fs.delete(rmx, false)
     }
     val heldSince = System.currentTimeMillis()
     try body
@@ -639,7 +687,13 @@ object Sinks {
   private def writePointer(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
     val fs = fsOf(spark, root)
-    val tmp = new org.apache.hadoop.fs.Path(root, s".$PointerFile.tmp")
+    // writer-unique tmp name: publishes are lease-serialized, but if
+    // mutual exclusion is ever violated a shared tmp turns the second
+    // swap into a FileNotFound crash mid-commit — unique tmps degrade
+    // that to pointer last-writer-wins, and retirement/vacuum sweep any
+    // crash litter either way
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".$PointerFile.tmp.${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
