@@ -497,6 +497,25 @@ object PipelineOps {
       .orderBy("col")
   }
 
+  /** 16-bit Morton interleave of two 8-bit dimensions — pure unrolled
+    * shift-mask-or arithmetic (exact integers, codegen-friendly,
+    * identical on both engines), shared by the key-profile row
+    * ([[qLayoutZorder]]) and the write→skip round-trip
+    * ([[qLayoutZorderSkip]]). */
+  private def morton(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The z-order fixture frame: orders keyed to two 0..255 dims (customer
+    * slot, day-of-epoch slot) plus the measure the skip-scan aggregates. */
+  private def ordersXY(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select((col("o_custkey") % 256).as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"),
+        col("o_totalprice"))
+
   /** Z-order (Morton) clustering-key profile — the data-LAYOUT half of a
     * 100 TB lake: a writer that sorts by the interleaved key
     * (`repartitionByRange(zkey)` then write) gets parquet files whose
@@ -524,20 +543,82 @@ object PipelineOps {
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     }
   ) { (spark, dir) =>
-    def morton(x: Column, y: Column): Column =
-      (0 until 8).map { i =>
-        shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
-          shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
-      }.reduce(_ + _)
-    Tables.orders(spark, dir)
-      .select((col("o_custkey") % 256).as("x"),
-        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"))
+    ordersXY(spark, dir)
+      .select("x", "y")
       .withColumn("zkey", morton(col("x"), col("y")))
       .groupBy(shiftright(col("zkey"), 8).cast("int").as("zbucket"))
       .agg(count(lit(1)).as("n"),
         min("x").cast("int").as("x_min"), max("x").cast("int").as("x_max"),
         min("y").cast("int").as("y_min"), max("y").cast("int").as("y_max"))
       .orderBy("zbucket")
+  }
+
+  /** Z-ordered clustered write + its per-file min/max stats MANIFEST —
+    * the table-format data-skipping contract (Delta/Iceberg file stats)
+    * as two managed tables: the data files sorted by the Morton key
+    * ([[graft.sources.Sinks.writeClustered]], each file one contiguous
+    * z interval) and a `_stats` table of one row per file carrying both
+    * dimensions' envelopes. The manifest costs one scan of the
+    * just-written data (what a format's writer accumulates for free) and
+    * is file-count-sized — metadata, never corpus-sized. */
+  private[graft] def zWriteWithStats(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    graft.sources.Sinks.writeClustered(
+      df.withColumn("zkey", morton(col("x"), col("y"))), 16, Seq("zkey"), table)
+    val stats = spark.table(table)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .coalesce(1)
+    graft.sources.Sinks.writeClustered(stats, 1, Seq("file"), s"${table}_stats")
+  }
+
+  /** File-skipping scan of a z-ordered table: consult the stats manifest,
+    * read ONLY the files whose (x, y) envelope intersects the predicate
+    * box, and keep the residual row filter for exactness (the manifest
+    * prune yields a superset). The manifest select is a bounded
+    * driver-side list — one row per FILE, the same metadata a table
+    * format's log replays — so at 100 TB the scan cost is proportional to
+    * the files the predicate touches, not the table. */
+  private[graft] def zSkipScan(spark: SparkSession, table: String,
+      xLo: Int, xHi: Int, yLo: Int, yHi: Int): DataFrame = {
+    val sel = spark.table(s"${table}_stats")
+      .filter(col("x_max") >= xLo && col("x_min") <= xHi &&
+        col("y_max") >= yLo && col("y_min") <= yHi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val pruned =
+      if (sel.isEmpty) spark.table(table).limit(0)
+      else spark.read.schema(spark.table(table).schema).parquet(sel: _*)
+    pruned.filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+  }
+
+  /** Z-order write → FILE-SKIPPING read, graded end-to-end: write orders
+    * z-sorted into 16 files + stats manifest, skip-scan a two-dimensional
+    * predicate box, and aggregate the survivors; the oracle aggregates the
+    * SOURCE directly under the same predicate, so a green hash proves the
+    * pruned read lost and invented nothing — the correctness half of the
+    * single biggest scan-cost lever at 100 TB. ScaleSpec asserts the other
+    * half: the scan reads a strict subset of the files. */
+  val qLayoutZorderSkip = Q(
+    "q_layout_zorder_skip",
+    s"""WITH k AS (
+       |  SELECT o_custkey % 256 AS x,
+       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
+       |    o_totalprice
+       |  FROM orders)
+       |SELECT CAST(x AS INT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS sum_price
+       |FROM k
+       |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
+       |GROUP BY 1 ORDER BY x""".stripMargin
+  ) { (spark, dir) =>
+    val table = Scans.rtTable("zskip")
+    zWriteWithStats(ordersXY(spark, dir), table)
+    zSkipScan(spark, table, 32, 95, 64, 127)
+      .groupBy(col("x").cast("int").as("x"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        Det.exactSum(col("o_totalprice"), 100).as("sum_price"))
+      .orderBy("x")
   }
 
   /** Training-shard assignment + balance report: every document goes to
@@ -583,5 +664,5 @@ object PipelineOps {
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
-    qDocShard)
+    qLayoutZorderSkip, qDocShard)
 }

@@ -1866,37 +1866,61 @@ object VectorOps {
   // is the q_vec_kmeans_iter machinery (shared code both engines), so
   // the composed index cannot drift from the graded trainer.
 
-  /** DuckDB trained-cell chain: seeds → assign → means (tcv: label, cv)
-    * → re-assign (tasg: vec_id, label) → shared ADC tail. */
-  private def ivfpqTrainedDuck(p: Int = 2) =
-    s"""WITH ${pqCtesFrom(defaultEmbSql)},
-       |ts0 AS (SELECT vec_id AS cid, embedding AS cv FROM emb WHERE vec_id < 8),
-       |tasg1 AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, ts0.cid,
+  /** One DuckDB nearest-centroid assignment CTE: every corpus vector to
+    * its best cell in `cellsRel` ((`key`, cv) — ts0's float seeds or a
+    * tcv round's double means; CAST(x[2] AS DOUBLE) is exact on both).
+    * Output (vec_id, `outCol`): `cid` feeding a means round, `label`
+    * feeding the ADC tail. */
+  private def trainedAssignDuck(name: String, cellsRel: String, key: String,
+      outCol: String) =
+    s"""$name AS (
+       |  SELECT vec_id, $outCol FROM (
+       |    SELECT e.vec_id, $cellsRel.$key AS $outCol,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(list_sum(list_transform(list_zip(e.embedding, ts0.cv),
+       |        ORDER BY round(list_sum(list_transform(list_zip(e.embedding, $cellsRel.cv),
        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) DESC,
-       |          ts0.cid) AS rk
-       |    FROM emb e, ts0)
-       |  WHERE rk = 1),
-       |tc1c AS (
+       |          $cellsRel.$key) AS rk
+       |    FROM emb e, $cellsRel)
+       |  WHERE rk = 1)""".stripMargin
+
+  /** One DuckDB exact-integer-unit means CTE pair over an assignment
+    * (vec_id, cid): the q_vec_kmeans_iter arithmetic. */
+  private def trainedMeansDuck(asgRel: String, cRel: String, cellsRel: String) =
+    s"""$cRel AS (
        |  SELECT a.cid, CAST(t.i AS INT) - 1 AS pos,
        |    SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000)
        |        AS BIGINT)) / 1000000000.0 / COUNT(*) AS c
-       |  FROM tasg1 a JOIN emb e USING (vec_id), range(1, 65) t(i)
+       |  FROM $asgRel a JOIN emb e USING (vec_id), range(1, 65) t(i)
        |  GROUP BY a.cid, pos),
-       |tcv AS (SELECT cid AS label, list(c ORDER BY pos) AS cv
-       |        FROM tc1c GROUP BY cid),
-       |tasg AS (
-       |  SELECT vec_id, label FROM (
-       |    SELECT e.vec_id, tcv.label,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(list_sum(list_transform(list_zip(e.embedding, tcv.cv),
-       |          x -> CAST(x[1] AS DOUBLE) * x[2])), 6) DESC,
-       |          tcv.label) AS rk
-       |    FROM emb e, tcv)
-       |  WHERE rk = 1)${ivfpqAdcTail(p, "tcv", "tasg")}""".stripMargin
+       |$cellsRel AS (SELECT cid AS label, list(c ORDER BY pos) AS cv
+       |        FROM $cRel GROUP BY cid)""".stripMargin
+
+  /** DuckDB trained-cell chain over an arbitrary corpus SELECT: seeds →
+    * `rounds` × (assign → exact means) → final re-assign (tasg: vec_id,
+    * label) → shared ADC tail. rounds=1 is the original single-Lloyd-round
+    * recipe; rounds=2+ extends it with the graded kmeans-iter step, so the
+    * multi-round rung's oracle reuses the identical assignment/means CTEs. */
+  private def ivfpqTrainedDuckFrom(embSql: String, p: Int = 2,
+      rounds: Int = 1): String = {
+    val chain = new StringBuilder(
+      "ts0 AS (SELECT vec_id AS cid, embedding AS cv FROM emb WHERE vec_id < 8)")
+    var cells = "ts0"
+    var key = "cid"
+    for (r <- 1 to rounds) {
+      val next = if (r == 1) "tcv" else s"tcv$r"
+      chain.append(",\n")
+        .append(trainedAssignDuck(s"tasg$r", cells, key, "cid"))
+        .append(",\n")
+        .append(trainedMeansDuck(s"tasg$r", s"tc${r}c", next))
+      cells = next; key = "label"
+    }
+    chain.append(",\n").append(trainedAssignDuck("tasg", cells, key, "label"))
+    s"""WITH ${pqCtesFrom(embSql)},
+       |${chain.result()}${ivfpqAdcTail(p, cells, "tasg")}""".stripMargin
+  }
+
+  private def ivfpqTrainedDuck(p: Int = 2) =
+    ivfpqTrainedDuckFrom(defaultEmbSql, p)
 
   /** Spark trained-cell IVF-PQ: the SAME Lloyd primitives as
     * q_vec_kmeans_iter (map-only broadcast-book assignment, exact
@@ -1910,21 +1934,42 @@ object VectorOps {
     * membership — shared by the in-memory chain and the persisted index
     * writer ([[VecIndex.ivfpqTrainedWrite]]) so the two can never
     * disagree on the training recipe. */
+  /** Dev-probe forwarders (tools/TrainedShareProbe) for the
+    * operators-private trained-quantizer chain. */
+  private[graft] def probeCleanEmb(spark: SparkSession, dir: String): DataFrame =
+    cleanEmbeddings(spark, dir)
+  private[graft] def probeTrainedCells(e: DataFrame): (DataFrame, DataFrame) =
+    trainedCells(e)
+  private[graft] def probeTrainedCellsN(e: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = trainedCellsN(e, rounds)
+
   private[operators] def trainedCells(e: DataFrame)
+      : (DataFrame, DataFrame) = trainedCellsN(e, 1)
+
+  /** `rounds`-Lloyd-round variant: each round's centroid table is
+    * persisted, so round r's tcv plan is canonically IDENTICAL to the
+    * 1-round family's — within a module pass CacheManager serves the
+    * multi-round rung's first round from the single-round rung's cache
+    * and only the extra rounds compute. */
+  private[operators] def trainedCellsN(e: DataFrame, rounds: Int)
       : (DataFrame, DataFrame) = {
     val seeds = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val tcv = kmeansMeans(kmeansAssign(e, seeds))
+    var tcv = kmeansMeans(kmeansAssign(e, seeds))
       .persistScratch() // trained centroids: re-assign + the probe ranker
+    for (_ <- 2 to rounds)
+      tcv = kmeansMeans(kmeansAssign(e, tcv)).persistScratch()
     val tasg = kmeansAssign(e, tcv)
       .select(col("vec_id"), col("cid").as("label"))
     (tcv.select(col("cid").as("label"), col("cv")), tasg)
   }
 
-  private def ivfpqTrainedTop5(spark: SparkSession, dir: String,
-      k: Int = 5, p: Int = 2): DataFrame = {
-    val e = cleanEmbeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val (tcv, tasg) = trainedCells(e)
+  /** Trained-quantizer IVF-PQ over an arbitrary (vec_id, embedding)
+    * corpus frame — the default-fixture chain and the clustered-corpus /
+    * multi-round rungs share this single composition. */
+  private def ivfpqTrainedTop5From(spark: SparkSession, e: DataFrame,
+      k: Int = 5, p: Int = 2, rounds: Int = 1): DataFrame = {
+    val (tcv, tasg) = trainedCellsN(e, rounds)
     val sp = pqSubvectors(e)
     val cb = pqTrain(spark, sp)
       .persistScratch() // trained book: encode + LUT + the recall twin
@@ -1934,6 +1979,12 @@ object VectorOps {
     ivfpqRank(spark, e.filter(col("vec_id") < 20), tcv, cb, enc,
       p = p, k = k)
   }
+
+  private def ivfpqTrainedTop5(spark: SparkSession, dir: String,
+      k: Int = 5, p: Int = 2): DataFrame =
+    ivfpqTrainedTop5From(spark,
+      cleanEmbeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      k = k, p = p)
 
   /** Composed IVF-PQ over a TRAINED coarse quantizer, graded — the
     * unlabeled-corpus form every production deployment runs. */
@@ -1980,6 +2031,24 @@ object VectorOps {
     s"""${ivfpqTrainedDuck()}${duckRecallTail("ipq5")}""".stripMargin
   ) { (spark, dir) =>
     recallVsTruth(spark, dir, ivfpqTrainedTop5(spark, dir))
+  }
+
+  /** Recall@5 of the trained quantizer after TWO Lloyd rounds at the same
+    * probes/codes — the first knob a production index tunes: does another
+    * training round keep buying recall? Read as a ladder with
+    * q_vec_recall_ivfpq_trained (1 round) and q_vec_recall_ivfpq (label
+    * cells); the convergence-shift readout is q_vec_kmeans_iter's n_moved
+    * column, the same machinery (shared assignment/means code on both
+    * engines). Scale shape: each extra round is one more map-only
+    * broadcast assignment + one (cid, pos) mean rollup — no new corpus
+    * exchange classes. */
+  val qVecRecallIvfPqT2 = Q(
+    "q_vec_recall_ivfpq_t2",
+    s"""${ivfpqTrainedDuckFrom(defaultEmbSql, rounds = 2)}${duckRecallTail("ipq5")}""".stripMargin
+  ) { (spark, dir) =>
+    recallVsTruth(spark, dir, ivfpqTrainedTop5From(spark,
+      cleanEmbeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      rounds = 2))
   }
 
   // ---- two-tier serving over RESIDUAL codes (the full FAISS stack) ------
@@ -2226,6 +2295,22 @@ object VectorOps {
   ) { (spark, dir) =>
     val e = cluEmb(spark, dir).persistScratch() // corpus feeds chain + truth
     recallVsTruthE(spark, e, ivfpqResTop5From(spark, e))
+  }
+
+  /** Recall@5 of the TRAINED coarse quantizer on the clustered corpus —
+    * the matrix corner the near-uniform fixture can't show: where real
+    * cell structure exists, one Lloyd round from 8 arbitrary seeds should
+    * recover cells comparable to the planted labels (read against
+    * q_vec_recall_ivfpq_clu, identical probes/codes), proving the
+    * unlabeled-corpus train path works precisely in the regime production
+    * corpora live in. */
+  val qVecRecallIvfPqTClu = Q(
+    "q_vec_recall_ivfpq_tclu",
+    s"""${ivfpqTrainedDuckFrom(cluEmbDuck)}${duckRecallTail("ipq5")}""".stripMargin
+  ) { (spark, dir) =>
+    val e = cluEmb(spark, dir).persistScratch() // corpus feeds chain + truth
+    recallVsTruthE(spark, e,
+      ivfpqTrainedTop5From(spark, e.select(col("vec_id"), col("embedding"))))
   }
 
   /** k×64 cell-centroid table (label, cv) from exact integer-unit sums
@@ -3003,7 +3088,8 @@ object VectorOps {
     qVecIvfPqResRerank, qVecRecallIvfPqResRr,
     qVecIvfPqResRerankP4W40, qVecRecallIvfPqResRrP4W40,
     qVecIvfPqTrained, qVecIndexIvfPqTrained, qVecRecallIvfPqTrained,
-    qVecRecallIvfPqClu, qVecRecallIvfPqResClu,
+    qVecRecallIvfPqT2,
+    qVecRecallIvfPqClu, qVecRecallIvfPqResClu, qVecRecallIvfPqTClu,
     qVecCellStats, qVecIndexStats,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,

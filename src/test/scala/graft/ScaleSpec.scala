@@ -263,4 +263,45 @@ class ScaleSpec extends SparkTestBase {
       graft.sources.Scratch.releaseAll()
     }
   }
+
+  test("z-order skip-scan reads a STRICT subset of files, losing no rows") {
+    // The pruning half of q_layout_zorder_skip (the oracle hash proves
+    // correctness; THIS proves the scan-cost win): after the z-ordered
+    // write, a two-dimensional predicate box selects strictly fewer
+    // manifest files than the table holds, and the pruned read's result
+    // is exactly the full table's filtered result. A one-tile box is
+    // used so strictness holds even at sf0.001's 16 near-empty files.
+    val spk = spark
+    val table = graft.operators.Scans.rtTable("zskip_spec")
+    val src = graft.sources.Tables.orders(spk, sf("sf0.01"))
+      .select((col("o_custkey") % 256).as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"),
+        col("o_totalprice"))
+    try {
+      graft.operators.PipelineOps.zWriteWithStats(src, table)
+      val total = spk.table(s"${table}_stats").count()
+      val selected = spk.table(s"${table}_stats")
+        .filter(col("x_max") >= 32 && col("x_min") <= 47 &&
+          col("y_max") >= 96 && col("y_min") <= 111)
+        .count()
+      info(s"manifest: $selected of $total files intersect the tile box")
+      assert(selected < total,
+        s"skip-scan pruned nothing: $selected of $total files selected")
+      assert(selected > 0, "tile box selected zero files — fixture drift?")
+      val pruned = graft.operators.PipelineOps
+        .zSkipScan(spk, table, 32, 47, 96, 111)
+        .groupBy().agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long")))
+        .head()
+      val full = spk.table(table)
+        .filter(col("x").between(32, 47) && col("y").between(96, 111))
+        .groupBy().agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long")))
+        .head()
+      assert(pruned === full,
+        s"pruned scan diverged from full filter: $pruned vs $full")
+      assert(pruned.getLong(0) > 0, "tile box matched zero rows — widen it")
+    } finally {
+      spk.sql(s"DROP TABLE IF EXISTS `$table`")
+      spk.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+    }
+  }
 }

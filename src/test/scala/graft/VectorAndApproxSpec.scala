@@ -523,6 +523,61 @@ class VectorAndApproxSpec extends SparkTestBase {
     assert(res > 0.5, s"residual recall $res unexpectedly low — generator drift?")
   }
 
+  test("second Lloyd round: recall monotone, assignment shift shrinks") {
+    // The q_vec_recall_ivfpq_t2 ladder claim: another training round at
+    // fixed probes/codes never loses recall (measured: 0.44 -> 0.44 at
+    // 500 vectors — already converged; 0.38 -> 0.41 at sf0.01; 0.28 ->
+    // 0.30 at sf0.1), and the convergence readout behind it is the
+    // q_vec_kmeans_iter machinery: the round-2 re-assignment moves only
+    // a minority of vectors, i.e. the quantizer is settling, not
+    // wandering.
+    val dir = sf()
+    def mean(q: graft.Q): Double = {
+      val o = q.fn(spark, dir).collect().map(_.getDouble(2))
+      graft.sources.Scratch.releaseAll()
+      o.sum / o.length
+    }
+    val r1 = mean(graft.operators.VectorOps.qVecRecallIvfPqTrained)
+    val r2 = mean(graft.operators.VectorOps.qVecRecallIvfPqT2)
+    info(f"trained recall@5: 1 round $r1%.3f vs 2 rounds $r2%.3f")
+    assert(r2 >= r1, s"round 2 lost recall: $r1 -> $r2")
+    // convergence shift: labels that changed between round 1 and round 2
+    val e = graft.operators.VectorOps.probeCleanEmb(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val a1 = graft.operators.VectorOps.probeTrainedCellsN(e, 1)._2
+      .withColumnRenamed("label", "l1")
+    val a2 = graft.operators.VectorOps.probeTrainedCellsN(e, 2)._2
+      .withColumnRenamed("label", "l2")
+    val joined = a1.join(a2, "vec_id")
+    val total = joined.count()
+    val moved = joined.filter(col("l1") =!= col("l2")).count()
+    graft.sources.Scratch.releaseAll()
+    info(s"round-2 assignment shift: $moved of $total vectors moved")
+    assert(moved * 2 < total,
+      s"round 2 moved $moved of $total vectors — quantizer not converging")
+  }
+
+  test("trained quantizer recovers the planted partition on the clustered corpus") {
+    // q_vec_recall_ivfpq_tclu's matrix corner: where real cell structure
+    // exists, one Lloyd round from 8 arbitrary seeds lands on cells as
+    // good as the PLANTED labels — measured an exact recall tie (0.45 at
+    // sf0.001/sf0.01, 0.25 at sf0.1) because the trained cells converge
+    // to the planted partition itself. Locked with a small tolerance:
+    // training must recover at least label-recall minus noise.
+    val dir = sf()
+    def mean(q: graft.Q): Double = {
+      val o = q.fn(spark, dir).collect().map(_.getDouble(2))
+      graft.sources.Scratch.releaseAll()
+      o.sum / o.length
+    }
+    val lab = mean(graft.operators.VectorOps.qVecRecallIvfPqClu)
+    val trn = mean(graft.operators.VectorOps.qVecRecallIvfPqTClu)
+    info(f"clustered-corpus recall@5: planted labels $lab%.3f vs trained $trn%.3f")
+    assert(trn >= lab - 0.05,
+      s"trained cells $trn fell below planted labels $lab on a clustered corpus")
+    assert(trn > 0.3, s"trained clustered recall $trn unexpectedly low")
+  }
+
   test("IVF-PQ append: fixed-codebook encode, replay-safe, probe-visible") {
     // The FAISS add() contract for the composed index: an appended batch
     // is encoded against the PERSISTED codebook (never retrained — the
