@@ -621,6 +621,92 @@ object PipelineOps {
       .orderBy("x")
   }
 
+  /** Per-file BLOOM index — point-lookup data skipping for a column the
+    * sort order does NOT cover (where the stats manifest's min/max
+    * envelopes are useless because every file spans the full key
+    * domain): one Bloom sketch per data file over xxhash64(keyCol),
+    * built by the SAME graft_bloom_agg the semi-join prefilter uses, in
+    * one aggregate over the just-written table, persisted as a
+    * `_bloom` manifest table (file, bloom BINARY). This is the second
+    * half of a table format's file-stats contract (Delta/Iceberg bloom
+    * indexes beside min/max stats). */
+  private[graft] def bloomWriteIndex(spark: SparkSession, table: String,
+      keyCol: String, estItems: Long = 40000L, numBits: Long = 400000L): Unit = {
+    BloomExprs.register(spark)
+    val manifest = spark.table(table)
+      .groupBy(input_file_name().as("file"))
+      .agg(expr(s"graft_bloom_agg(xxhash64($keyCol), ${estItems}L, ${numBits}L)")
+        .as("bloom"))
+      .coalesce(1)
+    graft.sources.Sinks.writeClustered(manifest, 1, Seq("file"),
+      s"${table}_bloom")
+  }
+
+  /** Bloom-skipping point lookup: test each probe key's xxhash64 against
+    * every file's Bloom sketch (driver-side over the manifest — one row
+    * per FILE, the metadata a format's log replays; the sketch bytes are
+    * Spark's own BloomFilterImpl serialization, read back with the
+    * public sketch API), read ONLY the files that may contain a key, and
+    * keep the exact IN filter so false positives cost I/O, never
+    * correctness. At 100 TB this is the difference between scanning the
+    * table and scanning the handful of files a key-set actually touches
+    * when the cluster key can't help. */
+  private[graft] def bloomSkipScan(spark: SparkSession, table: String,
+      keyCol: String, keys: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val hashes = keys.toDF("k").select(xxhash64(col("k")).as("h"))
+      .collect().map(_.getLong(0)) // |keys| rows — bounded probe state
+    val sel = spark.table(s"${table}_bloom").collect().flatMap { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      if (hashes.exists(bf.mightContainLong)) Some(r.getString(0)) else None
+    }.toSeq
+    val pruned =
+      if (sel.isEmpty) spark.table(table).limit(0)
+      else spark.read.schema(spark.table(table).schema).parquet(sel: _*)
+    pruned.filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** Bloom index write → file-skipping point lookup, graded end-to-end:
+    * lineitem clustered by ship date (the natural time layout, which
+    * scatters any given order across the key domain of every file),
+    * a per-file Bloom manifest over l_orderkey, and a 5-order lookup
+    * answered by reading only the may-contain files. The oracle runs the
+    * same lookup on the source directly, so a green hash proves the
+    * Bloom-pruned read is lossless; ScaleSpec asserts the strict-subset
+    * pruning. The probe keys are the 5 smallest 1-URGENT orderkeys —
+    * derived identically on both engines (the 5-row driver list is
+    * bounded probe state, like the oracle's CTE). */
+  val qLayoutBloomSkip = Q(
+    "q_layout_bloom_skip",
+    s"""WITH k AS (
+       |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       |  ORDER BY o_orderkey LIMIT 5)
+       |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${Det.sqlExactSum("l_quantity", 100)} AS sum_qty,
+       |  ${Det.sqlExactSum("l_extendedprice", 100)} AS revenue
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM k)
+       |GROUP BY 1 ORDER BY l_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    val table = Scans.rtTable("bloomskip")
+    graft.sources.Sinks.writeClustered(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"),
+      16, Seq("l_shipdate"), table)
+    bloomWriteIndex(spark, table, "l_orderkey")
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey").orderBy("o_orderkey").limit(5)
+      .collect().map(_.getLong(0)).toSeq // 5 rows — bounded probe keys
+    bloomSkipScan(spark, table, "l_orderkey", keys)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).cast("bigint").as("n_items"),
+        Det.exactSum(col("l_quantity"), 100).as("sum_qty"),
+        Det.exactSum(col("l_extendedprice"), 100).as("revenue"))
+      .orderBy("l_orderkey")
+  }
+
   /** Training-shard assignment + balance report: every document goes to
     * shard = portable_hash(doc_id) % 8, and the query reports each shard's
     * doc count and exact token total plus its deviation from the ideal
@@ -664,5 +750,5 @@ object PipelineOps {
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
-    qLayoutZorderSkip, qDocShard)
+    qLayoutZorderSkip, qLayoutBloomSkip, qDocShard)
 }

@@ -304,4 +304,52 @@ class ScaleSpec extends SparkTestBase {
       spk.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
     }
   }
+
+  test("bloom skip-scan reads a STRICT subset of files, losing no rows") {
+    // The pruning half of q_layout_bloom_skip: on a ship-date-clustered
+    // table, a 3-orderkey point lookup must select strictly fewer
+    // manifest files than the table holds (min/max can't help here —
+    // orderkeys span the full domain in every file; the Bloom sketch
+    // can), and the pruned read must equal the full table's IN filter.
+    val spk = spark
+    import spk.implicits._
+    val table = graft.operators.Scans.rtTable("bloomskip_spec")
+    try {
+      graft.sources.Sinks.writeClustered(
+        graft.sources.Tables.lineitem(spk, sf("sf0.01"))
+          .select("l_orderkey", "l_shipdate", "l_quantity"),
+        16, Seq("l_shipdate"), table)
+      graft.operators.PipelineOps.bloomWriteIndex(spk, table, "l_orderkey")
+      val keys = graft.sources.Tables.lineitem(spk, sf("sf0.01"))
+        .select("l_orderkey").orderBy("l_orderkey").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val total = spk.table(s"${table}_bloom").count()
+      val pruned = graft.operators.PipelineOps
+        .bloomSkipScan(spk, table, "l_orderkey", keys)
+      val prunedFiles = pruned.select(input_file_name()).distinct().count()
+      info(s"bloom manifest: lookup touched <= $prunedFiles of $total files")
+      val agg = pruned.groupBy()
+        .agg(count(lit(1)), sum((col("l_quantity") * 100).cast("long"))).head()
+      val full = spk.table(table).filter(col("l_orderkey").isin(keys: _*))
+        .groupBy()
+        .agg(count(lit(1)), sum((col("l_quantity") * 100).cast("long"))).head()
+      assert(agg === full,
+        s"bloom-pruned scan diverged from full filter: $agg vs $full")
+      assert(agg.getLong(0) > 0, "probe keys matched zero rows")
+      // strictness on the SELECTED file list, not just the touched one:
+      // re-derive the selection the scan used
+      val hashes = keys.toDF("k").select(xxhash64(col("k"))).collect().map(_.getLong(0))
+      val selected = spk.table(s"${table}_bloom").collect().count { r =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        hashes.exists(bf.mightContainLong)
+      }
+      info(s"bloom manifest: $selected of $total files selected")
+      assert(selected < total,
+        s"bloom skip pruned nothing: $selected of $total files selected")
+    } finally {
+      spk.sql(s"DROP TABLE IF EXISTS `$table`")
+      spk.sql(s"DROP TABLE IF EXISTS `${table}_bloom`")
+    }
+  }
 }
