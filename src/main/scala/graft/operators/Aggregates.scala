@@ -319,6 +319,53 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** INCREMENTAL aggregate maintenance — the materialized-view refresh a
+    * 100 TB warehouse runs instead of recomputing: a per-supplier
+    * (count, exact-unit sum) aggregate table is first built from the
+    * already-ingested facts, then a new batch arrives and the aggregate
+    * is refreshed by merging the table with the BATCH's partial
+    * aggregate — `new = (old ∪ partial(batch)).groupBy(key).sum` — so
+    * the refresh rescans |keys| + |batch| rows, never the base fact
+    * table. Distributive counters (count, unit-sum) merge exactly;
+    * the algebraic avg derives from them at read time. The oracle
+    * aggregates ALL facts from scratch, so a green hash proves the
+    * incremental refresh equals the full recompute. */
+  val qAggIncremental = Q(
+    "q_agg_incremental",
+    s"""SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${sqlExactSum("l_quantity", 100)} AS sum_qty,
+       |  ${sqlExactAvg("l_quantity", 100)} AS avg_qty
+       |FROM lineitem
+       |GROUP BY 1 ORDER BY l_suppkey""".stripMargin
+  ) { (spark, dir) =>
+    def partialAgg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_suppkey")
+        .agg(count(lit(1)).cast("bigint").as("n_items"),
+          sum(units(col("l_quantity"), 100).cast("decimal(38,0)")).as("squ"))
+    val facts = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val aggTable = Scans.rtTable("agg_mv")
+    // day 0: build the aggregate table from the already-ingested facts
+    graft.sources.Sinks.writeClustered(
+      partialAgg(facts.filter(col("l_orderkey") % 3 =!= 0)),
+      4, Seq("l_suppkey"), aggTable)
+    // refresh: merge the |keys|-row aggregate table with the new batch's
+    // partial aggregate — the base facts are NOT rescanned
+    val refreshed = spark.table(aggTable)
+      .unionByName(partialAgg(facts.filter(col("l_orderkey") % 3 === 0)))
+      .groupBy("l_suppkey")
+      .agg(sum("n_items").cast("bigint").as("n_items"),
+        sum("squ").as("squ"))
+    graft.sources.Sinks.writeClustered(refreshed, 4, Seq("l_suppkey"),
+      s"${aggTable}_v1")
+    spark.table(s"${aggTable}_v1")
+      .select(col("l_suppkey"), col("n_items"),
+        (col("squ") / lit(100.0)).as("sum_qty"),
+        (col("squ") / lit(100.0) / col("n_items")).as("avg_qty"))
+      .orderBy("l_suppkey")
+  }
+
   def all: Seq[Q] = Seq(q13, q14, q15, q16, q17, qAggApproxQuantile,
-    qAggSketchMerge, q18, qAggMultiDistinct, qAggCollectSet, qAggRegression)
+    qAggSketchMerge, q18, qAggMultiDistinct, qAggCollectSet, qAggRegression,
+    qAggIncremental)
 }

@@ -561,16 +561,25 @@ object PipelineOps {
     * dimensions' envelopes. The manifest costs one scan of the
     * just-written data (what a format's writer accumulates for free) and
     * is file-count-sized — metadata, never corpus-sized. */
-  private[graft] def zWriteWithStats(df: DataFrame, table: String): Unit = {
-    val spark = df.sparkSession
-    graft.sources.Sinks.writeClustered(
-      df.withColumn("zkey", morton(col("x"), col("y"))), 16, Seq("zkey"), table)
+  /** Per-file min/max STATS manifest over `cols` for an already-written
+    * table — the generic half of the data-skipping contract (what a
+    * format's writer accumulates per file). One scan of the new data;
+    * the manifest is file-count-sized metadata. */
+  private[graft] def statsWriteIndex(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
     val stats = spark.table(table)
       .groupBy(input_file_name().as("file"))
-      .agg(min("x").as("x_min"), max("x").as("x_max"),
-        min("y").as("y_min"), max("y").as("y_max"))
+      .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
     graft.sources.Sinks.writeClustered(stats, 1, Seq("file"), s"${table}_stats")
+  }
+
+  private[graft] def zWriteWithStats(df: DataFrame, table: String): Unit = {
+    graft.sources.Sinks.writeClustered(
+      df.withColumn("zkey", morton(col("x"), col("y"))), 16, Seq("zkey"), table)
+    statsWriteIndex(df.sparkSession, table, Seq("x", "y"))
   }
 
   /** File-skipping scan of a z-ordered table: consult the stats manifest,
@@ -651,20 +660,92 @@ object PipelineOps {
     * correctness. At 100 TB this is the difference between scanning the
     * table and scanning the handful of files a key-set actually touches
     * when the cluster key can't help. */
-  private[graft] def bloomSkipScan(spark: SparkSession, table: String,
-      keyCol: String, keys: Seq[Long]): DataFrame = {
+  /** The may-contain file set of a key lookup against a `_bloom`
+    * manifest — driver-side over one row per file. */
+  private[graft] def bloomSelectFiles(spark: SparkSession, table: String,
+      keys: Seq[Long]): Seq[String] = {
     import spark.implicits._
     val hashes = keys.toDF("k").select(xxhash64(col("k")).as("h"))
       .collect().map(_.getLong(0)) // |keys| rows — bounded probe state
-    val sel = spark.table(s"${table}_bloom").collect().flatMap { r =>
+    spark.table(s"${table}_bloom").collect().flatMap { r =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
       if (hashes.exists(bf.mightContainLong)) Some(r.getString(0)) else None
     }.toSeq
-    val pruned =
-      if (sel.isEmpty) spark.table(table).limit(0)
-      else spark.read.schema(spark.table(table).schema).parquet(sel: _*)
-    pruned.filter(col(keyCol).isin(keys: _*))
+  }
+
+  private def readFiles(spark: SparkSession, table: String,
+      sel: Seq[String]): DataFrame =
+    if (sel.isEmpty) spark.table(table).limit(0)
+    else spark.read.schema(spark.table(table).schema).parquet(sel: _*)
+
+  private[graft] def bloomSkipScan(spark: SparkSession, table: String,
+      keyCol: String, keys: Seq[Long]): DataFrame =
+    readFiles(spark, table, bloomSelectFiles(spark, table, keys))
+      .filter(col(keyCol).isin(keys: _*))
+
+  /** COMBINED manifest pruning — the full data-skipping evaluation a
+    * table format runs per predicate: the stats manifest prunes on the
+    * clustered (range) dimension, the Bloom manifest prunes on the point
+    * key, and the scan reads only the INTERSECTION, with both exact
+    * residual filters kept. Each manifest alone over-selects (a date
+    * window keeps whole stripes; a key set keeps scattered files); the
+    * intersection is what makes multi-predicate lookups cheap at 100 TB. */
+  private[graft] def comboSkipScan(spark: SparkSession, table: String,
+      keyCol: String, keys: Seq[Long], rangeCol: String,
+      lo: Column, hi: Column): DataFrame = {
+    val statFiles = spark.table(s"${table}_stats")
+      .filter(col(s"${rangeCol}_max") >= lo && col(s"${rangeCol}_min") <= hi)
+      .select("file").collect().map(_.getString(0)).toSet
+    val sel = bloomSelectFiles(spark, table, keys).filter(statFiles)
+    readFiles(spark, table, sel)
+      .filter(col(keyCol).isin(keys: _*) && col(rangeCol).between(lo, hi))
+  }
+
+  /** Stats + Bloom manifests composed, graded end-to-end: "these 5
+    * orders' line items shipped in 1996" on the ship-date-clustered
+    * table — date-range prune via the per-file min/max stats on the sort
+    * column, key prune via the per-file Bloom index, scan the
+    * intersection. The oracle runs the same predicate on the source
+    * directly, so a green hash proves the composed prune is lossless;
+    * ScaleSpec asserts the intersection reads strictly fewer files than
+    * either manifest allows alone. */
+  val qLayoutSkipCombo = Q(
+    "q_layout_skip_combo",
+    s"""WITH k AS (
+       |  SELECT DISTINCT l_orderkey FROM lineitem
+       |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                       AND TIMESTAMP '1996-12-31 23:59:59'
+       |  ORDER BY l_orderkey LIMIT 5)
+       |SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${Det.sqlExactSum("l_quantity", 100)} AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT l_orderkey FROM k)
+       |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                     AND TIMESTAMP '1996-12-31 23:59:59'
+       |GROUP BY 1 ORDER BY l_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-12-31 23:59:59").cast("timestamp")
+    val table = Scans.rtTable("comboskip")
+    graft.sources.Sinks.writeClustered(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_shipdate", "l_quantity"),
+      16, Seq("l_shipdate"), table)
+    statsWriteIndex(spark, table, Seq("l_shipdate"))
+    bloomWriteIndex(spark, table, "l_orderkey")
+    // probe keys: the 5 smallest orders with an in-window shipment, so
+    // the lookup provably has answers (5 rows — bounded probe state; the
+    // oracle derives the identical set in its CTE)
+    val keys = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").between(lo, hi))
+      .select("l_orderkey").distinct().orderBy("l_orderkey").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    comboSkipScan(spark, table, "l_orderkey", keys, "l_shipdate", lo, hi)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).cast("bigint").as("n_items"),
+        Det.exactSum(col("l_quantity"), 100).as("sum_qty"))
+      .orderBy("l_orderkey")
   }
 
   /** Bloom index write → file-skipping point lookup, graded end-to-end:
@@ -750,5 +831,5 @@ object PipelineOps {
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
-    qLayoutZorderSkip, qLayoutBloomSkip, qDocShard)
+    qLayoutZorderSkip, qLayoutBloomSkip, qLayoutSkipCombo, qDocShard)
 }

@@ -2313,6 +2313,22 @@ object VectorOps {
       ivfpqTrainedTop5From(spark, e.select(col("vec_id"), col("embedding"))))
   }
 
+  /** The trained matrix's last corner: TWO Lloyd rounds on the clustered
+    * corpus — read against q_vec_recall_ivfpq_tclu (1 round): when round
+    * 1 already recovers the planted partition, round 2 must HOLD it
+    * (shift ≈ 0, recall unchanged), the stability property a production
+    * retrain job relies on — extra rounds on a converged quantizer are
+    * idempotent, not destructive. */
+  val qVecRecallIvfPqT2Clu = Q(
+    "q_vec_recall_ivfpq_t2clu",
+    s"""${ivfpqTrainedDuckFrom(cluEmbDuck, rounds = 2)}${duckRecallTail("ipq5")}""".stripMargin
+  ) { (spark, dir) =>
+    val e = cluEmb(spark, dir).persistScratch() // corpus feeds chain + truth
+    recallVsTruthE(spark, e,
+      ivfpqTrainedTop5From(spark, e.select(col("vec_id"), col("embedding")),
+        rounds = 2))
+  }
+
   /** k×64 cell-centroid table (label, cv) from exact integer-unit sums
     * (q_vec_centroid's arithmetic), reassembled into an ordered double
     * array per cell. Shared by the in-memory IVF pipeline and the
@@ -3090,6 +3106,7 @@ object VectorOps {
     qVecIvfPqTrained, qVecIndexIvfPqTrained, qVecRecallIvfPqTrained,
     qVecRecallIvfPqT2,
     qVecRecallIvfPqClu, qVecRecallIvfPqResClu, qVecRecallIvfPqTClu,
+    qVecRecallIvfPqT2Clu,
     qVecCellStats, qVecIndexStats,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
     qVecRecallIvf,

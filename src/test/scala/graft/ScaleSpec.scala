@@ -352,4 +352,61 @@ class ScaleSpec extends SparkTestBase {
       spk.sql(s"DROP TABLE IF EXISTS `${table}_bloom`")
     }
   }
+
+  test("combined stats+bloom skip reads strictly fewer files than either manifest alone") {
+    // q_layout_skip_combo's pruning claim: the range manifest keeps a
+    // contiguous stripe of date-sorted files, the Bloom manifest keeps
+    // the keys' scattered may-contain files, and the scan reads only the
+    // intersection — strictly smaller than the stats selection (the
+    // stripe) and no larger than the bloom selection, still lossless.
+    val spk = spark
+    import spk.implicits._
+    val table = graft.operators.Scans.rtTable("comboskip_spec")
+    try {
+      graft.sources.Sinks.writeClustered(
+        graft.sources.Tables.lineitem(spk, sf("sf0.01"))
+          .select("l_orderkey", "l_shipdate", "l_quantity"),
+        16, Seq("l_shipdate"), table)
+      graft.operators.PipelineOps.statsWriteIndex(spk, table, Seq("l_shipdate"))
+      graft.operators.PipelineOps.bloomWriteIndex(spk, table, "l_orderkey")
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1996-12-31 23:59:59").cast("timestamp")
+      // keys with a guaranteed in-window shipment, so the lookup has
+      // answers; their OTHER shipments scatter across the whole span, so
+      // the bloom set is wider than the stats stripe and the intersection
+      // does real work
+      val keys = graft.sources.Tables.lineitem(spk, sf("sf0.01"))
+        .filter(col("l_shipdate").between(lo, hi))
+        .select("l_orderkey").distinct().orderBy("l_orderkey").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val total = spk.table(s"${table}_bloom").count()
+      val statsSel = spk.table(s"${table}_stats")
+        .filter(col("l_shipdate_max") >= lo && col("l_shipdate_min") <= hi)
+        .count()
+      val bloomSel = graft.operators.PipelineOps
+        .bloomSelectFiles(spk, table, keys).size
+      val combo = graft.operators.PipelineOps
+        .comboSkipScan(spk, table, "l_orderkey", keys, "l_shipdate", lo, hi)
+      val comboFiles = combo.select(input_file_name()).distinct().count()
+      info(s"files: total=$total stats=$statsSel bloom=$bloomSel combo<=$comboFiles")
+      assert(statsSel < total && bloomSel < total,
+        s"one manifest pruned nothing: stats=$statsSel bloom=$bloomSel of $total")
+      assert(comboFiles <= math.min(statsSel, bloomSel.toLong),
+        s"intersection read more files ($comboFiles) than a single manifest allows")
+      val agg = combo.groupBy()
+        .agg(count(lit(1)), sum((col("l_quantity") * 100).cast("long"))).head()
+      val full = spk.table(table)
+        .filter(col("l_orderkey").isin(keys: _*) &&
+          col("l_shipdate").between(lo, hi))
+        .groupBy()
+        .agg(count(lit(1)), sum((col("l_quantity") * 100).cast("long"))).head()
+      assert(agg === full,
+        s"combined prune diverged from full filter: $agg vs $full")
+      assert(agg.getLong(0) > 0, "in-window probe keys matched zero rows")
+    } finally {
+      spk.sql(s"DROP TABLE IF EXISTS `$table`")
+      spk.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+      spk.sql(s"DROP TABLE IF EXISTS `${table}_bloom`")
+    }
+  }
 }
