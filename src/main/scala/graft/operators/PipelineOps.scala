@@ -582,6 +582,78 @@ object PipelineOps {
     statsWriteIndex(df.sparkSession, table, Seq("x", "y"))
   }
 
+  /** INCREMENTAL stats-manifest refresh after an append — the O(batch)
+    * maintenance a format's commit performs: the table's file list is a
+    * METADATA read (filesystem listing of the managed location, never a
+    * table scan), files already in the manifest are skipped, and min/max
+    * stats are computed by reading ONLY the new files, then appended to
+    * the manifest table. Appended-unsorted files get wide envelopes —
+    * the skip-scan always selects them (correct, just unpruned) until a
+    * recluster tightens them; the sorted base keeps its tight stats. */
+  private[graft] def statsAppendIndex(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // normalize to bare URI paths: input_file_name() renders file:///p,
+    // FileStatus renders file:/p — comparing raw strings would re-index
+    // (and then double-read) every base file
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val listed = fs.listStatus(loc).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq // metadata op: one row per file
+    val known = spark.table(s"${table}_stats")
+      .select("file").collect().map(r => norm(r.getString(0))).toSet
+    val fresh = listed.filterNot(p => known(norm(p)))
+    if (fresh.nonEmpty) {
+      val aggs = cols.flatMap(c =>
+        Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
+      spark.read.schema(spark.table(table).schema).parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.format("parquet").mode("append")
+        .saveAsTable(s"${table}_stats")
+    }
+  }
+
+  /** Append → incremental manifest refresh → skip-scan, graded: the
+    * z-ordered base keeps its tight per-file envelopes, an UNSORTED
+    * batch is appended (its new files get wide envelopes from an
+    * O(batch) stats pass that never rescans the base), and the same
+    * two-dimensional box lookup stays correct — the oracle aggregates
+    * base+batch from the source, so a green hash proves the refreshed
+    * manifest loses nothing. ScaleSpec asserts the refresh added exactly
+    * the new files' rows and the scan still prunes the sorted base. */
+  val qLayoutSkipAppend = Q(
+    "q_layout_skip_append",
+    s"""WITH k AS (
+       |  SELECT o_custkey % 256 AS x,
+       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
+       |    o_totalprice
+       |  FROM orders)
+       |SELECT CAST(x AS INT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS sum_price
+       |FROM k
+       |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
+       |GROUP BY 1 ORDER BY x""".stripMargin
+  ) { (spark, dir) =>
+    val table = Scans.rtTable("zskip_app")
+    val xy = ordersXY(spark, dir)
+    zWriteWithStats(xy.filter(col("x") % 4 =!= 0), table)
+    xy.filter(col("x") % 4 === 0)
+      .withColumn("zkey", morton(col("x"), col("y")))
+      .repartition(2) // the arriving micro-batch: 2 unsorted files
+      .write.format("parquet").mode("append").saveAsTable(table)
+    statsAppendIndex(spark, table, Seq("x", "y"))
+    zSkipScan(spark, table, 32, 95, 64, 127)
+      .groupBy(col("x").cast("int").as("x"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        Det.exactSum(col("o_totalprice"), 100).as("sum_price"))
+      .orderBy("x")
+  }
+
   /** File-skipping scan of a z-ordered table: consult the stats manifest,
     * read ONLY the files whose (x, y) envelope intersects the predicate
     * box, and keep the residual row filter for exactness (the manifest
@@ -831,5 +903,6 @@ object PipelineOps {
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
-    qLayoutZorderSkip, qLayoutBloomSkip, qLayoutSkipCombo, qDocShard)
+    qLayoutZorderSkip, qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend,
+    qDocShard)
 }

@@ -409,4 +409,64 @@ class ScaleSpec extends SparkTestBase {
       spk.sql(s"DROP TABLE IF EXISTS `${table}_bloom`")
     }
   }
+
+  test("stats manifest refresh after append is O(batch): only new files indexed") {
+    // q_layout_skip_append's maintenance claim: the refresh lists the
+    // table location (metadata), skips every file already in the
+    // manifest, computes stats by reading ONLY the appended files, and
+    // the skip-scan still prunes the sorted base while always keeping
+    // the wide-envelope appended files.
+    val spk = spark
+    val table = graft.operators.Scans.rtTable("zskip_app_spec")
+    val xy = graft.sources.Tables.orders(spk, sf("sf0.01"))
+      .select((col("o_custkey") % 256).as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"),
+        col("o_totalprice"))
+    try {
+      graft.operators.PipelineOps.zWriteWithStats(
+        xy.filter(col("x") % 4 =!= 0), table)
+      val baseRows = spk.table(s"${table}_stats").collect()
+        .map(_.getString(0)).toSet
+      // idempotency: a refresh with nothing appended adds nothing
+      graft.operators.PipelineOps.statsAppendIndex(spk, table, Seq("x", "y"))
+      assert(spk.table(s"${table}_stats").count() === baseRows.size.toLong,
+        "refresh with no new files mutated the manifest")
+      def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        (0 until 8).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+            shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+        }.reduce(_ + _)
+      xy.filter(col("x") % 4 === 0)
+        .withColumn("zkey", morton(col("x"), col("y")))
+        .repartition(2)
+        .write.format("parquet").mode("append").saveAsTable(table)
+      graft.operators.PipelineOps.statsAppendIndex(spk, table, Seq("x", "y"))
+      val after = spk.table(s"${table}_stats").collect().map(_.getString(0))
+      assert(after.length === after.distinct.length,
+        "refresh duplicated manifest rows (path-format drift?)")
+      val added = after.toSet -- baseRows
+      info(s"manifest refresh: ${baseRows.size} base rows + ${added.size} appended")
+      assert(added.size === 2,
+        s"expected exactly the 2 appended files indexed, got ${added.size}")
+      // the appended wide files are always selected; the base still prunes
+      val sel = spk.table(s"${table}_stats")
+        .filter(col("x_max") >= 32 && col("x_min") <= 47 &&
+          col("y_max") >= 96 && col("y_min") <= 111)
+        .collect().map(_.getString(0)).toSet
+      assert(added.subsetOf(sel), "wide appended files must stay selected")
+      assert(sel.size < after.length,
+        s"scan after append pruned nothing: ${sel.size} of ${after.length}")
+      val pruned = graft.operators.PipelineOps
+        .zSkipScan(spk, table, 32, 47, 96, 111)
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      val full = spk.table(table)
+        .filter(col("x").between(32, 47) && col("y").between(96, 111))
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      assert(pruned === full,
+        s"post-append skip-scan diverged from full filter: $pruned vs $full")
+    } finally {
+      spk.sql(s"DROP TABLE IF EXISTS `$table`")
+      spk.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+    }
+  }
 }
