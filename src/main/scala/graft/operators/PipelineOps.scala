@@ -860,6 +860,57 @@ object PipelineOps {
       .orderBy("l_orderkey")
   }
 
+  /** OPTIMIZE — recluster a z-ordered table whose appends widened its
+    * envelopes: one full sort-rewrite into a fresh table (a production
+    * lake swaps it in via the pointer protocol; the graded row reads the
+    * optimized artifact directly) and a rebuilt stats manifest whose
+    * per-file envelopes are tight again. The cost model is the Delta
+    * OPTIMIZE ZORDER trade: pay one clustered rewrite of the table to
+    * restore file-skipping for every subsequent scan — worth it exactly
+    * when appended wide files start dominating scan cost. */
+  private[graft] def optimizeZOrdered(spark: SparkSession, src: String,
+      dst: String): Unit = {
+    graft.sources.Sinks.writeClustered(spark.table(src), 16, Seq("zkey"), dst)
+    statsWriteIndex(spark, dst, Seq("x", "y"))
+  }
+
+  /** The layout lifecycle's last step, graded end-to-end: z-write →
+    * unsorted append (wide envelopes, O(batch) manifest refresh) →
+    * OPTIMIZE (recluster + tight manifest) → the same box lookup over
+    * the optimized table. The oracle aggregates the source, so a green
+    * hash proves the rewrite lost and invented nothing; ScaleSpec
+    * asserts the optimize actually restores pruning (the tile box
+    * selects strictly fewer files than the post-append manifest). */
+  val qLayoutOptimize = Q(
+    "q_layout_optimize",
+    s"""WITH k AS (
+       |  SELECT o_custkey % 256 AS x,
+       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
+       |    o_totalprice
+       |  FROM orders)
+       |SELECT CAST(x AS INT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS sum_price
+       |FROM k
+       |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
+       |GROUP BY 1 ORDER BY x""".stripMargin
+  ) { (spark, dir) =>
+    val table = Scans.rtTable("zskip_src")
+    val opt = Scans.rtTable("zskip_opt")
+    val xy = ordersXY(spark, dir)
+    zWriteWithStats(xy.filter(col("x") % 4 =!= 0), table)
+    xy.filter(col("x") % 4 === 0)
+      .withColumn("zkey", morton(col("x"), col("y")))
+      .repartition(2)
+      .write.format("parquet").mode("append").saveAsTable(table)
+    statsAppendIndex(spark, table, Seq("x", "y"))
+    optimizeZOrdered(spark, table, opt)
+    zSkipScan(spark, opt, 32, 95, 64, 127)
+      .groupBy(col("x").cast("int").as("x"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        Det.exactSum(col("o_totalprice"), 100).as("sum_price"))
+      .orderBy("x")
+  }
+
   /** Training-shard assignment + balance report: every document goes to
     * shard = portable_hash(doc_id) % 8, and the query reports each shard's
     * doc count and exact token total plus its deviation from the ideal
@@ -904,5 +955,5 @@ object PipelineOps {
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
     qLayoutZorderSkip, qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend,
-    qDocShard)
+    qLayoutOptimize, qDocShard)
 }

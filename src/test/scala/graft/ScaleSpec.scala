@@ -464,6 +464,28 @@ class ScaleSpec extends SparkTestBase {
         .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
       assert(pruned === full,
         s"post-append skip-scan diverged from full filter: $pruned vs $full")
+      // OPTIMIZE restores pruning: the tile box over the reclustered
+      // table selects strictly fewer files than the post-append manifest
+      val opt = graft.operators.Scans.rtTable("zskip_opt_spec")
+      try {
+        graft.operators.PipelineOps.optimizeZOrdered(spk, table, opt)
+        def tileSel(t: String): Long = spk.table(s"${t}_stats")
+          .filter(col("x_max") >= 32 && col("x_min") <= 47 &&
+            col("y_max") >= 96 && col("y_min") <= 111)
+          .count()
+        val (before, afterOpt) = (tileSel(table), tileSel(opt))
+        info(s"tile-box file selection: post-append=$before optimized=$afterOpt")
+        assert(afterOpt < before,
+          s"optimize did not restore pruning: $before -> $afterOpt files")
+        val optAgg = graft.operators.PipelineOps
+          .zSkipScan(spk, opt, 32, 47, 96, 111)
+          .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+        assert(optAgg === full,
+          s"optimized skip-scan diverged from full filter: $optAgg vs $full")
+      } finally {
+        spk.sql(s"DROP TABLE IF EXISTS `$opt`")
+        spk.sql(s"DROP TABLE IF EXISTS `${opt}_stats`")
+      }
     } finally {
       spk.sql(s"DROP TABLE IF EXISTS `$table`")
       spk.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
