@@ -83,6 +83,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("layout skip-scans push their residual filters into the pruned read") {
+    // The file-level manifests prune a SUPERSET; correctness rests on the
+    // residual row filter, and its cost on reaching the parquet reader
+    // (row-group skipping + no post-scan Filter doing the whole job).
+    // These rows also end in an aggregate, so the pruned scan must carry
+    // non-empty PushedFilters in the final plan.
+    Seq("q_layout_zorder_skip", "q_layout_bloom_skip", "q_layout_skip_combo")
+      .foreach { name =>
+        val plan = finalPlan(name)
+        assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+          s"$name lost its residual-filter pushdown on the pruned read")
+      }
+  }
+
   test("pagerank exchanges stay bounded: edge list shuffles once, never per iteration") {
     // The r11 edge-build rewrite moves the full edge list through exactly
     // ONE exchange (the final repartition(u) that co-partitions it for
