@@ -502,11 +502,34 @@ object PipelineOps {
     * identical on both engines), shared by the key-profile row
     * ([[qLayoutZorder]]) and the write→skip round-trip
     * ([[qLayoutZorderSkip]]). */
-  private def morton(x: Column, y: Column): Column =
+  private[graft] def morton(x: Column, y: Column): Column =
     (0 until 8).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
     }.reduce(_ + _)
+
+  /** The one wide-box lookup oracle the zorder-skip / append / optimize
+    * rows share (identical predicate and aggregate on purpose: the rows
+    * differ in HOW the engine reads, never in what the answer is — a
+    * box/scale tweak edits exactly one definition). */
+  private val boxLookupDuck =
+    s"""WITH k AS (
+       |  SELECT o_custkey % 256 AS x,
+       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
+       |    o_totalprice
+       |  FROM orders)
+       |SELECT CAST(x AS INT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS sum_price
+       |FROM k
+       |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
+       |GROUP BY 1 ORDER BY x""".stripMargin
+
+  /** The matching Spark-side aggregate over a skip-scanned frame. */
+  private def boxLookupAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("x").cast("int").as("x"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        Det.exactSum(col("o_totalprice"), 100).as("sum_price"))
+      .orderBy("x")
 
   /** The z-order fixture frame: orders keyed to two 0..255 dims (customer
     * slot, day-of-epoch slot) plus the measure the skip-scan aggregates. */
@@ -628,16 +651,7 @@ object PipelineOps {
     * the new files' rows and the scan still prunes the sorted base. */
   val qLayoutSkipAppend = Q(
     "q_layout_skip_append",
-    s"""WITH k AS (
-       |  SELECT o_custkey % 256 AS x,
-       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
-       |    o_totalprice
-       |  FROM orders)
-       |SELECT CAST(x AS INT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
-       |  ${Det.sqlExactSum("o_totalprice", 100)} AS sum_price
-       |FROM k
-       |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
-       |GROUP BY 1 ORDER BY x""".stripMargin
+    boxLookupDuck
   ) { (spark, dir) =>
     val table = Scans.rtTable("zskip_app")
     val xy = ordersXY(spark, dir)
@@ -647,11 +661,7 @@ object PipelineOps {
       .repartition(2) // the arriving micro-batch: 2 unsorted files
       .write.format("parquet").mode("append").saveAsTable(table)
     statsAppendIndex(spark, table, Seq("x", "y"))
-    zSkipScan(spark, table, 32, 95, 64, 127)
-      .groupBy(col("x").cast("int").as("x"))
-      .agg(count(lit(1)).cast("bigint").as("n"),
-        Det.exactSum(col("o_totalprice"), 100).as("sum_price"))
-      .orderBy("x")
+    boxLookupAgg(zSkipScan(spark, table, 32, 95, 64, 127))
   }
 
   /** File-skipping scan of a z-ordered table: consult the stats manifest,
@@ -682,24 +692,11 @@ object PipelineOps {
     * half: the scan reads a strict subset of the files. */
   val qLayoutZorderSkip = Q(
     "q_layout_zorder_skip",
-    s"""WITH k AS (
-       |  SELECT o_custkey % 256 AS x,
-       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
-       |    o_totalprice
-       |  FROM orders)
-       |SELECT CAST(x AS INT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
-       |  ${Det.sqlExactSum("o_totalprice", 100)} AS sum_price
-       |FROM k
-       |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
-       |GROUP BY 1 ORDER BY x""".stripMargin
+    boxLookupDuck
   ) { (spark, dir) =>
     val table = Scans.rtTable("zskip")
     zWriteWithStats(ordersXY(spark, dir), table)
-    zSkipScan(spark, table, 32, 95, 64, 127)
-      .groupBy(col("x").cast("int").as("x"))
-      .agg(count(lit(1)).cast("bigint").as("n"),
-        Det.exactSum(col("o_totalprice"), 100).as("sum_price"))
-      .orderBy("x")
+    boxLookupAgg(zSkipScan(spark, table, 32, 95, 64, 127))
   }
 
   /** Per-file BLOOM index — point-lookup data skipping for a column the
@@ -883,16 +880,7 @@ object PipelineOps {
     * selects strictly fewer files than the post-append manifest). */
   val qLayoutOptimize = Q(
     "q_layout_optimize",
-    s"""WITH k AS (
-       |  SELECT o_custkey % 256 AS x,
-       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
-       |    o_totalprice
-       |  FROM orders)
-       |SELECT CAST(x AS INT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
-       |  ${Det.sqlExactSum("o_totalprice", 100)} AS sum_price
-       |FROM k
-       |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
-       |GROUP BY 1 ORDER BY x""".stripMargin
+    boxLookupDuck
   ) { (spark, dir) =>
     val table = Scans.rtTable("zskip_src")
     val opt = Scans.rtTable("zskip_opt")
@@ -904,11 +892,7 @@ object PipelineOps {
       .write.format("parquet").mode("append").saveAsTable(table)
     statsAppendIndex(spark, table, Seq("x", "y"))
     optimizeZOrdered(spark, table, opt)
-    zSkipScan(spark, opt, 32, 95, 64, 127)
-      .groupBy(col("x").cast("int").as("x"))
-      .agg(count(lit(1)).cast("bigint").as("n"),
-        Det.exactSum(col("o_totalprice"), 100).as("sum_price"))
-      .orderBy("x")
+    boxLookupAgg(zSkipScan(spark, opt, 32, 95, 64, 127))
   }
 
   /** Training-shard assignment + balance report: every document goes to

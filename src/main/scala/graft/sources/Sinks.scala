@@ -413,6 +413,22 @@ object Sinks {
     * table-existence probe doesn't mistake it for committed data. */
   private val LockFile = ".LOCK"
 
+  /** The reclaimers' mutex file. NOT collected by publish/vacuum
+    * retirement: a LIVE reclaimer may hold it while an overstaying
+    * lease holder publishes, and retirement can't tell a live mutex
+    * from a crashed one — it self-expires via [[ReclaimMutexStaleMs]]
+    * instead. (Sweeper litter `.LOCK.reclaim.sweep.*` IS collected —
+    * those names are unique and never load-bearing.) */
+  private val ReclaimMutexFile = s"$LockFile.reclaim"
+
+  /** (table root URI path, lease token) held by the current thread —
+    * the commit-point fencing handle: [[writePointer]] verifies the
+    * lease file still carries this token immediately before the pointer
+    * swap, so any residual lease-yank race (stacked crashed-reclaimer +
+    * concurrent-sweeper interleavings) aborts LOUDLY before publishing
+    * instead of silently losing the other writer's merge. */
+  private val heldLease = new ThreadLocal[(String, String)]
+
   /** Versions the pointer file names: the live one + 2 predecessors.
     * Retention cost is HistoryKeep × table size; the window is what
     * "compare against last-but-one publish" audits read. */
@@ -475,7 +491,13 @@ object Sinks {
     * reclaim-race spec). A reclaimer that crashes holding the mutex
     * leaves it behind; it goes stale after [[ReclaimMutexStaleMs]]
     * (reclaim is a millisecond-scale op) and the next reclaimer sweeps
-    * it — and any publish's retirement collects it too.
+    * it by SINGLE-WINNER rename-aside + content re-judgment (a bare
+    * delete-then-create sweep would replay the lease TOCTOU one level
+    * down). Retirement never touches the mutex (it can't tell a live
+    * one from a crashed one — see [[ReclaimMutexFile]]). Stacked-failure
+    * interleavings that still slip a double-reclaim through are caught
+    * by [[writePointer]]'s commit-point fencing: the pointer swap
+    * re-verifies lease ownership and aborts loudly on a yanked lease.
     * RELEASE is the same rename-then-verify shape (rename to a
     * holder-unique name, confirm it still carries our token, only then
     * delete; restore on mismatch) and only runs while the lease is still
@@ -537,13 +559,15 @@ object Sinks {
           s"(lease ${lease().getOrElse("unreadable")}); mutators are " +
           "single-writer — retry after it completes, or reclaim after " +
           s"${LockStaleMs / 60000} min if it crashed")
-    // best-effort restore of a lease we turn out not to own: rename back,
+    // best-effort restore of a file we turn out not to own: rename back,
     // or (if the slot was re-created meanwhile) drop our duplicate copy
-    def restore(from: org.apache.hadoop.fs.Path): Unit = {
-      val back = try fs.rename(from, lock)
+    def restore2(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit = {
+      val back = try fs.rename(from, to)
       catch { case _: java.io.IOException => false }
       if (!back) fs.delete(from, false)
     }
+    def restore(from: org.apache.hadoop.fs.Path): Unit = restore2(from, lock)
     if (!tryAcquire()) {
       val stale = lease() match {
         case Some((_, ts)) => System.currentTimeMillis() - ts > LockStaleMs
@@ -563,7 +587,26 @@ object Sinks {
           case None => true // torn mutex write: a crashed reclaimer
         }
         if (!mutexStale) fail()
-        fs.delete(rmx, false) // crashed reclaimer's mutex: sweep and retry
+        // SINGLE-WINNER sweep of the crashed reclaimer's mutex: a bare
+        // delete-then-create would be the same TOCTOU the mutex exists
+        // to close, one level down (two sweepers both delete, the
+        // slower one's delete removes the faster one's FRESH mutex and
+        // both enter the critical section). Rename to a sweeper-unique
+        // name instead — exactly one rename wins — then re-judge the
+        // MOVED content; a fresh mutex that slid under the rename is
+        // restored and the sweeper fails fast.
+        val swept = new org.apache.hadoop.fs.Path(root,
+          s"$LockFile.reclaim.sweep.$token")
+        val won = try fs.rename(rmx, swept)
+        catch { case _: java.io.IOException => false }
+        if (!won) fail()
+        val movedStale = leaseAt(swept) match {
+          case Some((_, ts)) =>
+            System.currentTimeMillis() - ts > ReclaimMutexStaleMs
+          case None => true
+        }
+        if (!movedStale) { restore2(swept, rmx); fail() }
+        fs.delete(swept, false)
         if (!tryMutex()) fail()
       }
       try {
@@ -580,8 +623,10 @@ object Sinks {
       } finally fs.delete(rmx, false)
     }
     val heldSince = System.currentTimeMillis()
+    heldLease.set((root.toUri.getPath, token)) // commit-point fencing handle
     try body
     finally {
+      heldLease.remove()
       // only release a lease that is provably still OURS: rename it to a
       // holder-unique name first (atomic — nobody else can then touch
       // it), verify it still carries our token, and only then delete;
@@ -683,10 +728,32 @@ object Sinks {
   }
 
   /** Write the pointer file's lines via the one atomic rename-with-
-    * overwrite — the commit primitive [[publish]] and [[vacuum]] share. */
+    * overwrite — the commit primitive [[publish]] and [[vacuum]] share.
+    * FENCED: when the calling thread holds this root's lease (every
+    * public mutator does), the lease file is re-read immediately before
+    * the swap and must still carry the held token — a writer whose lease
+    * was yanked by a residual reclaim race aborts loudly here, before it
+    * can overwrite the pointer and lose the usurper's merge. (The
+    * check-to-rename window is milliseconds; full closure needs
+    * storage-level conditional-put fencing this FS slice doesn't carry.) */
   private def writePointer(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
     val fs = fsOf(spark, root)
+    Option(heldLease.get()).filter(_._1 == root.toUri.getPath).foreach {
+      case (_, token) =>
+        val owns = try {
+          val in = fs.open(new org.apache.hadoop.fs.Path(root, LockFile))
+          val txt = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+          txt.split("\n").headOption.map(_.trim).contains(token)
+        } catch { case _: java.io.IOException => false }
+        if (!owns) throw new ConcurrentWriterException(
+          s"writer lease for $root was reclaimed mid-mutation (commit-point " +
+            "fencing check); aborting before the pointer swap — the staged " +
+            "dir is litter the next publish retires")
+    }
     // writer-unique tmp name: publishes are lease-serialized, but if
     // mutual exclusion is ever violated a shared tmp turns the second
     // swap into a FileNotFound crash mid-commit — unique tmps degrade
@@ -726,7 +793,7 @@ object Sinks {
     val fs = fsOf(spark, root)
     val kept = (stagedName +: readPointerLines(fs, root)).take(HistoryKeep)
     writePointer(spark, root, kept)
-    retireExcept(fs, root, Set(PointerFile, LockFile) ++ kept)
+    retireExcept(fs, root, Set(PointerFile, LockFile, ReclaimMutexFile) ++ kept)
   }
 
   /** Version retention / VACUUM for a published table root — the
@@ -754,7 +821,7 @@ object Sinks {
       else {
         val kept = if (retainPredecessor) lines else Seq(lines.head)
         if (kept != lines) writePointer(spark, root, kept)
-        retireExcept(fs, root, Set(PointerFile, LockFile) ++ kept)
+        retireExcept(fs, root, Set(PointerFile, LockFile, ReclaimMutexFile) ++ kept)
       }
     }
   }

@@ -387,12 +387,21 @@ class ScaleSpec extends SparkTestBase {
         .bloomSelectFiles(spk, table, keys).size
       val combo = graft.operators.PipelineOps
         .comboSkipScan(spk, table, "l_orderkey", keys, "l_shipdate", lo, hi)
-      val comboFiles = combo.select(input_file_name()).distinct().count()
-      info(s"files: total=$total stats=$statsSel bloom=$bloomSel combo<=$comboFiles")
+      // the actual intersection the scan selects — re-derived here, NOT
+      // the post-residual touched-file count (which is a subset of any
+      // selection by construction and can't catch a manifest being
+      // ignored)
+      val statFileSet = spk.table(s"${table}_stats")
+        .filter(col("l_shipdate_max") >= lo && col("l_shipdate_min") <= hi)
+        .select("file").collect().map(_.getString(0)).toSet
+      val comboSel = graft.operators.PipelineOps
+        .bloomSelectFiles(spk, table, keys).count(statFileSet)
+      info(s"files: total=$total stats=$statsSel bloom=$bloomSel intersection=$comboSel")
       assert(statsSel < total && bloomSel < total,
         s"one manifest pruned nothing: stats=$statsSel bloom=$bloomSel of $total")
-      assert(comboFiles <= math.min(statsSel, bloomSel.toLong),
-        s"intersection read more files ($comboFiles) than a single manifest allows")
+      assert(comboSel < statsSel && comboSel < bloomSel,
+        s"intersection ($comboSel) not strictly below both manifests " +
+          s"(stats=$statsSel bloom=$bloomSel) — is one manifest being ignored?")
       val agg = combo.groupBy()
         .agg(count(lit(1)), sum((col("l_quantity") * 100).cast("long"))).head()
       val full = spk.table(table)
@@ -431,13 +440,9 @@ class ScaleSpec extends SparkTestBase {
       graft.operators.PipelineOps.statsAppendIndex(spk, table, Seq("x", "y"))
       assert(spk.table(s"${table}_stats").count() === baseRows.size.toLong,
         "refresh with no new files mutated the manifest")
-      def morton(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-        (0 until 8).map { i =>
-          shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
-            shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
-        }.reduce(_ + _)
       xy.filter(col("x") % 4 === 0)
-        .withColumn("zkey", morton(col("x"), col("y")))
+        .withColumn("zkey",
+          graft.operators.PipelineOps.morton(col("x"), col("y")))
         .repartition(2)
         .write.format("parquet").mode("append").saveAsTable(table)
       graft.operators.PipelineOps.statsAppendIndex(spk, table, Seq("x", "y"))

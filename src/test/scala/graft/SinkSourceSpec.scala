@@ -582,6 +582,76 @@ class SinkSourceSpec extends SparkTestBase {
     assert(litter.isEmpty, s"lease litter survived the final publish: $litter")
   }
 
+  test("crashed reclaim mutex: sweep is single-winner under concurrent mutators") {
+    // The review-caught second-order TOCTOU: a crashed reclaimer's stale
+    // .LOCK.reclaim used to be swept by delete-then-create, so two
+    // sweepers could both hold the mutex and cascade into two writer
+    // leases. The sweep is now rename-aside + re-judge. Fabricate BOTH a
+    // stale lease and a stale mutex, then race 4 mutators: every thread
+    // commits or fails fast, no lost writes, no .LOCK* litter.
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_mutex_race").toString + "/t"
+    graft.sources.Sinks.upsertBatch(
+      Seq((0L, "base", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    val old = System.currentTimeMillis() - graft.sources.Sinks.LockStaleMs - 1000
+    Files.writeString(java.nio.file.Paths.get(s"$table/.LOCK"),
+      s"crashed\n$old\n")
+    Files.writeString(java.nio.file.Paths.get(s"$table/.LOCK.reclaim"),
+      s"crashed-reclaimer\n$old\n")
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val won = new ConcurrentLinkedQueue[Long]()
+    val failed = new ConcurrentLinkedQueue[Long]()
+    val threads = (1L to 4L).map { k =>
+      new Thread(() =>
+        try {
+          graft.sources.Sinks.upsertBatch(
+            Seq((k, s"w$k", 2L)).toDF("key", "v", "seq"), table, "key", "seq")
+          won.add(k)
+        } catch {
+          case _: graft.sources.Sinks.ConcurrentWriterException => failed.add(k)
+        })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val winners = won.asScala.toSet
+    assert(winners.size + failed.size() === 4,
+      s"a racer died with an unexpected exception: won=$winners failed=${failed.asScala}")
+    assert(winners.nonEmpty, "no racer got past the crashed mutex + stale lease")
+    val rows = graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows === Set((0L, "base", 1L)) ++ winners.map(k => (k, s"w$k", 2L)),
+      s"concurrent sweep lost or duplicated a committed write: $rows")
+    val litter = new java.io.File(table).listFiles().map(_.getName)
+      .filter(_.startsWith(".LOCK")).toSeq
+    assert(litter.isEmpty, s"lock litter survived the final publish: $litter")
+  }
+
+  test("publish retirement never collects a live reclaim mutex") {
+    // Retirement can't tell a crashed reclaimer's mutex from a LIVE one
+    // (an overstaying holder may publish while a reclaimer legitimately
+    // works) — it must leave .LOCK.reclaim alone; the mutex self-expires
+    // instead. Sweeper litter (.LOCK.reclaim.sweep.*) IS collectable.
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_mutex_keep").toString + "/t"
+    graft.sources.Sinks.upsertBatch(
+      Seq((0L, "base", 1L)).toDF("key", "v", "seq"), table, "key", "seq")
+    Files.writeString(java.nio.file.Paths.get(s"$table/.LOCK.reclaim"),
+      s"live-reclaimer\n${System.currentTimeMillis()}\n")
+    Files.writeString(java.nio.file.Paths.get(s"$table/.LOCK.reclaim.sweep.x"),
+      "sweeper-crash-litter\n0\n")
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, "w1", 2L)).toDF("key", "v", "seq"), table, "key", "seq")
+    val names = new java.io.File(table).listFiles().map(_.getName).toSet
+    assert(names.contains(".LOCK.reclaim"),
+      "publish retirement deleted a live reclaimer's mutex")
+    assert(!names.exists(_.startsWith(".LOCK.reclaim.sweep")),
+      "publish retirement left sweeper crash litter behind")
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$table/.LOCK.reclaim"))
+  }
+
   test("a reader resolved before a publish scans one complete version") {
     // Snapshot isolation for readers under a concurrent publish: the
     // pointer protocol retains predecessors (HistoryKeep versions total)
