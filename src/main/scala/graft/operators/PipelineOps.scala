@@ -595,6 +595,14 @@ object PipelineOps {
     val stats = spark.table(table)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      // provenance flag: rows written by a clustered write are sorted on
+      // the layout key; append-refresh rows are not. OPTIMIZE rewrites
+      // exactly the unclustered files — the same bookkeeping a table
+      // format's log keeps, and far more reliable than inferring
+      // sortedness from envelope widths (z-range files straddling a
+      // high-order curve boundary have wide envelopes while being
+      // perfectly clustered).
+      .withColumn("clustered", lit(true))
       .coalesce(1)
     graft.sources.Sinks.writeClustered(stats, 1, Seq("file"), s"${table}_stats")
   }
@@ -635,6 +643,7 @@ object PipelineOps {
       spark.read.schema(spark.table(table).schema).parquet(fresh: _*)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
+        .withColumn("clustered", lit(false)) // appended as-arrived, unsorted
         .coalesce(1)
         .write.format("parquet").mode("append")
         .saveAsTable(s"${table}_stats")
@@ -895,6 +904,98 @@ object PipelineOps {
     boxLookupAgg(zSkipScan(spark, opt, 32, 95, 64, 127))
   }
 
+  /** INCREMENTAL OPTIMIZE — the production form of [[optimizeZOrdered]]:
+    * rewrite cost must be proportional to the DELTA, not the table. The
+    * stats manifest already knows which files are wide (appended
+    * unsorted) and which are tight (the clustered base), so the
+    * recluster reads and sorts ONLY the wide files; tight files are
+    * adopted byte-for-byte into the optimized table (a filesystem copy
+    * here — a production lake adopts by REFERENCE in its commit log,
+    * zero data movement), and the new manifest is the tight rows with
+    * rewritten paths plus a stats pass over just the reclustered output.
+    * Wide-vs-tight is the manifest's PROVENANCE flag (clustered writes
+    * tag true, append-refresh tags false) — inferring sortedness from
+    * envelope widths fails on z-range files straddling high-order curve
+    * boundaries. Nothing in this path scans the tight base. Returns
+    * (tight-adopted, wide-rewritten) file counts for the caller's
+    * cost readout. */
+  private[graft] def optimizeIncremental(spark: SparkSession, src: String,
+      dst: String): (Int, Int) = {
+    val stats = spark.table(s"${src}_stats").collect() // manifest-sized
+    val (tight, wide) = stats.partition(_.getAs[Boolean]("clustered"))
+    val wideFiles = wide.map(_.getAs[String]("file")).toSeq
+    // recluster ONLY the wide files (the appended delta)
+    graft.sources.Sinks.writeClustered(
+      spark.read.schema(spark.table(src).schema).parquet(wideFiles: _*),
+      4, Seq("zkey"), dst)
+    // adopt the tight files byte-for-byte
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(dst)))
+    val fs = dstLoc.getFileSystem(conf)
+    val adopted = tight.map { r =>
+      val from = new org.apache.hadoop.fs.Path(r.getAs[String]("file"))
+      val to = new org.apache.hadoop.fs.Path(dstLoc, from.getName)
+      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, conf)
+      (r, to.toString)
+    }
+    // O(delta) manifest build: tight rows spliced in with rewritten
+    // paths + a stats pass over ONLY the reclustered files (a full
+    // statsWriteIndex over dst would re-scan the adopted base and defeat
+    // the point)
+    val newFiles = fs.listStatus(dstLoc).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet"))
+      .filterNot(p => adopted.exists(_._2 == p)).toSeq
+    val aggs = Seq("x", "y").flatMap(c =>
+      Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
+    val rewrittenStats = spark.read.schema(spark.table(src).schema)
+      .parquet(newFiles: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val spk = spark
+    import spk.implicits._
+    val adoptedStats = adopted.toSeq.map { case (r, path) =>
+      (path, r.getAs[Number]("x_min").intValue, r.getAs[Number]("x_max").intValue,
+        r.getAs[Number]("y_min").intValue, r.getAs[Number]("y_max").intValue,
+        true)
+    }.toDF("file", "x_min", "x_max", "y_min", "y_max", "clustered")
+    graft.sources.Sinks.writeClustered(
+      rewrittenStats.select(col("file"), col("x_min").cast("int"),
+          col("x_max").cast("int"), col("y_min").cast("int"),
+          col("y_max").cast("int"))
+        .toDF("file", "x_min", "x_max", "y_min", "y_max")
+        .withColumn("clustered", lit(true)) // the rewrite sorted them
+        .unionByName(adoptedStats).coalesce(1),
+      1, Seq("file"), s"${dst}_stats")
+    (adopted.length, wideFiles.length)
+  }
+
+  /** Incremental OPTIMIZE graded end-to-end: same lifecycle as
+    * [[qLayoutOptimize]] but the recluster touches ONLY the appended
+    * wide files — the tight base is adopted without being read. The
+    * oracle is the shared box lookup, so a green hash proves the
+    * delta-only rewrite (copy + recluster + manifest splice) loses and
+    * invents nothing; ScaleSpec asserts the O(delta) properties (base
+    * rows adopted with byte-identical stats, only the delta reclustered,
+    * pruning restored). */
+  val qLayoutOptimizeInc = Q(
+    "q_layout_optimize_inc",
+    boxLookupDuck
+  ) { (spark, dir) =>
+    val table = Scans.rtTable("zskip_isrc")
+    val opt = Scans.rtTable("zskip_iopt")
+    val xy = ordersXY(spark, dir)
+    zWriteWithStats(xy.filter(col("x") % 4 =!= 0), table)
+    xy.filter(col("x") % 4 === 0)
+      .withColumn("zkey", morton(col("x"), col("y")))
+      .repartition(2)
+      .write.format("parquet").mode("append").saveAsTable(table)
+    statsAppendIndex(spark, table, Seq("x", "y"))
+    optimizeIncremental(spark, table, opt)
+    boxLookupAgg(zSkipScan(spark, opt, 32, 95, 64, 127))
+  }
+
   /** Training-shard assignment + balance report: every document goes to
     * shard = portable_hash(doc_id) % 8, and the query reports each shard's
     * doc count and exact token total plus its deviation from the ideal
@@ -939,5 +1040,5 @@ object PipelineOps {
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
     qLayoutZorderSkip, qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend,
-    qLayoutOptimize, qDocShard)
+    qLayoutOptimize, qLayoutOptimizeInc, qDocShard)
 }

@@ -496,4 +496,97 @@ class ScaleSpec extends SparkTestBase {
       spk.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
     }
   }
+
+  test("incremental optimize rewrites ONLY the delta and splices the manifest") {
+    // q_layout_optimize_inc's O(delta) claims: the recluster reads only
+    // the wide appended files, the tight base is adopted byte-for-byte
+    // (same file sizes, stats rows spliced with identical envelopes),
+    // content is conserved, and the tile box prunes again on the
+    // optimized table.
+    val spk = spark
+    val table = graft.operators.Scans.rtTable("zskip_inc_src")
+    val opt = graft.operators.Scans.rtTable("zskip_inc_opt")
+    val xy = graft.sources.Tables.orders(spk, sf("sf0.01"))
+      .select((col("o_custkey") % 256).as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"),
+        col("o_totalprice"))
+    try {
+      graft.operators.PipelineOps.zWriteWithStats(
+        xy.filter(col("x") % 4 =!= 0), table)
+      xy.filter(col("x") % 4 === 0)
+        .withColumn("zkey",
+          graft.operators.PipelineOps.morton(col("x"), col("y")))
+        .repartition(2)
+        .write.format("parquet").mode("append").saveAsTable(table)
+      graft.operators.PipelineOps.statsAppendIndex(spk, table, Seq("x", "y"))
+      val (adopted, rewritten) = graft.operators.PipelineOps
+        .optimizeIncremental(spk, table, opt)
+      info(s"incremental optimize: $adopted files adopted, $rewritten reclustered")
+      assert(adopted === 16 && rewritten === 2,
+        s"expected (16 adopted, 2 reclustered), got ($adopted, $rewritten)")
+      // adopted stats rows spliced with identical envelopes, keyed by the
+      // adopted file's basename (the copy keeps the name; only the
+      // directory changes)
+      def envByName(t: String, wantClustered: Boolean)
+          : Map[String, (Long, Long, Long, Long)] =
+        spk.table(s"${t}_stats").collect()
+          .filter(_.getAs[Boolean]("clustered") == wantClustered)
+          .map { r =>
+            new org.apache.hadoop.fs.Path(r.getAs[String]("file")).getName ->
+              (r.getAs[Number]("x_min").longValue,
+                r.getAs[Number]("x_max").longValue,
+                r.getAs[Number]("y_min").longValue,
+                r.getAs[Number]("y_max").longValue)
+          }.toMap
+      val srcTight = envByName(table, wantClustered = true)
+      val dstAll = envByName(opt, wantClustered = true)
+      assert(srcTight.forall { case (name, env) => dstAll.get(name).contains(env) },
+        "adopted files' spliced stats differ from the source manifest")
+      // content conserved (count + order-free checksum over all columns)
+      def sig(t: String) = spk.table(t)
+        .agg(count(lit(1)),
+          sum(pmod(xxhash64(col("x"), col("y"), col("o_totalprice"),
+            col("zkey")), lit(1000000007L))))
+        .head()
+      assert(sig(opt) === sig(table), "optimize lost or invented rows")
+      // pruning restored for the DELTA: before the optimize, every wide
+      // appended file is selected by any box (their envelopes span the
+      // domain); after, the reclustered output is z-sorted, and an
+      // aligned 16x16 tile is one contiguous z-interval — it can
+      // intersect at most 2 of the 4 range-partitioned output files.
+      // (The adopted base is untouched by design, so total selection can
+      // tie; the delta's share must strictly shrink.)
+      def tileRows(t: String) = spk.table(s"${t}_stats")
+        .filter(col("x_max") >= 32 && col("x_min") <= 47 &&
+          col("y_max") >= 96 && col("y_min") <= 111)
+        .collect()
+      val (before, after) = (tileRows(table).length, tileRows(opt).length)
+      info(s"tile-box selection: post-append=$before incremental-optimized=$after")
+      assert(after <= before,
+        s"incremental optimize worsened pruning: $before -> $after")
+      val dstOutFiles = spk.table(s"${opt}_stats").collect()
+        .count(r => !srcTight.contains(
+          new org.apache.hadoop.fs.Path(r.getAs[String]("file")).getName))
+      val newSel = tileRows(opt).count(r => !srcTight.contains(
+        new org.apache.hadoop.fs.Path(r.getAs[String]("file")).getName))
+      info(s"delta share: $newSel of $dstOutFiles reclustered files selected " +
+        s"(was ${rewritten} of ${rewritten} wide files)")
+      assert(newSel < dstOutFiles,
+        s"reclustered delta not pruned: tile selects all $dstOutFiles output files")
+      assert(newSel <= rewritten,
+        s"tile selects more reclustered files ($newSel) than the old wide count")
+      // and the skip-scan over the optimized table equals the full filter
+      val a = graft.operators.PipelineOps.zSkipScan(spk, opt, 32, 47, 96, 111)
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      val f = spk.table(table)
+        .filter(col("x").between(32, 47) && col("y").between(96, 111))
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      assert(a === f, s"optimized skip-scan diverged: $a vs $f")
+    } finally {
+      spk.sql(s"DROP TABLE IF EXISTS `$table`")
+      spk.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+      spk.sql(s"DROP TABLE IF EXISTS `$opt`")
+      spk.sql(s"DROP TABLE IF EXISTS `${opt}_stats`")
+    }
+  }
 }
