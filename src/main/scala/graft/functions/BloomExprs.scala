@@ -1,9 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, BloomFilterMightContain}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, BloomFilterMightContain}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BooleanType, DataType}
 
 /** Exposes Spark's built-in (but not publicly registered) Bloom-filter
   * expression pair — the same machinery the optimizer's runtime row-level
@@ -24,8 +28,40 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 object BloomExprs {
 
+  /** Per-row "does this sketch possibly contain ANY probe hash" — the
+    * distributed form of a Bloom-MANIFEST probe (one row per data FILE,
+    * sketch bytes in a binary column). Spark's own BloomFilterMightContain
+    * requires the sketch side to be foldable / a scalar subquery, so it
+    * can't test a sketch COLUMN; this expression can, which is what keeps
+    * the manifest filter on executors — the sketch bytes never travel to
+    * the driver, only the surviving file names do. Interpreted eval is
+    * deliberate (CodegenFallback): input is manifest-sized (one row per
+    * file) and the per-row cost is the sketch deserialization, not the
+    * expression dispatch. */
+  case class BloomMightContainAny(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_any"
+
+    override protected def nullSafeEval(bloomBytes: Any, hs: Any): Any = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes.asInstanceOf[Array[Byte]]))
+      val hashes = hs.asInstanceOf[ArrayData].toLongArray()
+      var i = 0
+      while (i < hashes.length) {
+        if (bf.mightContainLong(hashes(i))) return true
+        i += 1
+      }
+      false
+    }
+
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(l, r)
+  }
+
   private val aggId = FunctionIdentifier("graft_bloom_agg")
   private val probeId = FunctionIdentifier("graft_might_contain")
+  private val anyId = FunctionIdentifier("graft_bloom_any")
 
   def register(spark: SparkSession): Unit = synchronized {
     val fr = spark.sessionState.functionRegistry
@@ -39,5 +75,15 @@ object BloomExprs {
         new ExpressionInfo(classOf[BloomFilterMightContain].getName, probeId.funcName),
         (es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1)))
     }
+    if (!fr.functionExists(anyId)) {
+      fr.registerFunction(anyId,
+        new ExpressionInfo(classOf[BloomMightContainAny].getName, anyId.funcName),
+        (es: Seq[Expression]) => BloomMightContainAny(es(0), es(1)))
+    }
+  }
+
+  /** `graft_bloom_any(bloomCol, hashesCol)` as a Column. */
+  def bloomAny(spark: SparkSession, bloom: Column, hashes: Column): Column = {
+    register(spark); call_function("graft_bloom_any", bloom, hashes)
   }
 }

@@ -134,15 +134,14 @@ object CorpusStats {
       |FROM sh JOIN fo ON sh.s = fo.s
       |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
   ) { (spark, dir) =>
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val sh = toks
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
-      .dropDuplicates("doc_id", "s")
+    // array-local shingling (the Shingles discipline): the per-doc
+    // distinct 3-gram set explodes once — the only exchange before the
+    // output rollup is the shingle-keyed first-occurrence aggregate
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode_outer(graft.functions.Shingles.distinctSet(col("tk"), 3)).as("s"))
+      .filter(col("s").isNotNull) // outer explode: the Shingles discipline
       .persistScratch() // feeds the first-occurrence aggregate AND the join back
     val fo = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
     val novel = when(col("first_doc") === col("doc_id"), 1).otherwise(0)
@@ -231,16 +230,14 @@ object CorpusStats {
       |GROUP BY df.source ORDER BY df.source""".stripMargin
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val toks = docs
+    // array-local shingling: the per-doc distinct 2-gram set explodes
+    // once, straight into the (source, s) df aggregate — the one
+    // exchange this query actually needs
+    val sh = docs
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("source"), col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("p", "t")))
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val sh = toks
-      .withColumn("t1", lead("t", 1).over(w))
-      .filter(col("t1").isNotNull)
-      .select(col("source"), col("doc_id"),
-        concat_ws(" ", col("t"), col("t1")).as("s"))
-      .dropDuplicates("doc_id", "s")
+        explode_outer(graft.functions.Shingles.distinctSet(col("tk"), 2)).as("s"))
+      .filter(col("s").isNotNull) // outer explode: the Shingles discipline
     val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val isBoiler =
       when(col("df") * 5 > col("n_docs") && col("df") >= 3, 1).otherwise(0)
@@ -303,18 +300,17 @@ object CorpusStats {
       |ORDER BY n.doc_id""".stripMargin
   ) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "t")))
-    val wLead = Window.partitionBy("doc_id").orderBy("p")
-    val sh = toks
-      .withColumn("t1", lead("t", 1).over(wLead))
-      .withColumn("t2", lead("t", 2).over(wLead))
-      .withColumn("t3", lead("t", 3).over(wLead))
-      .withColumn("t4", lead("t", 4).over(wLead))
-      .filter(col("t4").isNotNull)
-      .select(col("doc_id"), col("p").cast("long").as("p"),
-        concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3"), col("t4"))
-          .as("s"))
+    // array-local POSITIONED shingling: posexplode over the shingle
+    // array — element index IS the 0-based start position the span
+    // arithmetic needs, so the token stream never shuffles; the island
+    // windows below run over the (much smaller) cross-doc dup positions
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        posexplode_outer(graft.functions.Shingles.all(col("tk"), 5))
+          .as(Seq("p", "s")))
+      .filter(col("s").isNotNull) // outer explode: the Shingles discipline
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("s"))
       .persistScratch() // feeds the dup-set aggregate AND the join back
     val dup = sh.groupBy("s")
       .agg(countDistinct("doc_id").as("ndocs"))

@@ -632,8 +632,23 @@ object PipelineOps {
     // (and then double-read) every base file
     def norm(s: String): String =
       new org.apache.hadoop.fs.Path(s).toUri.getPath
-    val listed = fs.listStatus(loc).map(_.getPath.toString)
-      .filter(_.endsWith(".parquet")).toSeq // metadata op: one row per file
+    // RECURSIVE listing (metadata op: one row per file): a PARTITIONED
+    // table's files live in p=.../ subdirectories — a flat listStatus
+    // would silently never index them and the skip-scan would prune
+    // forever against a stale manifest. Hidden dirs (_spark_metadata,
+    // .staging) are skipped the way Spark's own FileIndex does.
+    val listed = {
+      val it = fs.listFiles(loc, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        val rel = p.toUri.getPath.stripPrefix(loc.toUri.getPath)
+        val hidden = rel.split("/").exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden && p.getName.endsWith(".parquet")) buf += p.toString
+      }
+      buf.toSeq
+    }
     val known = spark.table(s"${table}_stats")
       .select("file").collect().map(r => norm(r.getString(0))).toSet
     val fresh = listed.filterNot(p => known(norm(p)))
@@ -730,27 +745,35 @@ object PipelineOps {
   }
 
   /** Bloom-skipping point lookup: test each probe key's xxhash64 against
-    * every file's Bloom sketch (driver-side over the manifest — one row
-    * per FILE, the metadata a format's log replays; the sketch bytes are
-    * Spark's own BloomFilterImpl serialization, read back with the
-    * public sketch API), read ONLY the files that may contain a key, and
-    * keep the exact IN filter so false positives cost I/O, never
-    * correctness. At 100 TB this is the difference between scanning the
-    * table and scanning the handful of files a key-set actually touches
-    * when the cluster key can't help. */
-  /** The may-contain file set of a key lookup against a `_bloom`
-    * manifest — driver-side over one row per file. */
-  private[graft] def bloomSelectFiles(spark: SparkSession, table: String,
-      keys: Seq[Long]): Seq[String] = {
+    * every file's Bloom sketch, read ONLY the files that may contain a
+    * key, and keep the exact IN filter so false positives cost I/O,
+    * never correctness. At 100 TB this is the difference between
+    * scanning the table and scanning the handful of files a key-set
+    * actually touches when the cluster key can't help. */
+  /** The may-contain probe of a key set against a `_bloom` manifest, as
+    * a DataFrame of surviving file names: the filter runs DISTRIBUTED
+    * over the manifest (graft_bloom_any deserializes + tests each file's
+    * sketch on the executor that holds its row) against the broadcast
+    * probe-hash array. The sketch BYTES never leave the executors — at
+    * 100 TB with O(10^5-10^6) files a driver-side collect of the blobs
+    * would be 5-50 GB of driver heap plus a single-threaded probe loop,
+    * in exactly the hot metadata path this index exists to accelerate.
+    * Only the file-NAME strings (one per surviving file) are collected. */
+  private[graft] def bloomSelectFilesDF(spark: SparkSession, table: String,
+      keys: Seq[Long]): DataFrame = {
     import spark.implicits._
     val hashes = keys.toDF("k").select(xxhash64(col("k")).as("h"))
-      .collect().map(_.getLong(0)) // |keys| rows — bounded probe state
-    spark.table(s"${table}_bloom").collect().flatMap { r =>
-      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-      if (hashes.exists(bf.mightContainLong)) Some(r.getString(0)) else None
-    }.toSeq
+      .collect().map(_.getLong(0)).toSeq // |keys| rows — bounded probe state
+    spark.table(s"${table}_bloom")
+      .filter(graft.functions.BloomExprs.bloomAny(spark,
+        col("bloom"), typedLit(hashes)))
+      .select("file")
   }
+
+  private[graft] def bloomSelectFiles(spark: SparkSession, table: String,
+      keys: Seq[Long]): Seq[String] =
+    bloomSelectFilesDF(spark, table, keys)
+      .collect().map(_.getString(0)).toSeq
 
   private def readFiles(spark: SparkSession, table: String,
       sel: Seq[String]): DataFrame =
@@ -772,10 +795,16 @@ object PipelineOps {
   private[graft] def comboSkipScan(spark: SparkSession, table: String,
       keyCol: String, keys: Seq[Long], rangeCol: String,
       lo: Column, hi: Column): DataFrame = {
+    // both manifest prunes evaluate on executors (the Bloom side via the
+    // distributed graft_bloom_any filter); the intersection is a manifest
+    // ∩ manifest equi-join on file name, and only the surviving NAMES
+    // reach the driver
     val statFiles = spark.table(s"${table}_stats")
       .filter(col(s"${rangeCol}_max") >= lo && col(s"${rangeCol}_min") <= hi)
-      .select("file").collect().map(_.getString(0)).toSet
-    val sel = bloomSelectFiles(spark, table, keys).filter(statFiles)
+      .select("file")
+    val sel = bloomSelectFilesDF(spark, table, keys)
+      .join(statFiles, "file")
+      .collect().map(_.getString(0)).toSeq
     readFiles(spark, table, sel)
       .filter(col(keyCol).isin(keys: _*) && col(rangeCol).between(lo, hi))
   }
@@ -924,10 +953,15 @@ object PipelineOps {
     val stats = spark.table(s"${src}_stats").collect() // manifest-sized
     val (tight, wide) = stats.partition(_.getAs[Boolean]("clustered"))
     val wideFiles = wide.map(_.getAs[String]("file")).toSeq
-    // recluster ONLY the wide files (the appended delta)
-    graft.sources.Sinks.writeClustered(
-      spark.read.schema(spark.table(src).schema).parquet(wideFiles: _*),
-      4, Seq("zkey"), dst)
+    // recluster ONLY the wide files (the appended delta); a zero-delta
+    // OPTIMIZE (already fully clustered) must no-op-recluster, not crash
+    // on an empty parquet() path list — the empty limit(0) write still
+    // registers dst with the right schema, lands one rowless file the
+    // manifest never selects, and everything below adopts the base
+    val wideDf =
+      if (wideFiles.isEmpty) spark.table(src).limit(0)
+      else spark.read.schema(spark.table(src).schema).parquet(wideFiles: _*)
+    graft.sources.Sinks.writeClustered(wideDf, 4, Seq("zkey"), dst)
     // adopt the tight files byte-for-byte
     val conf = spark.sparkContext.hadoopConfiguration
     val dstLoc = new org.apache.hadoop.fs.Path(
@@ -944,9 +978,17 @@ object PipelineOps {
     // paths + a stats pass over ONLY the reclustered files (a full
     // statsWriteIndex over dst would re-scan the adopted base and defeat
     // the point)
+    // exclusion compares NORMALIZED URI paths (the statsAppendIndex norm):
+    // Path.toString ('file:/p') vs listStatus renderings ('file:///p' on
+    // qualified schemes) differ as raw strings, and a missed match would
+    // both rescan the adopted base (defeating O(delta)) and give each
+    // adopted file TWO manifest rows — double-counted by every skip-scan
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val adoptedNorm = adopted.map(a => norm(a._2)).toSet
     val newFiles = fs.listStatus(dstLoc).map(_.getPath.toString)
       .filter(_.endsWith(".parquet"))
-      .filterNot(p => adopted.exists(_._2 == p)).toSeq
+      .filterNot(p => adoptedNorm(norm(p))).toSeq
     val aggs = Seq("x", "y").flatMap(c =>
       Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
     val rewrittenStats = spark.read.schema(spark.table(src).schema)

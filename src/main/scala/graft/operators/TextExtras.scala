@@ -126,28 +126,23 @@ object TextExtras {
   private[operators] val shingleDfCap = 64
 
   /** Shared (doc_id, lang, s) 3-token-shingle incidence for the n-gram
-    * near-dup family, df-capped per [[shingleDfCap]]. Shingles come from
-    * posexplode + two lead() windows over token position — ONE tokenize
-    * per document. (The array formulation `transform(sequence, i ->
-    * slice(split(text), i, 3))` re-evaluates split(text) per shingle
-    * under CollapseProject: ~50x the work.) The df count rides a window
-    * over the SAME (lang, s) shuffle the inverted-index join needs, so
-    * the cap costs no extra exchange of the incidence list. Persisted:
-    * both join sides and the per-doc size aggregate read it. */
+    * near-dup family, df-capped per [[shingleDfCap]]. Shingles are built
+    * ARRAY-LOCALLY ([[graft.functions.Shingles]]): the per-doc distinct
+    * set is assembled inside the token array and exploded ONCE, so the
+    * only exchange the incidence pays is the (lang, s) shuffle the df cap
+    * and the inverted-index join both need — the window-lead construction
+    * this replaces paid two extra token-stream-sized exchanges first.
+    * The df count rides a window over that same (lang, s) shuffle, so the
+    * cap costs no extra exchange of the incidence list. Persisted: both
+    * join sides and the per-doc size aggregate read it. */
   private[graft] def shingleInc(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("p", "t")))
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    toks
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
-      .dropDuplicates("doc_id", "s")
+        explode_outer(graft.functions.Shingles.distinctSet(col("tk"), 3)).as("s"))
+      .filter(col("s").isNotNull) // outer explode: the Shingles discipline
       .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "s")))
       .filter(col("df") <= shingleDfCap)
       .drop("df")
@@ -281,13 +276,12 @@ object TextExtras {
     * that makes a 100 TB fingerprint index affordable. Pairs sharing at
     * least half of the smaller fingerprint set are emitted.
     *
-    * Plan: ONE tokenize per doc (posexplode + two lead() windows, the
-    * q_dedup_ngram idiom), the shingle hash is the PortableHash both
-    * engines compute identically, winnowing itself is a min() over a
-    * 4-row frame on the same (doc_id, p) window — no second shuffle —
-    * and candidates come from the inverted-index equi-join ON THE
-    * FINGERPRINT (high-cardinality shuffle key, cost ∝ shared-fingerprint
-    * incidence mass, never all pairs). */
+    * Plan: the fingerprint set is built ARRAY-LOCALLY per document (the
+    * [[graft.functions.Shingles]] discipline — shingle array, PortableHash
+    * array, window-min array, distinct; zero shuffles of the token
+    * stream), and candidates come from the inverted-index equi-join ON
+    * THE FINGERPRINT (high-cardinality shuffle key, cost ∝ shared-
+    * fingerprint incidence mass, never all pairs). */
   val qDedupWinnow = Q(
     "q_dedup_winnow",
     s"""WITH toks AS (
@@ -317,30 +311,28 @@ object TextExtras {
        |WHERE 2 * p.shared >= least(sa.sz, sb.sz)
        |ORDER BY a_id, b_id""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
+    // The whole fingerprint construction is ARRAY-LOCAL, mirroring the
+    // oracle's own list_transform chain: shingle array -> per-shingle
+    // PortableHash array -> min of each FULL 4-hash window (exactly
+    // len(h) - 3 windows per document) -> distinct fingerprint set,
+    // exploded ONCE. Winnowing selects min VALUES per window, so the
+    // distinct-of-window-mins equals the distinct selected-fingerprint
+    // set without ever ordering rows — the token stream never shuffles;
+    // the only exchanges left are fingerprint-keyed (the join + size agg).
+    val inc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("p", "t")))
-    val byPos = Window.partitionBy("doc_id").orderBy("p")
-    // one PortableHash per 3-token shingle, keyed by its start position
-    val hashed = toks
-      .withColumn("t1", lead("t", 1).over(byPos))
-      .withColumn("t2", lead("t", 2).over(byPos))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("lang"), col("p"),
-        expr(graft.functions.PortableHash.spark("concat_ws(' ', t, t1, t2)"))
+        graft.functions.Shingles.all(col("tk"), 3).as("sh"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"transform(sh, s -> ${graft.functions.PortableHash.spark("s")})")
           .as("h"))
-    // winnow: min of each FULL window of 4 consecutive shingle hashes.
-    // Shingle positions are consecutive ints, so a 4-row frame == a 4-
-    // position window; the count() guard drops the ragged tail frames so
-    // both engines enumerate exactly len(h) - 3 windows per document.
-    val frame = byPos.rowsBetween(0, 3)
-    val inc = hashed
-      .withColumn("fp", min("h").over(frame))
-      .withColumn("wn", count(lit(1)).over(frame))
-      .filter(col("wn") === 4)
-      .select(col("doc_id"), col("lang"), col("fp"))
-      .dropDuplicates("doc_id", "fp")
+      .select(col("doc_id"), col("lang"),
+        when(size(col("h")) >= 4,
+          array_distinct(transform(sequence(lit(0), size(col("h")) - 4),
+            w => array_min(slice(col("h"), w + lit(1), lit(4))))))
+          .otherwise(array().cast("array<bigint>")).as("fps"))
+      .select(col("doc_id"), col("lang"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull) // outer explode: the Shingles discipline
       .persistScratch() // both join sides + the size aggregate
     val sz = inc.groupBy("doc_id").agg(count(lit(1)).cast("int").as("sz"))
     val pairs = inc.select(col("doc_id").as("a_id"), col("lang"), col("fp"))
@@ -1313,15 +1305,12 @@ object TextExtras {
           .agg(min("doc_id").as("doc_id")).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .persistScratch() // shingle pass + keep-best lookups + c2
-    val w3 = Window.partitionBy("doc_id").orderBy("p")
+    // array-local shingling (the Shingles discipline): the per-doc
+    // distinct set explodes once, straight into the (lang, s) df window
     val inc = s2
-      .select(col("doc_id"), col("lang"), posexplode(col("ws")).as(Seq("p", "t")))
-      .withColumn("t1", lead("t", 1).over(w3))
-      .withColumn("t2", lead("t", 2).over(w3))
-      .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
-      .dropDuplicates("doc_id", "s")
+        explode_outer(graft.functions.Shingles.distinctSet(col("ws"), 3)).as("s"))
+      .filter(col("s").isNotNull) // outer explode: the Shingles discipline
       .withColumn("df", count(lit(1)).over(Window.partitionBy("lang", "s")))
       .filter(col("df") <= shingleDfCap)
       .drop("df")
@@ -1347,22 +1336,16 @@ object TextExtras {
       .distinct()
     val s3 = s2.join(lose, Seq("doc_id"), "left_anti")
       .persistScratch() // 5-gram pass + c3
-    val w5 = Window.partitionBy("doc_id").orderBy("p")
+    // 5-gram passes, array-local on both sides: per-doc distinct sets
+    // explode once, so the only exchanges are the shingle-keyed distinct
+    // and the shingle equi-join
     def gram5(d: org.apache.spark.sql.DataFrame) = d
-      .withColumn("t1", lead("t", 1).over(w5))
-      .withColumn("t2", lead("t", 2).over(w5))
-      .withColumn("t3", lead("t", 3).over(w5))
-      .withColumn("t4", lead("t", 4).over(w5))
-      .filter(col("t4").isNotNull)
       .select(col("doc_id"),
-        concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3"), col("t4"))
-          .as("s"))
-    val eval5 = gram5(t.filter(col("source") === "src0")
-        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "t"))))
+        explode_outer(graft.functions.Shingles.distinctSet(col("ws"), 5)).as("s"))
+      .filter(col("s").isNotNull) // outer explode: the Shingles discipline
+    val eval5 = gram5(t.filter(col("source") === "src0"))
       .select("s").distinct()
-    val contam = gram5(s3.filter(col("source") =!= "src0")
-        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "t"))))
-      .dropDuplicates("doc_id", "s")
+    val contam = gram5(s3.filter(col("source") =!= "src0"))
       .join(eval5, "s")
       .select("doc_id").distinct()
     val s4 = s3.filter(col("source") =!= "src0")
@@ -1611,20 +1594,15 @@ object TextExtras {
       |  FROM h GROUP BY lang) c ON tr.lang = c.lang
       |ORDER BY tr.lang""".stripMargin
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), col("source"), col("lang"),
-      posexplode(split(col("text"), " ")).as(Seq("p", "t")))
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val sh = toks
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
-      .withColumn("t3", lead("t", 3).over(w))
-      .withColumn("t4", lead("t", 4).over(w))
-      .filter(col("t4").isNotNull)
+    // array-local 5-gram shingling: the per-doc distinct set explodes
+    // once, so the only exchange left is the shingle equi-join
+    val sh = docs
       .select(col("doc_id"), col("source"), col("lang"),
-        concat_ws(" ", col("t"), col("t1"), col("t2"), col("t3"), col("t4")).as("s"))
-      .dropDuplicates("doc_id", "s")
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode_outer(graft.functions.Shingles.distinctSet(col("tk"), 5)).as("s"))
+      .filter(col("s").isNotNull) // outer explode: the Shingles discipline
       .persistScratch() // eval shingle set + training incidences
     val e = sh.filter(col("source") === "src0").select("s").distinct()
     val h = sh.filter(col("source") =!= "src0")

@@ -421,13 +421,18 @@ object Sinks {
     * those names are unique and never load-bearing.) */
   private val ReclaimMutexFile = s"$LockFile.reclaim"
 
-  /** (table root URI path, lease token) held by the current thread —
+  /** table-root URI path → lease token held by the current thread —
     * the commit-point fencing handle: [[writePointer]] verifies the
     * lease file still carries this token immediately before the pointer
     * swap, so any residual lease-yank race (stacked crashed-reclaimer +
     * concurrent-sweeper interleavings) aborts LOUDLY before publishing
-    * instead of silently losing the other writer's merge. */
-  private val heldLease = new ThreadLocal[(String, String)]
+    * instead of silently losing the other writer's merge. A MAP keyed by
+    * root, not a single slot: a mutator whose body nests a withLease on
+    * a SECOND root must not clobber the outer handle, or the outer
+    * publish would silently skip the fencing check entirely. */
+  private val heldLeases = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
 
   /** Versions the pointer file names: the live one + 2 predecessors.
     * Retention cost is HistoryKeep × table size; the window is what
@@ -623,10 +628,12 @@ object Sinks {
       } finally fs.delete(rmx, false)
     }
     val heldSince = System.currentTimeMillis()
-    heldLease.set((root.toUri.getPath, token)) // commit-point fencing handle
+    // commit-point fencing handle; map-keyed so a nested lease on a
+    // different root composes instead of clobbering this one
+    heldLeases.set(heldLeases.get() + (root.toUri.getPath -> token))
     try body
     finally {
-      heldLease.remove()
+      heldLeases.set(heldLeases.get() - root.toUri.getPath)
       // only release a lease that is provably still OURS: rename it to a
       // holder-unique name first (atomic — nobody else can then touch
       // it), verify it still carries our token, and only then delete;
@@ -739,20 +746,33 @@ object Sinks {
   private def writePointer(spark: SparkSession,
       root: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
     val fs = fsOf(spark, root)
-    Option(heldLease.get()).filter(_._1 == root.toUri.getPath).foreach {
-      case (_, token) =>
-        val owns = try {
-          val in = fs.open(new org.apache.hadoop.fs.Path(root, LockFile))
-          val txt = try new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-          txt.split("\n").headOption.map(_.trim).contains(token)
-        } catch { case _: java.io.IOException => false }
-        if (!owns) throw new ConcurrentWriterException(
-          s"writer lease for $root was reclaimed mid-mutation (commit-point " +
-            "fencing check); aborting before the pointer swap — the staged " +
-            "dir is litter the next publish retires")
+    heldLeases.get().get(root.toUri.getPath).foreach { token =>
+      // Three verdicts, not two: a lease that READS with a foreign token
+      // or is MISSING is a genuine yank (abort); a transient read ERROR
+      // on an otherwise healthy holder is retried a couple of times
+      // before aborting — a single flaky read must not kill a valid
+      // commit and strand the staged dir as litter.
+      def readToken(): Option[String] = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, LockFile))
+        val txt = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        txt.split("\n").headOption.map(_.trim)
+      }
+      val owns = (0 to 2).iterator.map { attempt =>
+        try Some(readToken().contains(token))
+        catch {
+          case _: java.io.FileNotFoundException => Some(false) // gone = yanked
+          case _: java.io.IOException if attempt < 2 =>
+            Thread.sleep(20L << attempt); None // transient: retry
+          case _: java.io.IOException => Some(false) // persistent: abort
+        }
+      }.collectFirst { case Some(v) => v }.getOrElse(false)
+      if (!owns) throw new ConcurrentWriterException(
+        s"writer lease for $root was reclaimed mid-mutation (commit-point " +
+          "fencing check); aborting before the pointer swap — the staged " +
+          "dir is litter the next publish retires")
     }
     // writer-unique tmp name: publishes are lease-serialized, but if
     // mutual exclusion is ever violated a shared tmp turns the second

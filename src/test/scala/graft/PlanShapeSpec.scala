@@ -474,23 +474,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"kmeans iteration re-partitioned the corpus on vec_id:\n$plan")
   }
 
-  test("winnow rides one document shuffle; fuzzy match blocks before levenshtein") {
-    // q_dedup_winnow's shingle build and winnow min are BOTH windows over
-    // (doc_id, p) — they must share a single document exchange. A second
-    // Window-feeding shuffle means the winnow frame re-partitioned the
-    // corpus (per-token rows — the expensive frame at 100 TB).
+  test("winnow is array-local: zero windows; fuzzy match blocks before levenshtein") {
+    // q_dedup_winnow's fingerprint construction is fully ARRAY-LOCAL
+    // (the Shingles discipline): shingle array -> hash array -> window-
+    // min array -> distinct set, exploded once. The plan must carry NO
+    // Window at all — a Window reappearing means the token stream is
+    // being re-sorted/re-shuffled per document (the expensive frame at
+    // 100 TB this refactor removed).
     val wPlan = finalPlan("q_dedup_winnow").split("== Initial Plan ==").head
     assert(!wPlan.contains("BroadcastNestedLoopJoin") &&
       !wPlan.contains("CartesianProduct"),
       "q_dedup_winnow degraded to a nested loop")
     val windowLines = wPlan.split('\n').count(_.contains("Window ("))
-    assert(windowLines == 2, s"expected the 2 winnow windows, saw $windowLines")
-    val docExchanges = wPlan.split('\n')
-      .count(l => l.contains("Exchange hashpartitioning(doc_id#") &&
-        !l.contains("fp#"))
-    assert(docExchanges <= 1,
-      s"winnow's two window passes must share ONE (doc_id) exchange, saw " +
-        s"$docExchanges:\n$wPlan")
+    assert(windowLines == 0,
+      s"winnow must build fingerprints array-locally (no Window), saw " +
+        s"$windowLines:\n$wPlan")
     // q_join_fuzzy: the join must be equi on the block key with
     // levenshtein evaluated AFTER (join condition/filter), never a
     // nested-loop over the dictionary; and the dictionary collapse must
@@ -652,5 +650,105 @@ class PlanShapeSpec extends SparkTestBase {
     val scans = plan.split('\n').count(_.contains("Scan parquet"))
     assert(scans <= 2,
       s"q_doc_lm_filter re-scans the corpus: $scans parquet scans")
+  }
+
+  test("shingle construction is map-side: no window, no pre-aggregate exchange") {
+    // The Shingles discipline (functions/Shingles.scala): shingles are
+    // assembled INSIDE the token array and exploded once, so the shingle
+    // families plan NO Window over the token stream and the only wide
+    // operators are keyed by the shingle itself. A Window reappearing in
+    // the no-window rows means the posexplode->lead->dropDuplicates idiom
+    // (two token-stream-sized exchanges per query at 100 TB) crept back.
+    // Expected Window counts: boilerplate/novelty/decontaminate build
+    // pure distinct sets (0); ngram keeps its df-cap window — it rides
+    // the (lang, s) exchange the inverted-index join needs anyway (1);
+    // dup_mass keeps its two island windows — they run over the cross-doc
+    // DUPLICATE positions, a tiny fraction of the token stream (2).
+    for ((q, expWin) <- Seq("q_text_boilerplate" -> 0, "q_doc_novelty" -> 0,
+        "q_decontaminate" -> 0, "q_dedup_ngram" -> 1, "q_doc_dup_mass" -> 2)) {
+      val plan = finalPlan(q).split("== Initial Plan ==").head
+      val wins = plan.split('\n').count(_.contains("Window ("))
+      assert(wins == expWin, s"$q: expected $expWin Window nodes, saw $wins:\n$plan")
+      graft.sources.Scratch.releaseAll()
+    }
+    // boilerplate's exchanges are all source/(source,s)-keyed: a doc_id
+    // exchange means the per-doc dedup left the array again
+    val bp = finalPlan("q_text_boilerplate").split("== Initial Plan ==").head
+    assert(!bp.contains("Exchange hashpartitioning(doc_id"),
+      s"q_text_boilerplate shuffles the token stream by doc_id:\n$bp")
+    graft.sources.Scratch.releaseAll()
+    // CollapseProject guard on the exact construction every site uses:
+    // the aliased token array is referenced >= 2 times, so the non-cheap
+    // split() must stay in its own Project — inlined into the transform
+    // lambda it would re-evaluate once per shingle (~50x measured).
+    import org.apache.spark.sql.functions._
+    val sh = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode_outer(graft.functions.Shingles.distinctSet(col("tk"), 3)).as("s"))
+      .filter(col("s").isNotNull)
+    val opt = sh.queryExecution.optimizedPlan.toString
+    val nSplit = "split\\(".r.findAllIn(opt).length
+    assert(nSplit == 1,
+      s"shingle build must evaluate split(text) exactly once, saw $nSplit:\n$opt")
+    assert(!opt.contains("Window"),
+      s"shingle build must not plan a Window:\n$opt")
+    // the InferFiltersFromGenerate trap (Shingles.scala scaladoc): a plain
+    // explode gets a synthesized size()>0 filter with the WHOLE shingle
+    // construction inlined below the Generate — split(text) re-evaluated
+    // inside lambdas, measured 266s vs 1s on the winnow build at sf0.1.
+    // The nSplit==1 assertion above is the lock; this re-checks the trap
+    // stays closed on the winnow (nested-HOF) shape too.
+    val fp = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), graft.functions.Shingles.all(col("tk"), 3).as("sh2"))
+      .select(col("doc_id"),
+        expr(s"transform(sh2, s -> ${graft.functions.PortableHash.spark("s")})")
+          .as("h"))
+      .select(col("doc_id"),
+        when(size(col("h")) >= 4,
+          array_distinct(transform(sequence(lit(0), size(col("h")) - 4),
+            w => array_min(slice(col("h"), w + lit(1), lit(4))))))
+          .otherwise(array().cast("array<bigint>")).as("fps"))
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+    val fOpt = fp.queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(fOpt).length == 1 &&
+      "md5\\(".r.findAllIn(fOpt).length == 1,
+      s"winnow fingerprint build re-evaluates split/md5 (InferFilters trap):\n$fOpt")
+  }
+
+  test("bloom-manifest probe is a distributed scan filter, not a driver loop") {
+    // bloomSelectFiles must evaluate the sketch test ON EXECUTORS (a
+    // Filter with graft_bloom_any over the manifest scan) and collect
+    // only surviving file names — pulling the sketch BYTES to the driver
+    // is 5-50 GB of heap + a single-threaded probe loop at 100 TB file
+    // counts, in exactly the hot metadata path the index accelerates.
+    import org.apache.spark.sql.functions._
+    val spk = spark
+    val table = graft.operators.Scans.rtTable("bloomplan_spec")
+    try {
+      graft.sources.Sinks.writeClustered(
+        graft.sources.Tables.lineitem(spk, dir)
+          .select("l_orderkey", "l_shipdate"),
+        4, Seq("l_shipdate"), table)
+      graft.operators.PipelineOps.bloomWriteIndex(spk, table, "l_orderkey")
+      val keys = graft.sources.Tables.lineitem(spk, dir)
+        .select("l_orderkey").orderBy("l_orderkey").limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      val probe = graft.operators.PipelineOps
+        .bloomSelectFilesDF(spk, table, keys)
+      val opt = probe.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_bloom_any"),
+        s"manifest probe lost its distributed graft_bloom_any filter:\n$opt")
+      // the filter's child is the manifest RELATION (the probe plans as a
+      // scan-filter), not a pre-collected local row set
+      assert(opt.contains("Filter") && opt.toLowerCase.contains("relation"),
+        s"manifest probe is not a scan filter over the manifest:\n$opt")
+      assert(probe.collect().nonEmpty, "probe selected zero files")
+    } finally {
+      spk.sql(s"DROP TABLE IF EXISTS `$table`")
+      spk.sql(s"DROP TABLE IF EXISTS `${table}_bloom`")
+    }
   }
 }

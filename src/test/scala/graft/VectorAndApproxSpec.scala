@@ -540,7 +540,11 @@ class VectorAndApproxSpec extends SparkTestBase {
     val r1 = mean(graft.operators.VectorOps.qVecRecallIvfPqTrained)
     val r2 = mean(graft.operators.VectorOps.qVecRecallIvfPqT2)
     info(f"trained recall@5: 1 round $r1%.3f vs 2 rounds $r2%.3f")
-    assert(r2 >= r1, s"round 2 lost recall: $r1 -> $r2")
+    // small tolerance, not strict monotonicity: Lloyd rounds minimize
+    // quantization distortion, not recall@5 — a second round may shuffle
+    // a boundary vector and drop mean recall by epsilon on a fixture/SF
+    // change; the hard invariant is the convergence shift below
+    assert(r2 >= r1 - 0.02, s"round 2 lost recall: $r1 -> $r2")
     // convergence shift: labels that changed between round 1 and round 2
     val e = graft.operators.VectorOps.probeCleanEmb(spark, dir)
       .select(col("vec_id"), col("embedding"))
