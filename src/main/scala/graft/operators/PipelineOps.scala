@@ -989,12 +989,6 @@ object PipelineOps {
     val newFiles = fs.listStatus(dstLoc).map(_.getPath.toString)
       .filter(_.endsWith(".parquet"))
       .filterNot(p => adoptedNorm(norm(p))).toSeq
-    val aggs = Seq("x", "y").flatMap(c =>
-      Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
-    val rewrittenStats = spark.read.schema(spark.table(src).schema)
-      .parquet(newFiles: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
     val spk = spark
     import spk.implicits._
     val adoptedStats = adopted.toSeq.map { case (r, path) =>
@@ -1002,13 +996,25 @@ object PipelineOps {
         r.getAs[Number]("y_min").intValue, r.getAs[Number]("y_max").intValue,
         true)
     }.toDF("file", "x_min", "x_max", "y_min", "y_max", "clustered")
-    graft.sources.Sinks.writeClustered(
-      rewrittenStats.select(col("file"), col("x_min").cast("int"),
-          col("x_max").cast("int"), col("y_min").cast("int"),
-          col("y_max").cast("int"))
-        .toDF("file", "x_min", "x_max", "y_min", "y_max")
-        .withColumn("clustered", lit(true)) // the rewrite sorted them
-        .unionByName(adoptedStats).coalesce(1),
+    // a zero-delta optimize may emit no (or only rowless) recluster
+    // output: the manifest is then exactly the adopted rows
+    val manifest =
+      if (newFiles.isEmpty) adoptedStats
+      else {
+        val aggs = Seq("x", "y").flatMap(c =>
+          Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
+        spark.read.schema(spark.table(src).schema)
+          .parquet(newFiles: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("file"), col("x_min").cast("int"),
+            col("x_max").cast("int"), col("y_min").cast("int"),
+            col("y_max").cast("int"))
+          .toDF("file", "x_min", "x_max", "y_min", "y_max")
+          .withColumn("clustered", lit(true)) // the rewrite sorted them
+          .unionByName(adoptedStats)
+      }
+    graft.sources.Sinks.writeClustered(manifest.coalesce(1),
       1, Seq("file"), s"${dst}_stats")
     (adopted.length, wideFiles.length)
   }
@@ -1036,6 +1042,88 @@ object PipelineOps {
     statsAppendIndex(spark, table, Seq("x", "y"))
     optimizeIncremental(spark, table, opt)
     boxLookupAgg(zSkipScan(spark, opt, 32, 95, 64, 127))
+  }
+
+  /** OPTIMIZE as a pointer-protocol COMMIT, graded end-to-end: the
+    * recluster lands as a NEW VERSION of the table root under the writer
+    * lease ([[graft.sources.Sinks.optimizeClustered]]) — one atomic
+    * pointer swap, predecessor retained, so concurrent readers mid-scan
+    * keep their complete snapshot while the rewrite publishes (the
+    * interleaving itself is spec-locked in SinkSourceSpec). The fixture
+    * starts as a LEGACY plain-parquet dir (clustered base + unsorted
+    * appended delta) and the first OPTIMIZE upgrades it in place to the
+    * versioned layout. The oracle aggregates the source, so a green hash
+    * proves the staged rewrite + swap + legacy retirement lost and
+    * invented nothing — the #1 maintenance commit a lake runs
+    * continuously at 100 TB. */
+  val qLayoutOptimizePublish = Q(
+    "q_layout_optimize_publish",
+    boxLookupDuck
+  ) { (spark, dir) =>
+    val root = Scans.rtDir("zpub")
+    val xy = ordersXY(spark, dir)
+    xy.filter(col("x") % 4 =!= 0)
+      .withColumn("zkey", morton(col("x"), col("y")))
+      .repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(root)
+    xy.filter(col("x") % 4 === 0)
+      .withColumn("zkey", morton(col("x"), col("y")))
+      .repartition(2) // the arriving micro-batch: 2 unsorted files
+      .write.mode("append").parquet(root)
+    graft.sources.Sinks.optimizeClustered(spark, root, 16, Seq("zkey"))
+    boxLookupAgg(graft.sources.Sinks.readTable(spark, root)
+      .filter(col("x").between(32, 95) && col("y").between(64, 127)))
+  }
+
+  /** MERGE commit with layout maintenance, graded end-to-end: the upsert
+    * publishes its version CLUSTERED by ship date with a per-file
+    * min/max manifest INSIDE the version dir (upsertBatch statsCols), so
+    * a MERGE-maintained table keeps file-skipping with no out-of-band
+    * reindex — the manifest is part of the commit, retired with its
+    * version, exactly a format's file-stats contract. The query is a
+    * date-window revenue rollup answered through the skip-scan
+    * ([[graft.sources.Sinks.readTableSkip]]); the oracle computes the
+    * merged state (seed ∪ update batch, latest-wins) from the source
+    * directly, so a green hash proves merge + clustered publish +
+    * manifest + pruned read compose losslessly. ScaleSpec asserts the
+    * pruning is strict and the manifest covers exactly the live files. */
+  val qLayoutMergeSkip = Q(
+    "q_layout_merge_skip",
+    s"""WITH m AS (
+       |  SELECT o_orderdate,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+       |         ELSE o_totalprice END AS price
+       |  FROM orders)
+       |SELECT CAST(month(o_orderdate) AS INT) AS mo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${Det.sqlExactSum("price", 100)} AS revenue
+       |FROM m
+       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                      AND TIMESTAMP '1996-06-30 23:59:59'
+       |GROUP BY 1 ORDER BY mo""".stripMargin
+  ) { (spark, dir) =>
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-06-30 23:59:59").cast("timestamp")
+    val root = Scans.rtDir("mergeskip")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    // seed commit: the full table, clustered + manifested
+    graft.sources.Sinks.upsertBatch(
+      ord.withColumn("seq", lit(1L)), root, "key", "seq",
+      statsCols = Seq("o_orderdate"))
+    // MERGE batch: a price restatement for every 10th order —
+    // latest-wins on seq; the commit re-clusters and re-manifests
+    graft.sources.Sinks.upsertBatch(
+      ord.filter(col("key") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("seq", lit(2L)), root, "key", "seq",
+      statsCols = Seq("o_orderdate"))
+    graft.sources.Sinks.readTableSkip(spark, root, "o_orderdate", lo, hi)
+      .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .orderBy("mo")
   }
 
   /** Training-shard assignment + balance report: every document goes to
@@ -1082,5 +1170,6 @@ object PipelineOps {
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
     qLayoutZorderSkip, qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend,
-    qLayoutOptimize, qLayoutOptimizeInc, qDocShard)
+    qLayoutOptimize, qLayoutOptimizeInc, qLayoutOptimizePublish,
+    qLayoutMergeSkip, qDocShard)
 }

@@ -170,7 +170,8 @@ object Sinks {
     * atomic pointer rename, so a crash at any point leaves readers (who
     * resolve through [[readTable]]) on a complete table version. */
   def upsertBatch(batch: DataFrame, path: String, keyCol: String,
-      seqCol: String): Unit = withTableLock(batch.sparkSession, path) {
+      seqCol: String, statsCols: Seq[String] = Nil): Unit =
+    withTableLock(batch.sparkSession, path) {
     val spark = batch.sparkSession
     // A crashed FIRST publish over a legacy (pointerless) layout leaves
     // fully-staged orphan `data-*` dirs in the root; the legacy-base read
@@ -274,10 +275,67 @@ object Sinks {
       }
     // Stage fully (the merge reads the live version, which the publish
     // protocol keeps intact until one more cycle completes), then commit
-    // with the single atomic pointer swap.
+    // with the single atomic pointer swap. With `statsCols`, the staged
+    // version is CLUSTERED by them and carries its own per-file min/max
+    // manifest INSIDE the version dir (`_stats` — underscore-hidden from
+    // parquet readers, retired with its version), so a MERGE-maintained
+    // table keeps file-skipping without any out-of-band reindex: the
+    // manifest is part of the commit, exactly like a format's file stats.
+    // The stats pass reads only `statsCols` from the just-staged columnar
+    // files — column-pruned, a small fraction of the merge's own write.
     val staged = stageName()
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
+    val out =
+      if (statsCols.isEmpty) merged
+      else merged
+        .repartitionByRange(16, statsCols.map(functions.col): _*)
+        .sortWithinPartitions(statsCols.head, statsCols.tail: _*)
+    out.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
+    if (statsCols.nonEmpty) writeVersionStats(spark, s"$path/$staged", statsCols)
     publish(spark, path, staged)
+  }
+
+  /** Per-file min/max manifest for one staged VERSION dir, written to
+    * `<dir>/_stats` (hidden from readers of the version, retired with
+    * it). One row per data file — the metadata a format's commit log
+    * carries beside the file list. */
+  private def writeVersionStats(spark: SparkSession, dir: String,
+      cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c => Seq(
+      functions.min(c).as(s"${c}_min"), functions.max(c).as(s"${c}_max")))
+    spark.read.parquet(dir)
+      .groupBy(functions.input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_stats")
+  }
+
+  /** File-skipping range scan (`col` BETWEEN lo AND hi) of a pointer-
+    * published table whose live version carries a `_stats` manifest (a
+    * [[upsertBatch]] with `statsCols`): prune the version's file list by
+    * the per-file envelopes, read ONLY the intersecting files, and keep
+    * the exact residual filter. A version without a manifest falls back
+    * to the full resolved scan — pruning is an optimization, never a
+    * correctness dependency. At 100 TB this is what makes a continuously
+    * MERGE-maintained table cheap to query on its cluster key: every
+    * commit re-establishes the envelopes, so scan cost tracks the
+    * predicate's data, not the table. */
+  def readTableSkip(spark: SparkSession, path: String, col: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame = {
+    val live = resolveTable(spark, path)
+    val statsPath = new org.apache.hadoop.fs.Path(live, "_stats")
+    val fs = fsOf(spark, statsPath)
+    val full = spark.read.parquet(live)
+    val pruned =
+      if (!fs.exists(statsPath)) full
+      else {
+        val sel = spark.read.parquet(statsPath.toString)
+          .filter(functions.col(s"${col}_max") >= lo &&
+            functions.col(s"${col}_min") <= hi)
+          .select("file").collect().map(_.getString(0)).toSeq
+        if (sel.isEmpty) full.limit(0)
+        else spark.read.schema(full.schema).parquet(sel: _*)
+      }
+    pruned.filter(functions.col(col).between(lo, hi))
   }
 
   /** MERGE-with-DELETE's retention half: drop every row whose boolean
@@ -325,6 +383,32 @@ object Sinks {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$path/$staged")
+    publish(spark, path, staged)
+  }
+
+  /** OPTIMIZE as a LAKE COMMIT — the pointer-protocol form of a
+    * clustered rewrite: recluster the LIVE version of a (possibly
+    * pointer-published) table root by `sortCols` into `files` range
+    * partitions, stage the rewrite to a fresh `data-*` dir inside the
+    * root, and swap it in as a NEW VERSION with the single atomic
+    * pointer rename, under the writer lease like every mutator. The
+    * predecessor version is RETAINED (the [[HistoryKeep]] window), so a
+    * concurrent reader that resolved CURRENT before the swap keeps
+    * scanning its complete snapshot — the OPTIMIZE-vs-reader
+    * interleaving a production lake runs continuously at 100 TB, where
+    * reclustering can never mean blocking reads (Delta OPTIMIZE's commit
+    * semantics). A legacy pointerless root is upgraded in place: the
+    * first publish absorbs its root-level files into retirement after
+    * the swap. Crash at any point leaves readers on a complete version
+    * (staged-dir litter is swept by the next mutator). */
+  def optimizeClustered(spark: SparkSession, path: String, files: Int,
+      sortCols: Seq[String]): Unit = withTableLock(spark, path) {
+    sweepUncommittedStages(spark, path)
+    val df = spark.read.parquet(resolveTable(spark, path))
+    val staged = stageName()
+    df.repartitionByRange(files, sortCols.map(df.col): _*)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
     publish(spark, path, staged)
   }
 

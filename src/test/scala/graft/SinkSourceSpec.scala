@@ -692,6 +692,45 @@ class SinkSourceSpec extends SparkTestBase {
     intercept[Exception] { reader.collect() }
   }
 
+  test("a reader resolved before an OPTIMIZE publish keeps its snapshot") {
+    // The q_layout_optimize_publish interleaving: OPTIMIZE is a pointer
+    // commit like any merge — a reader that resolved CURRENT before the
+    // recluster's swap must keep scanning its complete version, and a
+    // fresh resolve must see the SAME ROWS reclustered (OPTIMIZE is
+    // row-preserving by definition). Extends the resolve→swap→scan spec
+    // above to the maintenance commit a lake runs continuously.
+    val spk = spark
+    import spk.implicits._
+    val table = Files.createTempDirectory("graft_optiso").toString + "/t"
+    graft.sources.Sinks.upsertBatch(
+      Seq((3L, "c", 1L), (1L, "a", 1L), (2L, "b", 1L))
+        .toDF("key", "v", "seq"), table, "key", "seq") // v1
+    val rows = Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+    val resolvedDir = graft.sources.Sinks.resolveTable(spk, table)
+    val reader = spk.read.parquet(resolvedDir)
+    // OPTIMIZE publishes v2 (reclustered by key) AFTER the resolve
+    graft.sources.Sinks.optimizeClustered(spk, table, 2, Seq("key"))
+    assert(reader.as[(Long, String, Long)].collect().toSet === rows,
+      "reader lost its snapshot under an OPTIMIZE publish")
+    val fresh = graft.sources.Sinks.resolveTable(spk, table)
+    assert(fresh !== resolvedDir, "OPTIMIZE did not publish a new version")
+    assert(graft.sources.Sinks.readTable(spk, table)
+      .as[(Long, String, Long)].collect().toSet === rows,
+      "OPTIMIZE changed the table's rows")
+    // the recluster actually sorted: each output file's key range is
+    // tight (file 1 < file 2), i.e. the rewrite was clustered, not a copy
+    val byFile = graft.sources.Sinks.readTable(spk, table)
+      .select(input_file_name().as("f"), col("key"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert(byFile.size == 2 && byFile.values.forall(s =>
+        s == Set(1L) || s == Set(2L, 3L) || s == Set(1L, 2L) || s == Set(3L)),
+      s"recluster did not range-partition by key: $byFile")
+    // a later MERGE still works on the optimized table (protocol composes)
+    graft.sources.Sinks.upsertBatch(
+      Seq((4L, "d", 2L)).toDF("key", "v", "seq"), table, "key", "seq")
+    assert(graft.sources.Sinks.readTable(spk, table).count() === 4)
+  }
+
   test("version history keeps HistoryKeep versions and time travels to depth 2") {
     val spk = spark
     import spk.implicits._
