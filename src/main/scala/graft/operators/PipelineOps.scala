@@ -607,6 +607,46 @@ object PipelineOps {
     graft.sources.Sinks.writeClustered(stats, 1, Seq("file"), s"${table}_stats")
   }
 
+  /** 3-D Morton interleave (8 bits per dimension, 24-bit key): bit 3i
+    * from x, 3i+1 from y, 3i+2 from z. Three-or-more-column z-ordering
+    * is where the interleaving trade actually bites at 100 TB — each
+    * added dimension halves the per-file span tightness of the others
+    * (top key bits cycle z7,y7,x7,z6,...), so a 3-D curve prunes on ANY
+    * of the three predicates at the cost of coarser envelopes per
+    * dimension than a 2-D curve gives its two. Same unrolled shift-mask
+    * arithmetic as [[morton]] — exact ints, codegen-friendly, identical
+    * on both engines. */
+  private[graft] def morton3(x: Column, y: Column, z: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 3 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 3 * i + 1) +
+        shiftleft(shiftright(z, i).bitwiseAND(1), 3 * i + 2)
+    }.reduce(_ + _)
+
+  /** 3-D file-skipping scan: the [[zSkipScan]] shape with a third
+    * envelope dimension — manifest prune on the (x, y, z) box, read only
+    * intersecting files, keep the exact residual filter. */
+  private[graft] def zSkipScan3(spark: SparkSession, table: String,
+      xLo: Int, xHi: Int, yLo: Int, yHi: Int, zLo: Int, zHi: Int): DataFrame = {
+    val sel = spark.table(s"${table}_stats")
+      .filter(col("x_max") >= xLo && col("x_min") <= xHi &&
+        col("y_max") >= yLo && col("y_min") <= yHi &&
+        col("z_max") >= zLo && col("z_min") <= zHi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val pruned =
+      if (sel.isEmpty) spark.table(table).limit(0)
+      else spark.read.schema(spark.table(table).schema).parquet(sel: _*)
+    pruned.filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi) &&
+      col("z").between(zLo, zHi))
+  }
+
+  private[graft] def zWriteWithStats3(df: DataFrame, table: String): Unit = {
+    graft.sources.Sinks.writeClustered(
+      df.withColumn("zkey3", morton3(col("x"), col("y"), col("z"))),
+      16, Seq("zkey3"), table)
+    statsWriteIndex(df.sparkSession, table, Seq("x", "y", "z"))
+  }
+
   private[graft] def zWriteWithStats(df: DataFrame, table: String): Unit = {
     graft.sources.Sinks.writeClustered(
       df.withColumn("zkey", morton(col("x"), col("y"))), 16, Seq("zkey"), table)
@@ -1044,6 +1084,46 @@ object PipelineOps {
     boxLookupAgg(zSkipScan(spark, opt, 32, 95, 64, 127))
   }
 
+  /** The 3-column fixture frame: orders keyed to three 0..255 dims
+    * (customer slot, day-of-epoch slot, orderkey slot) + the measure. */
+  private def ordersXYZ(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select((col("o_custkey") % 256).as("x"),
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"),
+        (col("o_orderkey") % 256).as("z"),
+        col("o_totalprice"))
+
+  /** 3-D z-order write → file-skipping read, graded end-to-end: orders
+    * clustered on the 24-bit (x, y, z) Morton key into 16 files + a
+    * three-envelope stats manifest, then a 3-D predicate box answered by
+    * reading only intersecting files. The oracle aggregates the source
+    * under the same box, so a green hash proves the 3-D pruned read is
+    * lossless; ScaleSpec asserts the strict subset AND that the THIRD
+    * dimension pays for itself (the z predicate prunes files the 2-D
+    * envelopes alone would keep — the property that justifies coarser
+    * per-dimension envelopes). The curve's top key bits cycle
+    * z7,y7,x7,z6,..., so all three half-domain predicates prune at the
+    * file level. */
+  val qLayoutZorder3Skip = Q(
+    "q_layout_zorder3_skip",
+    s"""WITH k AS (
+       |  SELECT o_custkey % 256 AS x,
+       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
+       |    o_orderkey % 256 AS z,
+       |    o_totalprice
+       |  FROM orders)
+       |SELECT CAST(x AS INT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS sum_price
+       |FROM k
+       |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
+       |  AND z BETWEEN 0 AND 127
+       |GROUP BY 1 ORDER BY x""".stripMargin
+  ) { (spark, dir) =>
+    val table = Scans.rtTable("z3skip")
+    zWriteWithStats3(ordersXYZ(spark, dir), table)
+    boxLookupAgg(zSkipScan3(spark, table, 32, 95, 64, 127, 0, 127))
+  }
+
   /** OPTIMIZE as a pointer-protocol COMMIT, graded end-to-end: the
     * recluster lands as a NEW VERSION of the table root under the writer
     * lease ([[graft.sources.Sinks.optimizeClustered]]) — one atomic
@@ -1169,7 +1249,7 @@ object PipelineOps {
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
-    qLayoutZorderSkip, qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend,
-    qLayoutOptimize, qLayoutOptimizeInc, qLayoutOptimizePublish,
-    qLayoutMergeSkip, qDocShard)
+    qLayoutZorderSkip, qLayoutZorder3Skip, qLayoutBloomSkip, qLayoutSkipCombo,
+    qLayoutSkipAppend, qLayoutOptimize, qLayoutOptimizeInc,
+    qLayoutOptimizePublish, qLayoutMergeSkip, qDocShard)
 }

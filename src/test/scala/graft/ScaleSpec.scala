@@ -590,6 +590,48 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("3-D z-order: strict-subset pruning, and the third dimension prunes files on its own") {
+    // q_layout_zorder3_skip's scale claims: (a) the 3-D box reads a
+    // strict subset of files losing no rows, (b) the THIRD envelope pays
+    // for itself — adding the z predicate to the (x, y) box prunes files
+    // the 2-D envelopes alone would keep. (b) is what justifies the
+    // coarser per-dimension envelopes a 3-column interleave gives.
+    val spk = spark
+    val table = graft.operators.Scans.rtTable("z3skip_spec")
+    try {
+      val xyz = graft.sources.Tables.orders(spk, sf("sf0.01"))
+        .select((col("o_custkey") % 256).as("x"),
+          (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"),
+          (col("o_orderkey") % 256).as("z"),
+          col("o_totalprice"))
+      graft.operators.PipelineOps.zWriteWithStats3(xyz, table)
+      val total = spk.table(s"${table}_stats").count()
+      def selected(zLo: Int, zHi: Int): Long = spk.table(s"${table}_stats")
+        .filter(col("x_max") >= 32 && col("x_min") <= 95 &&
+          col("y_max") >= 64 && col("y_min") <= 127 &&
+          col("z_max") >= zLo && col("z_min") <= zHi)
+        .count()
+      val with3 = selected(0, 127)
+      val without3 = selected(0, 255)
+      info(s"3-D manifest: $total files, (x,y) box keeps $without3, +z keeps $with3")
+      assert(with3 < total, "3-D skip-scan pruned nothing")
+      assert(with3 < without3,
+        s"the z envelope pruned nothing beyond (x, y): $with3 vs $without3")
+      val a = graft.operators.PipelineOps
+        .zSkipScan3(spk, table, 32, 95, 64, 127, 0, 127)
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      val b = spk.table(table)
+        .filter(col("x").between(32, 95) && col("y").between(64, 127) &&
+          col("z").between(0, 127))
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      assert(a === b, s"3-D pruned scan diverged from full filter: $a vs $b")
+      assert(a.getLong(0) > 0, "3-D box matched zero rows")
+    } finally {
+      spk.sql(s"DROP TABLE IF EXISTS `$table`")
+      spk.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+    }
+  }
+
   test("zero-delta incremental optimize no-ops: everything adopted, nothing reclustered") {
     // The natural fast path of "recluster only the delta": a table whose
     // files are ALL clustered (no appends since the last optimize) must
