@@ -283,15 +283,35 @@ object Sinks {
     // manifest is part of the commit, exactly like a format's file stats.
     // The stats pass reads only `statsCols` from the just-staged columnar
     // files — column-pruned, a small fraction of the merge's own write.
+    // the layout contract propagates: a batch that doesn't name statsCols
+    // on an already-maintained table inherits the live manifest's columns
+    // (a plain upsert must not silently strip the table's file-skipping)
+    val effStats =
+      if (statsCols.nonEmpty) statsCols else liveStatsCols(spark, path)
     val staged = stageName()
     val out =
-      if (statsCols.isEmpty) merged
+      if (effStats.isEmpty) merged
       else merged
-        .repartitionByRange(16, statsCols.map(functions.col): _*)
-        .sortWithinPartitions(statsCols.head, statsCols.tail: _*)
+        .repartitionByRange(16, effStats.map(functions.col): _*)
+        .sortWithinPartitions(effStats.head, effStats.tail: _*)
     out.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
-    if (statsCols.nonEmpty) writeVersionStats(spark, s"$path/$staged", statsCols)
+    if (effStats.nonEmpty) writeVersionStats(spark, s"$path/$staged", effStats)
     publish(spark, path, staged)
+  }
+
+  /** The stats-manifest columns of the LIVE version, if it carries one —
+    * how the manifest CONTRACT propagates through every rewriting
+    * mutator: once a table is layout-maintained (a statsCols commit),
+    * compaction, tombstone purges, OPTIMIZE, and plain upserts must all
+    * re-establish the manifest on the version they publish, or the first
+    * unrelated maintenance run silently turns every skip-scan into a
+    * full scan. Column names are recovered from the manifest schema
+    * itself (`<col>_min`/`<col>_max` pairs). */
+  private def liveStatsCols(spark: SparkSession, path: String): Seq[String] = {
+    val sp = new org.apache.hadoop.fs.Path(resolveTable(spark, path), "_stats")
+    if (!fsOf(spark, sp).exists(sp)) Nil
+    else spark.read.parquet(sp.toString).schema.fieldNames.toSeq
+      .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
   }
 
   /** Per-file min/max manifest for one staged VERSION dir, written to
@@ -352,11 +372,13 @@ object Sinks {
   def purgeTombstones(spark: SparkSession, path: String,
       deleteCol: String): Unit = withTableLock(spark, path) {
     sweepUncommittedStages(spark, path)
+    val statsCols = liveStatsCols(spark, path) // propagate the layout contract
     val df = spark.read.parquet(resolveTable(spark, path))
       .filter(!functions.coalesce(
         functions.col(deleteCol).cast("boolean"), functions.lit(false)))
     val staged = stageName()
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
+    if (statsCols.nonEmpty) writeVersionStats(spark, s"$path/$staged", statsCols)
     publish(spark, path, staged)
   }
 
@@ -378,11 +400,16 @@ object Sinks {
     // pointerless root, first drop crashed-stage `data-*` orphans the
     // whole-root read would otherwise sweep in (see upsertBatch).
     sweepUncommittedStages(spark, path)
+    val statsCols = liveStatsCols(spark, path) // propagate the layout contract
     val df = spark.read.parquet(resolveTable(spark, path)).coalesce(files)
     val staged = stageName()
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$path/$staged")
+    // a compacted version keeps its manifest: envelopes are re-measured
+    // from the coalesced files (wider than a clustered write's — correct,
+    // just less selective until the next clustering commit)
+    if (statsCols.nonEmpty) writeVersionStats(spark, s"$path/$staged", statsCols)
     publish(spark, path, staged)
   }
 
@@ -404,11 +431,18 @@ object Sinks {
   def optimizeClustered(spark: SparkSession, path: String, files: Int,
       sortCols: Seq[String]): Unit = withTableLock(spark, path) {
     sweepUncommittedStages(spark, path)
+    val statsCols = liveStatsCols(spark, path) // propagate the layout contract
     val df = spark.read.parquet(resolveTable(spark, path))
     val staged = stageName()
     df.repartitionByRange(files, sortCols.map(df.col): _*)
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
+    // the optimized version keeps (tightened) envelopes on the table's
+    // established stats columns; a pointerless legacy root without a
+    // manifest gets one on the sort columns — OPTIMIZE is the layout
+    // operator, its output should always be skippable
+    val cols = if (statsCols.nonEmpty) statsCols else sortCols
+    writeVersionStats(spark, s"$path/$staged", cols)
     publish(spark, path, staged)
   }
 

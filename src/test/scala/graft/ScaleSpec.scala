@@ -745,4 +745,69 @@ class ScaleSpec extends SparkTestBase {
       .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
     assert(a === b, s"merge-skip scan diverged from full filter: $a vs $b")
   }
+
+  test("layout contract survives every rewriting mutator (plain upsert, purge, compact, optimize)") {
+    // Once a table is layout-maintained (a statsCols commit), every
+    // version published by ANY mutator must carry a fresh `_stats`
+    // manifest covering exactly its files — otherwise the first
+    // unrelated maintenance run (a compaction, a tombstone purge, an
+    // upsert that didn't name statsCols) silently turns every skip-scan
+    // into a full scan until someone notices. The propagation reads the
+    // manifest's own column names from the LIVE version at commit time.
+    val spk = spark
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_statprop").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.01"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"), (col("o_orderkey") % 100 === 0).as("del"))
+    def check(stage: String): Unit = {
+      val live = graft.sources.Sinks.resolveTable(spk, root)
+      val sp = s"$live/_stats"
+      assert(new java.io.File(sp).exists,
+        s"$stage: version lost its _stats manifest")
+      val manifestFiles = spk.read.parquet(sp)
+        .select("file").collect().map(_.getString(0)).toSet
+      val liveFiles = spk.read.parquet(live).select(input_file_name())
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(manifestFiles === liveFiles,
+        s"$stage: manifest/file drift (${manifestFiles.size} vs ${liveFiles.size})")
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1996-02-29 23:59:59").cast("timestamp")
+      val a = graft.sources.Sinks.readTableSkip(spk, root, "o_orderdate", lo, hi)
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      val b = spk.read.parquet(live).filter(col("o_orderdate").between(lo, hi))
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      assert(a === b, s"$stage: skip-scan diverged from full filter")
+    }
+    // seed establishes the contract
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    check("seed")
+    // a plain upsert (no statsCols) inherits it
+    graft.sources.Sinks.upsertBatch(
+      ord.filter(col("key") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("seq", lit(2L)), root, "key", "seq")
+    check("plain-upsert")
+    // tombstone purge keeps it
+    graft.sources.Sinks.purgeTombstones(spk, root, "del")
+    check("purge")
+    assert(graft.sources.Sinks.readTable(spk, root)
+      .filter(col("del")).count() === 0, "purge left tombstones")
+    // compaction keeps it (envelopes re-measured over coalesced files)
+    graft.sources.Sinks.compact(spk, root, 4)
+    check("compact")
+    // OPTIMIZE keeps it and re-tightens: clustered envelopes prune again
+    graft.sources.Sinks.optimizeClustered(spk, root, 16, Seq("o_orderdate"))
+    check("optimize")
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    val total = spk.read.parquet(s"$live/_stats").count()
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-02-29 23:59:59").cast("timestamp")
+    val sel = spk.read.parquet(s"$live/_stats")
+      .filter(col("o_orderdate_max") >= lo && col("o_orderdate_min") <= hi)
+      .count()
+    info(s"post-optimize: $sel of $total files for a 2-month window")
+    assert(sel < total, "post-OPTIMIZE manifest prunes nothing")
+  }
 }
