@@ -1206,6 +1206,56 @@ object PipelineOps {
       .orderBy("mo")
   }
 
+  /** The point-lookup half of the MERGE layout contract, graded
+    * end-to-end: the upsert commit carries BOTH manifests — min/max
+    * stats on the cluster column AND a per-file Bloom sketch over the
+    * MERGE KEY (which the date clustering scatters across every file's
+    * full domain, so min/max can't prune it; the sketch can). A 5-key
+    * lookup on the merged table is answered through
+    * [[graft.sources.Sinks.readTableBloomSkip]] — the may-contain test
+    * runs distributed over the version's `_bloom` manifest, only
+    * surviving file names reach the driver, and the exact IN filter
+    * keeps false positives harmless. The oracle computes the merged
+    * state and the same lookup from the source, so a green hash proves
+    * merge + clustered publish + Bloom manifest + pruned read compose
+    * losslessly. ScaleSpec locks strict-subset pruning and that BOTH
+    * manifests survive the whole mutator lifecycle. */
+  val qLayoutMergeBloom = Q(
+    "q_layout_merge_bloom",
+    s"""WITH m AS (
+       |  SELECT o_orderkey AS key,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+       |         ELSE o_totalprice END AS price
+       |  FROM orders),
+       |k AS (
+       |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       |  ORDER BY o_orderkey LIMIT 5)
+       |SELECT m.key, ${Det.sqlUnits("m.price", 100)} AS price_units
+       |FROM m JOIN k ON m.key = k.o_orderkey
+       |ORDER BY m.key""".stripMargin
+  ) { (spark, dir) =>
+    val root = Scans.rtDir("mergebloom")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(
+      ord.withColumn("seq", lit(1L)), root, "key", "seq",
+      statsCols = Seq("o_orderdate"), bloomCol = "key")
+    graft.sources.Sinks.upsertBatch(
+      ord.filter(col("key") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("seq", lit(2L)), root, "key", "seq")
+    // probe keys: the 5 smallest 1-URGENT orders (bounded driver state,
+    // derived identically in the oracle's CTE)
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey").orderBy("o_orderkey").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    graft.sources.Sinks.readTableBloomSkip(spark, root, "key", keys)
+      .select(col("key"), Det.units(col("o_totalprice"), 100).as("price_units"))
+      .orderBy("key")
+  }
+
   /** Training-shard assignment + balance report: every document goes to
     * shard = portable_hash(doc_id) % 8, and the query reports each shard's
     * doc count and exact token total plus its deviation from the ideal
@@ -1251,5 +1301,5 @@ object PipelineOps {
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
     qLayoutZorderSkip, qLayoutZorder3Skip, qLayoutBloomSkip, qLayoutSkipCombo,
     qLayoutSkipAppend, qLayoutOptimize, qLayoutOptimizeInc,
-    qLayoutOptimizePublish, qLayoutMergeSkip, qDocShard)
+    qLayoutOptimizePublish, qLayoutMergeSkip, qLayoutMergeBloom, qDocShard)
 }

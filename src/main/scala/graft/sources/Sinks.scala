@@ -170,7 +170,8 @@ object Sinks {
     * atomic pointer rename, so a crash at any point leaves readers (who
     * resolve through [[readTable]]) on a complete table version. */
   def upsertBatch(batch: DataFrame, path: String, keyCol: String,
-      seqCol: String, statsCols: Seq[String] = Nil): Unit =
+      seqCol: String, statsCols: Seq[String] = Nil,
+      bloomCol: String = null): Unit =
     withTableLock(batch.sparkSession, path) {
     val spark = batch.sparkSession
     // A crashed FIRST publish over a legacy (pointerless) layout leaves
@@ -288,6 +289,7 @@ object Sinks {
     // (a plain upsert must not silently strip the table's file-skipping)
     val effStats =
       if (statsCols.nonEmpty) statsCols else liveStatsCols(spark, path)
+    val effBloom = Option(bloomCol).orElse(liveBloomCol(spark, path))
     val staged = stageName()
     val out =
       if (effStats.isEmpty) merged
@@ -296,6 +298,7 @@ object Sinks {
         .sortWithinPartitions(effStats.head, effStats.tail: _*)
     out.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
     if (effStats.nonEmpty) writeVersionStats(spark, s"$path/$staged", effStats)
+    effBloom.foreach(c => writeVersionBloom(spark, s"$path/$staged", c))
     publish(spark, path, staged)
   }
 
@@ -312,6 +315,67 @@ object Sinks {
     if (!fsOf(spark, sp).exists(sp)) Nil
     else spark.read.parquet(sp.toString).schema.fieldNames.toSeq
       .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+  }
+
+  /** The Bloom-manifest key column of the LIVE version, if it carries
+    * one — the point-lookup half of the layout contract, propagated the
+    * same way as [[liveStatsCols]]. The key column NAME rides inside the
+    * manifest itself (`key_col`), so propagation needs no out-of-band
+    * metadata. */
+  private def liveBloomCol(spark: SparkSession, path: String): Option[String] = {
+    val bp = new org.apache.hadoop.fs.Path(resolveTable(spark, path), "_bloom")
+    if (!fsOf(spark, bp).exists(bp)) None
+    else spark.read.parquet(bp.toString).select("key_col").limit(1)
+      .collect().headOption.map(_.getString(0))
+  }
+
+  /** Per-file BLOOM manifest for one staged VERSION dir (`<dir>/_bloom`,
+    * hidden, retired with its version): one sketch per data file over
+    * xxhash64(keyCol) — point-lookup skipping for a column the sort
+    * order does NOT cover (a date-clustered MERGE table scatters any
+    * given key across every file's full key domain; min/max can't help,
+    * the sketch can). Same graft_bloom_agg machinery as the managed-
+    * table index; the key column name is stored alongside so any later
+    * mutator can rebuild the manifest on its own version. */
+  private def writeVersionBloom(spark: SparkSession, dir: String,
+      keyCol: String): Unit = {
+    graft.functions.BloomExprs.register(spark)
+    spark.read.parquet(dir)
+      .groupBy(functions.input_file_name().as("file"))
+      .agg(functions.expr(
+        s"graft_bloom_agg(xxhash64(`$keyCol`), 40000L, 400000L)").as("bloom"))
+      .withColumn("key_col", functions.lit(keyCol))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_bloom")
+  }
+
+  /** Bloom-skipping point lookup on a pointer-published table whose live
+    * version carries a `_bloom` manifest: the may-contain test runs
+    * DISTRIBUTED over the manifest (graft_bloom_any — sketch bytes never
+    * leave the executors), only surviving file names reach the driver,
+    * and the exact IN filter stays so false positives cost I/O, never
+    * correctness. Falls back to the full resolved scan without a
+    * manifest. */
+  def readTableBloomSkip(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val live = resolveTable(spark, path)
+    val bp = new org.apache.hadoop.fs.Path(live, "_bloom")
+    val full = spark.read.parquet(live)
+    val pruned =
+      if (!fsOf(spark, bp).exists(bp)) full
+      else {
+        val hashes = keys.toDF("k")
+          .select(functions.xxhash64(functions.col("k")).as("h"))
+          .collect().map(_.getLong(0)).toSeq // |keys| — bounded probe state
+        val sel = spark.read.parquet(bp.toString)
+          .filter(graft.functions.BloomExprs.bloomAny(spark,
+            functions.col("bloom"), functions.typedLit(hashes)))
+          .select("file").collect().map(_.getString(0)).toSeq
+        if (sel.isEmpty) full.limit(0)
+        else spark.read.schema(full.schema).parquet(sel: _*)
+      }
+    pruned.filter(functions.col(keyCol).isin(keys: _*))
   }
 
   /** Per-file min/max manifest for one staged VERSION dir, written to
@@ -373,12 +437,14 @@ object Sinks {
       deleteCol: String): Unit = withTableLock(spark, path) {
     sweepUncommittedStages(spark, path)
     val statsCols = liveStatsCols(spark, path) // propagate the layout contract
+    val bloomKey = liveBloomCol(spark, path)
     val df = spark.read.parquet(resolveTable(spark, path))
       .filter(!functions.coalesce(
         functions.col(deleteCol).cast("boolean"), functions.lit(false)))
     val staged = stageName()
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
     if (statsCols.nonEmpty) writeVersionStats(spark, s"$path/$staged", statsCols)
+    bloomKey.foreach(c => writeVersionBloom(spark, s"$path/$staged", c))
     publish(spark, path, staged)
   }
 
@@ -401,6 +467,7 @@ object Sinks {
     // whole-root read would otherwise sweep in (see upsertBatch).
     sweepUncommittedStages(spark, path)
     val statsCols = liveStatsCols(spark, path) // propagate the layout contract
+    val bloomKey = liveBloomCol(spark, path)
     val df = spark.read.parquet(resolveTable(spark, path)).coalesce(files)
     val staged = stageName()
     val w = df.write.mode(SaveMode.Overwrite)
@@ -410,6 +477,7 @@ object Sinks {
     // from the coalesced files (wider than a clustered write's — correct,
     // just less selective until the next clustering commit)
     if (statsCols.nonEmpty) writeVersionStats(spark, s"$path/$staged", statsCols)
+    bloomKey.foreach(c => writeVersionBloom(spark, s"$path/$staged", c))
     publish(spark, path, staged)
   }
 
@@ -432,6 +500,7 @@ object Sinks {
       sortCols: Seq[String]): Unit = withTableLock(spark, path) {
     sweepUncommittedStages(spark, path)
     val statsCols = liveStatsCols(spark, path) // propagate the layout contract
+    val bloomKey = liveBloomCol(spark, path)
     val df = spark.read.parquet(resolveTable(spark, path))
     val staged = stageName()
     df.repartitionByRange(files, sortCols.map(df.col): _*)
@@ -443,6 +512,7 @@ object Sinks {
     // operator, its output should always be skippable
     val cols = if (statsCols.nonEmpty) statsCols else sortCols
     writeVersionStats(spark, s"$path/$staged", cols)
+    bloomKey.foreach(c => writeVersionBloom(spark, s"$path/$staged", c))
     publish(spark, path, staged)
   }
 

@@ -765,12 +765,18 @@ class ScaleSpec extends SparkTestBase {
       val sp = s"$live/_stats"
       assert(new java.io.File(sp).exists,
         s"$stage: version lost its _stats manifest")
+      assert(new java.io.File(s"$live/_bloom").exists,
+        s"$stage: version lost its _bloom manifest")
       val manifestFiles = spk.read.parquet(sp)
         .select("file").collect().map(_.getString(0)).toSet
       val liveFiles = spk.read.parquet(live).select(input_file_name())
         .distinct().collect().map(_.getString(0)).toSet
       assert(manifestFiles === liveFiles,
         s"$stage: manifest/file drift (${manifestFiles.size} vs ${liveFiles.size})")
+      val bloomFiles = spk.read.parquet(s"$live/_bloom")
+        .select("file").collect().map(_.getString(0)).toSet
+      assert(bloomFiles === liveFiles,
+        s"$stage: bloom manifest/file drift (${bloomFiles.size} vs ${liveFiles.size})")
       val lo = lit("1996-01-01 00:00:00").cast("timestamp")
       val hi = lit("1996-02-29 23:59:59").cast("timestamp")
       val a = graft.sources.Sinks.readTableSkip(spk, root, "o_orderdate", lo, hi)
@@ -778,10 +784,21 @@ class ScaleSpec extends SparkTestBase {
       val b = spk.read.parquet(live).filter(col("o_orderdate").between(lo, hi))
         .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
       assert(a === b, s"$stage: skip-scan diverged from full filter")
+      // point lookup through the Bloom manifest: lossless + strict subset
+      val keys = Seq(1L, 2L, 3L)
+      val bl = graft.sources.Sinks.readTableBloomSkip(spk, root, "key", keys)
+      val blFiles = bl.select(input_file_name()).distinct().count()
+      assert(blFiles < liveFiles.size,
+        s"$stage: bloom lookup pruned nothing ($blFiles of ${liveFiles.size})")
+      val c = bl.agg(count(lit(1)),
+        sum((col("o_totalprice") * 100).cast("long"))).head()
+      val d = spk.read.parquet(live).filter(col("key").isin(keys: _*))
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      assert(c === d, s"$stage: bloom lookup diverged from full IN filter")
     }
-    // seed establishes the contract
+    // seed establishes the contract (both manifest kinds)
     graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
-      root, "key", "seq", statsCols = Seq("o_orderdate"))
+      root, "key", "seq", statsCols = Seq("o_orderdate"), bloomCol = "key")
     check("seed")
     // a plain upsert (no statsCols) inherits it
     graft.sources.Sinks.upsertBatch(
