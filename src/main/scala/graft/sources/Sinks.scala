@@ -291,14 +291,17 @@ object Sinks {
       if (statsCols.nonEmpty) statsCols else liveStatsCols(spark, path)
     val effBloom = Option(bloomCol).orElse(liveBloomCol(spark, path))
     val staged = stageName()
+    // 16 range partitions is the FIXTURE operating point (sf<=0.1); a
+    // production deployment sizes output files by target bytes
+    // (spark.sql.files.maxRecordsPerFile / the table's target file
+    // size), not a constant — the protocol is unchanged either way
     val out =
       if (effStats.isEmpty) merged
       else merged
         .repartitionByRange(16, effStats.map(functions.col): _*)
         .sortWithinPartitions(effStats.head, effStats.tail: _*)
     out.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
-    if (effStats.nonEmpty) writeVersionStats(spark, s"$path/$staged", effStats)
-    effBloom.foreach(c => writeVersionBloom(spark, s"$path/$staged", c))
+    writeVersionManifests(spark, s"$path/$staged", effStats, effBloom)
     publish(spark, path, staged)
   }
 
@@ -329,28 +332,12 @@ object Sinks {
       .collect().headOption.map(_.getString(0))
   }
 
-  /** Per-file BLOOM manifest for one staged VERSION dir (`<dir>/_bloom`,
-    * hidden, retired with its version): one sketch per data file over
-    * xxhash64(keyCol) — point-lookup skipping for a column the sort
-    * order does NOT cover (a date-clustered MERGE table scatters any
-    * given key across every file's full key domain; min/max can't help,
-    * the sketch can). Same graft_bloom_agg machinery as the managed-
-    * table index; the key column name is stored alongside so any later
-    * mutator can rebuild the manifest on its own version. */
-  private def writeVersionBloom(spark: SparkSession, dir: String,
-      keyCol: String): Unit = {
-    graft.functions.BloomExprs.register(spark)
-    spark.read.parquet(dir)
-      .groupBy(functions.input_file_name().as("file"))
-      .agg(functions.expr(
-        s"graft_bloom_agg(xxhash64(`$keyCol`), 40000L, 400000L)").as("bloom"))
-      .withColumn("key_col", functions.lit(keyCol))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_bloom")
-  }
-
   /** Bloom-skipping point lookup on a pointer-published table whose live
-    * version carries a `_bloom` manifest: the may-contain test runs
+    * version carries a `_bloom` manifest (one sketch per data file over
+    * xxhash64 of the key column — point-lookup skipping for the column
+    * the sort order does NOT cover, where a date-clustered MERGE table
+    * scatters any key across every file's full domain and min/max can't
+    * prune): the may-contain test runs
     * DISTRIBUTED over the manifest (graft_bloom_any — sketch bytes never
     * leave the executors), only surviving file names reach the driver,
     * and the exact IN filter stays so false positives cost I/O, never
@@ -378,19 +365,39 @@ object Sinks {
     pruned.filter(functions.col(keyCol).isin(keys: _*))
   }
 
-  /** Per-file min/max manifest for one staged VERSION dir, written to
-    * `<dir>/_stats` (hidden from readers of the version, retired with
-    * it). One row per data file — the metadata a format's commit log
-    * carries beside the file list. */
-  private def writeVersionStats(spark: SparkSession, dir: String,
-      cols: Seq[String]): Unit = {
-    val aggs = cols.flatMap(c => Seq(
-      functions.min(c).as(s"${c}_min"), functions.max(c).as(s"${c}_max")))
-    spark.read.parquet(dir)
+  /** Build BOTH per-file manifests of a staged version in ONE scan: the
+    * min/max stats and the Bloom sketch ride the same
+    * groupBy(input_file_name) pass over the just-staged columnar files
+    * (column-pruned to statsCols + the bloom key), the per-file rows are
+    * persisted (file-count-sized), and the two manifest tables are
+    * written from that tiny frame. A commit's manifest overhead is one
+    * pass regardless of how many manifest kinds the table carries. */
+  private def writeVersionManifests(spark: SparkSession, dir: String,
+      statsCols: Seq[String], bloomCol: Option[String]): Unit = {
+    if (statsCols.isEmpty && bloomCol.isEmpty) return
+    bloomCol.foreach(_ => graft.functions.BloomExprs.register(spark))
+    val aggs = statsCols.flatMap(c => Seq(
+      functions.min(c).as(s"${c}_min"), functions.max(c).as(s"${c}_max"))) ++
+      bloomCol.map(c => functions.expr(
+        s"graft_bloom_agg(xxhash64(`$c`), 40000L, 400000L)").as("bloom"))
+    val perFile = spark.read.parquet(dir)
       .groupBy(functions.input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_stats")
+      .persist()
+    try {
+      if (statsCols.nonEmpty) {
+        val statCols = functions.col("file") +: statsCols.flatMap(c =>
+          Seq(functions.col(s"${c}_min"), functions.col(s"${c}_max")))
+        perFile.select(statCols: _*)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/_stats")
+      }
+      bloomCol.foreach { c =>
+        perFile.select(functions.col("file"), functions.col("bloom"))
+          .withColumn("key_col", functions.lit(c))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/_bloom")
+      }
+    } finally perFile.unpersist()
   }
 
   /** File-skipping range scan (`col` BETWEEN lo AND hi) of a pointer-
@@ -443,8 +450,7 @@ object Sinks {
         functions.col(deleteCol).cast("boolean"), functions.lit(false)))
     val staged = stageName()
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/$staged")
-    if (statsCols.nonEmpty) writeVersionStats(spark, s"$path/$staged", statsCols)
-    bloomKey.foreach(c => writeVersionBloom(spark, s"$path/$staged", c))
+    writeVersionManifests(spark, s"$path/$staged", statsCols, bloomKey)
     publish(spark, path, staged)
   }
 
@@ -476,8 +482,7 @@ object Sinks {
     // a compacted version keeps its manifest: envelopes are re-measured
     // from the coalesced files (wider than a clustered write's — correct,
     // just less selective until the next clustering commit)
-    if (statsCols.nonEmpty) writeVersionStats(spark, s"$path/$staged", statsCols)
-    bloomKey.foreach(c => writeVersionBloom(spark, s"$path/$staged", c))
+    writeVersionManifests(spark, s"$path/$staged", statsCols, bloomKey)
     publish(spark, path, staged)
   }
 
@@ -511,8 +516,7 @@ object Sinks {
     // manifest gets one on the sort columns — OPTIMIZE is the layout
     // operator, its output should always be skippable
     val cols = if (statsCols.nonEmpty) statsCols else sortCols
-    writeVersionStats(spark, s"$path/$staged", cols)
-    bloomKey.foreach(c => writeVersionBloom(spark, s"$path/$staged", c))
+    writeVersionManifests(spark, s"$path/$staged", cols, bloomKey)
     publish(spark, path, staged)
   }
 
