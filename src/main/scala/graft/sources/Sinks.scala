@@ -359,11 +359,52 @@ object Sinks {
           .filter(graft.functions.BloomExprs.bloomAny(spark,
             functions.col("bloom"), functions.typedLit(hashes)))
           .select("file").collect().map(_.getString(0)).toSeq
-        if (sel.isEmpty) full.limit(0)
-        else spark.read.schema(full.schema).parquet(sel: _*)
+        readSelected(spark, live, full, sel ++
+          manifestUnknownFiles(spark, live, s"$live/_bloom"))
       }
     pruned.filter(functions.col(keyCol).isin(keys: _*))
   }
+
+  /** Data files of the live version the given manifest does NOT cover —
+    * the safety valve that makes manifest pruning sound under mid-version
+    * arrivals: the streaming sink ([[writeBatch]]) lands `batch=N/` dirs
+    * INSIDE the live version after its commit-time manifest was written,
+    * and a skip-scan that trusted the manifest's file list alone would
+    * silently DROP those rows. The contract is therefore "the manifest
+    * prunes only what it covers": unknown files are always read (they are
+    * exactly the post-commit arrivals, bounded by the litter the next
+    * compaction folds in). Listing is recursive (batch dirs nest) with
+    * hidden `_`/`.` entries skipped; one metadata op per scan. */
+  private def manifestUnknownFiles(spark: SparkSession, live: String,
+      manifestDir: String): Seq[String] = {
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val known = spark.read.parquet(manifestDir)
+      .select("file").collect().map(r => norm(r.getString(0))).toSet
+    val root = new org.apache.hadoop.fs.Path(live)
+    val fs = fsOf(spark, root)
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val rel = p.toUri.getPath.stripPrefix(root.toUri.getPath)
+      val hidden = rel.split("/").exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden && p.getName.endsWith(".parquet") && !known(norm(p.toString)))
+        buf += p.toString
+    }
+    buf.toSeq
+  }
+
+  /** Read an explicit file selection of a version dir: `basePath` keeps
+    * hive-style partition values (the streaming sink's `batch=N/`) that a
+    * bare file-list read would drop, and an empty selection short-circuits
+    * to the schema-preserving empty frame. */
+  private def readSelected(spark: SparkSession, live: String,
+      full: DataFrame, sel: Seq[String]): DataFrame =
+    if (sel.isEmpty) full.limit(0)
+    else spark.read.schema(full.schema).option("basePath", live)
+      .parquet(sel: _*)
 
   /** Build BOTH per-file manifests of a staged version in ONE scan: the
     * min/max stats and the Bloom sketch ride the same
@@ -423,8 +464,8 @@ object Sinks {
           .filter(functions.col(s"${col}_max") >= lo &&
             functions.col(s"${col}_min") <= hi)
           .select("file").collect().map(_.getString(0)).toSeq
-        if (sel.isEmpty) full.limit(0)
-        else spark.read.schema(full.schema).parquet(sel: _*)
+        readSelected(spark, live, full, sel ++
+          manifestUnknownFiles(spark, live, s"$live/_stats"))
       }
     pruned.filter(functions.col(col).between(lo, hi))
   }

@@ -827,4 +827,46 @@ class ScaleSpec extends SparkTestBase {
     info(s"post-optimize: $sel of $total files for a 2-month window")
     assert(sel < total, "post-OPTIMIZE manifest prunes nothing")
   }
+
+  test("manifest pruning is sound under post-commit streaming arrivals (writeBatch)") {
+    // The streaming sink lands batch=N/ dirs INSIDE the live version
+    // AFTER its commit-time manifests were written. The skip-scans'
+    // contract is "the manifest prunes only what it covers": files the
+    // manifest doesn't know are ALWAYS read, so a lookup for a row that
+    // exists only in a post-commit micro-batch still finds it — trusting
+    // the manifest's file list alone would silently drop those rows.
+    val spk = spark
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_streamskip").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.01"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"), bloomCol = "key")
+    // a micro-batch arrives after the commit: brand-new keys, in-window
+    // dates — present in NO manifest
+    val batch = spk.range(2).select(
+      (col("id") + 9000000L).as("key"),
+      lit("1996-02-10 00:00:00").cast("timestamp").as("o_orderdate"),
+      lit(42.0).as("o_totalprice"),
+      lit(1L).as("seq"))
+    graft.sources.Sinks.writeBatch(batch, root, 7L)
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-02-29 23:59:59").cast("timestamp")
+    val a = graft.sources.Sinks.readTableSkip(spk, root, "o_orderdate", lo, hi)
+      .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+    val b = spk.read.parquet(live).filter(col("o_orderdate").between(lo, hi))
+      .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+    assert(a === b,
+      s"range skip-scan lost the post-commit micro-batch: $a vs $b")
+    // point lookup for a batch-only key: no sketch covers it, the
+    // unknown-files valve must surface it anyway
+    val hit = graft.sources.Sinks
+      .readTableBloomSkip(spk, root, "key", Seq(9000001L))
+      .select("key", "o_totalprice").collect()
+    assert(hit.map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      Set((9000001L, 42.0)),
+      s"bloom lookup lost the post-commit micro-batch row: ${hit.mkString}")
+  }
 }
