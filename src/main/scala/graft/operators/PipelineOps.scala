@@ -1084,6 +1084,66 @@ object PipelineOps {
     boxLookupAgg(zSkipScan(spark, opt, 32, 95, 64, 127))
   }
 
+  /** Hilbert index on the 256×256 grid — the clustering curve with
+    * strictly better box-query locality than Morton (every consecutive
+    * pair of curve positions is grid-adjacent, so a contiguous curve
+    * range is one connected blob, never Morton's quadrant jumps; see
+    * Hilbert 1891 / the Faloutsos-Roseman locality analyses). Computed
+    * as the classic xy2d bit walk (8 unrolled quadrant-rotation steps,
+    * Wikipedia's rot(n) variant — coordinates stay in [0, 256) at every
+    * step), each step its own projection so the expression tree stays
+    * LINEAR in the bit count. ScaleSpec proves the two curve properties
+    * that matter (bijectivity and unit-step adjacency) over the whole
+    * grid, so this is a real Hilbert curve, not a curve-shaped hash.
+    * Returns `df` with an `hkey` column appended. */
+  private[graft] def withHilbert(df: DataFrame): DataFrame = {
+    var cur = df.withColumn("hx", col("x")).withColumn("hy", col("y"))
+      .withColumn("hkey", lit(0L))
+    for (s <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
+      val quadrant = // (3*rx) XOR ry over rx/ry ∈ {0,1}, spelled as a CASE
+        when(col("rx") === 0 && col("ry") === 0, 0)
+          .when(col("rx") === 0, 1)
+          .when(col("ry") === 1, 2)
+          .otherwise(3)
+      cur = cur
+        .withColumn("rx", when(col("hx").bitwiseAND(lit(s)) > 0, 1).otherwise(0))
+        .withColumn("ry", when(col("hy").bitwiseAND(lit(s)) > 0, 1).otherwise(0))
+        .withColumn("hkey", col("hkey") + lit(s.toLong * s) * quadrant)
+        .withColumn("hx2",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(255) - col("hy")).otherwise(col("hy")))
+            .otherwise(col("hx")))
+        .withColumn("hy2",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(255) - col("hx")).otherwise(col("hx")))
+            .otherwise(col("hy")))
+        .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
+        .drop("hx2", "hy2", "rx", "ry")
+    }
+    cur.drop("hx", "hy")
+  }
+
+  /** Hilbert-clustered write → file-skipping read, graded end-to-end:
+    * the same orders fixture, box predicate, and stats-manifest
+    * machinery as [[qLayoutZorderSkip]], with the Hilbert curve as the
+    * clustering key — the layout a lake picks when box queries dominate
+    * (a contiguous Hilbert range is one connected tile; Morton ranges
+    * jump quadrants, widening per-file envelopes). The oracle aggregates
+    * the source under the same box, so a green hash proves the
+    * Hilbert-pruned read is lossless; ScaleSpec proves the curve is a
+    * real Hilbert (bijective, unit-step) and reports its tile selection
+    * head-to-head against Morton on the identical box. */
+  val qLayoutHilbertSkip = Q(
+    "q_layout_hilbert_skip",
+    boxLookupDuck
+  ) { (spark, dir) =>
+    val table = Scans.rtTable("hskip")
+    graft.sources.Sinks.writeClustered(
+      withHilbert(ordersXY(spark, dir)), 16, Seq("hkey"), table)
+    statsWriteIndex(spark, table, Seq("x", "y"))
+    boxLookupAgg(zSkipScan(spark, table, 32, 95, 64, 127))
+  }
+
   /** The 3-column fixture frame: orders keyed to three 0..255 dims
     * (customer slot, day-of-epoch slot, orderkey slot) + the measure. */
   private def ordersXYZ(spark: SparkSession, dir: String): DataFrame =
@@ -1299,7 +1359,8 @@ object PipelineOps {
   def all: Seq[Q] = Seq(qJoinBloom, qSampleStratified, qTextEntropy,
     qTimeResample, qWinStreaks, qDocPack, qDocChunk, qDocChunkDedup,
     qTextNgramLm, qDocLmFilter, qDocPackContent, qProfileNumeric, qLayoutZorder,
-    qLayoutZorderSkip, qLayoutZorder3Skip, qLayoutBloomSkip, qLayoutSkipCombo,
-    qLayoutSkipAppend, qLayoutOptimize, qLayoutOptimizeInc,
-    qLayoutOptimizePublish, qLayoutMergeSkip, qLayoutMergeBloom, qDocShard)
+    qLayoutZorderSkip, qLayoutZorder3Skip, qLayoutHilbertSkip,
+    qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend, qLayoutOptimize,
+    qLayoutOptimizeInc, qLayoutOptimizePublish, qLayoutMergeSkip,
+    qLayoutMergeBloom, qDocShard)
 }

@@ -828,6 +828,66 @@ class ScaleSpec extends SparkTestBase {
     assert(sel < total, "post-OPTIMIZE manifest prunes nothing")
   }
 
+  test("hilbert key is a true Hilbert curve; its box selection beats-or-ties morton") {
+    // (a) Curve properties over the WHOLE 256x256 grid: bijective onto
+    // [0, 65536) and UNIT-STEP (consecutive curve positions are grid-
+    // adjacent) — the property that makes a contiguous hkey range one
+    // connected tile. A curve-shaped hash would pass neither.
+    val spk = spark
+    import spk.implicits._
+    val grid = spk.range(65536).select(
+      (col("id") / 256).cast("int").as("x"),
+      (col("id") % 256).cast("int").as("y"))
+    val keyed = graft.operators.PipelineOps.withHilbert(grid)
+      .select("hkey", "x", "y").as[(Long, Int, Int)].collect()
+    assert(keyed.map(_._1).distinct.length === 65536,
+      "hkey is not a bijection on the grid")
+    assert(keyed.map(_._1).forall(d => d >= 0 && d < 65536),
+      "hkey out of the curve's range")
+    val byD = keyed.map(t => t._1 -> ((t._2, t._3))).toMap
+    val nonAdjacent = (0L until 65535L).count { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(nonAdjacent === 0,
+      s"$nonAdjacent consecutive curve steps are not grid-adjacent")
+    // (b) locality head-to-head on the graded box: hilbert-clustered
+    // files must prune at least as well as morton-clustered ones (the
+    // locality literature's expectation for box queries), and strictly
+    // fewer than the total either way.
+    val ht = graft.operators.Scans.rtTable("hskip_spec")
+    val zt = graft.operators.Scans.rtTable("hskip_spec_z")
+    try {
+      val xy = graft.sources.Tables.orders(spk, sf("sf0.01"))
+        .select((col("o_custkey") % 256).as("x"),
+          (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256).as("y"),
+          col("o_totalprice"))
+      graft.sources.Sinks.writeClustered(
+        graft.operators.PipelineOps.withHilbert(xy), 16, Seq("hkey"), ht)
+      graft.operators.PipelineOps.statsWriteIndex(spk, ht, Seq("x", "y"))
+      graft.operators.PipelineOps.zWriteWithStats(xy, zt)
+      def selected(t: String): Long = spk.table(s"${t}_stats")
+        .filter(col("x_max") >= 32 && col("x_min") <= 95 &&
+          col("y_max") >= 64 && col("y_min") <= 127)
+        .count()
+      val h = selected(ht)
+      val z = selected(zt)
+      info(s"box (64x64 of 256x256): hilbert selects $h of 16, morton $z of 16")
+      assert(h < 16, "hilbert layout pruned nothing")
+      assert(h <= z,
+        s"hilbert box selection ($h) worse than morton ($z) on the graded box")
+      val a = graft.operators.PipelineOps.zSkipScan(spk, ht, 32, 95, 64, 127)
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      val b = spk.table(ht)
+        .filter(col("x").between(32, 95) && col("y").between(64, 127))
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+      assert(a === b, s"hilbert-pruned scan diverged from full filter: $a vs $b")
+    } finally {
+      Seq(ht, s"${ht}_stats", zt, s"${zt}_stats").foreach(t =>
+        spk.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("manifest pruning is sound under post-commit streaming arrivals (writeBatch)") {
     // The streaming sink lands batch=N/ dirs INSIDE the live version
     // AFTER its commit-time manifests were written. The skip-scans'
