@@ -633,11 +633,9 @@ object PipelineOps {
         col("y_max") >= yLo && col("y_min") <= yHi &&
         col("z_max") >= zLo && col("z_min") <= zHi)
       .select("file").collect().map(_.getString(0)).toSeq
-    val pruned =
-      if (sel.isEmpty) spark.table(table).limit(0)
-      else spark.read.schema(spark.table(table).schema).parquet(sel: _*)
-    pruned.filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi) &&
-      col("z").between(zLo, zHi))
+    readFiles(spark, table, sel)
+      .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi) &&
+        col("z").between(zLo, zHi))
   }
 
   private[graft] def zWriteWithStats3(df: DataFrame, table: String): Unit = {
@@ -741,10 +739,8 @@ object PipelineOps {
       .filter(col("x_max") >= xLo && col("x_min") <= xHi &&
         col("y_max") >= yLo && col("y_min") <= yHi)
       .select("file").collect().map(_.getString(0)).toSeq
-    val pruned =
-      if (sel.isEmpty) spark.table(table).limit(0)
-      else spark.read.schema(spark.table(table).schema).parquet(sel: _*)
-    pruned.filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+    readFiles(spark, table, sel)
+      .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
   }
 
   /** Z-order write → FILE-SKIPPING read, graded end-to-end: write orders
@@ -815,10 +811,25 @@ object PipelineOps {
     bloomSelectFilesDF(spark, table, keys)
       .collect().map(_.getString(0)).toSeq
 
+  /** Read an explicit file selection of a managed table. `basePath` is the
+    * table's catalog location, so hive-style partition values that exist
+    * ONLY in directory names (p=.../part-*.parquet) are recovered — a bare
+    * file-list read of a partitioned table would silently null the
+    * partition column while the full scan keeps it (the declared schema
+    * forces the column to exist either way, so nothing fails loudly).
+    * Every skip-scan's pruned read goes through here. */
   private def readFiles(spark: SparkSession, table: String,
       sel: Seq[String]): DataFrame =
     if (sel.isEmpty) spark.table(table).limit(0)
-    else spark.read.schema(spark.table(table).schema).parquet(sel: _*)
+    else spark.read.schema(spark.table(table).schema)
+      .option("basePath", tableLocation(spark, table))
+      .parquet(sel: _*)
+
+  /** The catalog location of a managed/external table — the basePath every
+    * pruned file-list read must anchor to. */
+  private[graft] def tableLocation(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
 
   private[graft] def bloomSkipScan(spark: SparkSession, table: String,
       keyCol: String, keys: Seq[Long]): DataFrame =
@@ -1095,32 +1106,37 @@ object PipelineOps {
     * LINEAR in the bit count. ScaleSpec proves the two curve properties
     * that matter (bijectivity and unit-step adjacency) over the whole
     * grid, so this is a real Hilbert curve, not a curve-shaped hash.
-    * Returns `df` with an `hkey` column appended. */
+    * Returns `df` with an `hkey` column appended (`hkey` is the DECLARED
+    * output name and overwrites an existing column, plain withColumn
+    * contract). Intermediates use a `__hilbert_` prefix so an input frame
+    * carrying ordinary names like `rx`/`hx` is never clobbered. */
   private[graft] def withHilbert(df: DataFrame): DataFrame = {
-    var cur = df.withColumn("hx", col("x")).withColumn("hy", col("y"))
+    val (hx, hy, rx, ry, hx2, hy2) = ("__hilbert_x", "__hilbert_y",
+      "__hilbert_rx", "__hilbert_ry", "__hilbert_x2", "__hilbert_y2")
+    var cur = df.withColumn(hx, col("x")).withColumn(hy, col("y"))
       .withColumn("hkey", lit(0L))
     for (s <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
       val quadrant = // (3*rx) XOR ry over rx/ry ∈ {0,1}, spelled as a CASE
-        when(col("rx") === 0 && col("ry") === 0, 0)
-          .when(col("rx") === 0, 1)
-          .when(col("ry") === 1, 2)
+        when(col(rx) === 0 && col(ry) === 0, 0)
+          .when(col(rx) === 0, 1)
+          .when(col(ry) === 1, 2)
           .otherwise(3)
       cur = cur
-        .withColumn("rx", when(col("hx").bitwiseAND(lit(s)) > 0, 1).otherwise(0))
-        .withColumn("ry", when(col("hy").bitwiseAND(lit(s)) > 0, 1).otherwise(0))
+        .withColumn(rx, when(col(hx).bitwiseAND(lit(s)) > 0, 1).otherwise(0))
+        .withColumn(ry, when(col(hy).bitwiseAND(lit(s)) > 0, 1).otherwise(0))
         .withColumn("hkey", col("hkey") + lit(s.toLong * s) * quadrant)
-        .withColumn("hx2",
-          when(col("ry") === 0,
-            when(col("rx") === 1, lit(255) - col("hy")).otherwise(col("hy")))
-            .otherwise(col("hx")))
-        .withColumn("hy2",
-          when(col("ry") === 0,
-            when(col("rx") === 1, lit(255) - col("hx")).otherwise(col("hx")))
-            .otherwise(col("hy")))
-        .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
-        .drop("hx2", "hy2", "rx", "ry")
+        .withColumn(hx2,
+          when(col(ry) === 0,
+            when(col(rx) === 1, lit(255) - col(hy)).otherwise(col(hy)))
+            .otherwise(col(hx)))
+        .withColumn(hy2,
+          when(col(ry) === 0,
+            when(col(rx) === 1, lit(255) - col(hx)).otherwise(col(hx)))
+            .otherwise(col(hy)))
+        .withColumn(hx, col(hx2)).withColumn(hy, col(hy2))
+        .drop(hx2, hy2, rx, ry)
     }
-    cur.drop("hx", "hy")
+    cur.drop(hx, hy)
   }
 
   /** Hilbert-clustered write → file-skipping read, graded end-to-end:
@@ -1316,6 +1332,50 @@ object PipelineOps {
       .orderBy("key")
   }
 
+  /** STRING-KEYED clustering rung: z-order over HASHED string keys — the
+    * layout a lake picks when the cluster columns aren't integers (the
+    * usual case: (lang, source) on a document corpus). Each key is
+    * projected to an 8-bit slot by the portable md5 hash both engines
+    * compute identically, the table is clustered on the Morton interleave
+    * of the two slots with per-file min/max envelopes ON THE SLOTS, and a
+    * point lookup (lang='de', source='src7') prunes by the slot envelopes
+    * then keeps the EXACT string equality as the residual — hash
+    * collisions cost I/O, never correctness (the same
+    * prune-superset-then-residual contract as every skip-scan here). The
+    * oracle filters the source by the strings directly, so a green hash
+    * proves the hashed-envelope prune is lossless; ScaleSpec asserts the
+    * strict-subset file selection. This is the proof the curve machinery
+    * is not bound to the integer fixtures. */
+  val qLayoutZorderStr = Q(
+    "q_layout_zorder_str",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      |FROM documents WHERE lang = 'de' AND source = 'src7'""".stripMargin
+  ) { (spark, dir) =>
+    val table = Scans.rtTable("strskip")
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("x",
+        expr(s"${graft.functions.PortableHash.spark("lang")} % 256").cast("int"))
+      .withColumn("y",
+        expr(s"${graft.functions.PortableHash.spark("source")} % 256").cast("int"))
+    zWriteWithStats(keyed, table)
+    // the probe's slot coordinates: 2 one-row lookups — bounded driver
+    // state, the same md5 construction the writer used
+    def slot(lit0: String): Int = spark.sql(
+      s"SELECT CAST(${graft.functions.PortableHash.spark(s"'$lit0'")} % 256 AS INT)")
+      .head().getInt(0)
+    val (hx, hy) = (slot("de"), slot("src7"))
+    zSkipScan(spark, table, hx, hx, hy, hy)
+      .filter(col("lang") === "de" && col("source") === "src7") // exact residual
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_chars").cast("bigint").as("sum_chars"),
+        min("doc_id").cast("bigint").as("min_doc"),
+        max("doc_id").cast("bigint").as("max_doc"))
+  }
+
   /** Training-shard assignment + balance report: every document goes to
     * shard = portable_hash(doc_id) % 8, and the query reports each shard's
     * doc count and exact token total plus its deviation from the ideal
@@ -1362,5 +1422,5 @@ object PipelineOps {
     qLayoutZorderSkip, qLayoutZorder3Skip, qLayoutHilbertSkip,
     qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend, qLayoutOptimize,
     qLayoutOptimizeInc, qLayoutOptimizePublish, qLayoutMergeSkip,
-    qLayoutMergeBloom, qDocShard)
+    qLayoutMergeBloom, qLayoutZorderStr, qDocShard)
 }

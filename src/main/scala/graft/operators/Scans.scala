@@ -211,6 +211,49 @@ object Scans {
       .orderBy("prio")
   }
 
+  /** DYNAMIC PARTITION PRUNING, graded end-to-end: the join-driven prune
+    * that makes a dim-filtered fact⋈dim query cheap on a partitioned
+    * 100 TB fact table. Orders is written partitioned by priority (the
+    * q_sink_roundtrip machinery), the priority DIM carries a derived
+    * attribute (its urgency class) that exists only on the dim side, and
+    * the query filters the DIM — so no static partition filter is
+    * possible on the fact scan. Catalyst plans a
+    * DynamicPruningExpression subquery on the fact's partition column
+    * (reusing the broadcast of the filtered dim), and the scan reads ONLY
+    * the 2 of 5 partitions whose keys survive the dim filter — at 100 TB
+    * the difference between scanning the table and scanning the
+    * predicate's partitions. The oracle restates the join over the
+    * source, so a green hash proves the pruned plan is lossless;
+    * PlanShapeSpec locks the `dynamicpruning` PartitionFilter in the plan
+    * AND the runtime partitions-read metric. */
+  val qJoinDpp = Q(
+    "q_join_dpp",
+    s"""WITH dim AS (
+       |  SELECT DISTINCT o_orderpriority AS prio,
+       |    CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_class
+       |  FROM orders)
+       |SELECT d.prio, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${graft.functions.Det.sqlExactSum("o.o_totalprice", 100)} AS revenue
+       |FROM orders o JOIN dim d ON o.o_orderpriority = d.prio
+       |WHERE d.prio_class <= 2
+       |GROUP BY d.prio ORDER BY d.prio""".stripMargin
+  ) { (spark, dir) =>
+    val out = rtDir("dpp_fact")
+    graft.sources.Sinks.writePartitioned(
+      Tables.orders(spark, dir).select("o_orderpriority", "o_totalprice"),
+      Seq("o_orderpriority"), out)
+    val fact = spark.read.parquet(out)
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio")).distinct()
+      .withColumn("prio_class", substring(col("prio"), 1, 1).cast("int"))
+    fact.join(broadcast(dim.filter(col("prio_class") <= 2)),
+        fact("o_orderpriority") === col("prio"))
+      .groupBy("prio")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        graft.functions.Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .orderBy("prio")
+  }
+
   /** Streaming MERGE sink ROUND-TRIP, graded end-to-end: seed a keyed
     * parquet table from customer (seq 0), then drive THREE micro-batches
     * through [[graft.sources.Sinks.upsertBatch]] — (1) latest order value
@@ -797,7 +840,7 @@ object Scans {
   }
 
   def all: Seq[Q] =
-    Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qMergeStream,
+    Seq(q01, q02, qSchemaEvolve, qSinkRoundtrip, qJoinDpp, qMergeStream,
       qMergeEvolve, qMergeDelete,
       qSinkTimeTravel, qSinkVersionDiff, qSinkHistory,
       qSinkBucketedJoin, qSourceJson, qSourceCsv, qSourceOrc, qSinkCompact)

@@ -751,4 +751,44 @@ class PlanShapeSpec extends SparkTestBase {
       spk.sql(s"DROP TABLE IF EXISTS `${table}_bloom`")
     }
   }
+
+  test("q_join_dpp plans dynamic partition pruning and reads fewer partitions than the table has") {
+    // The join-driven prune that makes a dim-filtered fact join cheap on a
+    // partitioned 100 TB fact: the fact side has NO static filter (the
+    // selective predicate lives on the derived dim attribute), so the only
+    // way the scan avoids reading all 5 priority partitions is a
+    // DynamicPruningExpression subquery on the partition column, reusing
+    // the dim's broadcast. Locked twice: the plan carries the dynamic
+    // filter in the scan's PartitionFilters, AND the runtime metric shows
+    // fewer partitions read than exist (2 of 5 survive prio_class <= 2).
+    val df = queries("q_join_dpp")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.explainString(FormattedMode)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan lost its DynamicPruningExpression partition filter:\n$plan")
+    // flatten through AQE boundaries: QueryStageExec exposes its stage
+    // plan as a field, not a child, so a plain TreeNode.collect stops at
+    // every materialized stage and misses the scans inside
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val scans = flatten(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val partitioned = scans.filter(_.relation.partitionSchema.nonEmpty)
+    assert(partitioned.nonEmpty, "no partitioned fact scan in the plan")
+    val read = partitioned.map(f =>
+      f.metrics.get("numPartitions").map(_.value).getOrElse(-1L)).max
+    assert(read >= 0, "partitioned scan exposes no numPartitions metric")
+    assert(read < 5 && read > 0,
+      s"dynamic pruning read $read partitions; expected 2 of 5")
+  }
 }

@@ -726,10 +726,14 @@ class ScaleSpec extends SparkTestBase {
     val live = graft.sources.Sinks.resolveTable(spk, root)
     assert(spk.read.parquet(live).count() === ord.count(),
       "MERGE changed the keyed row count")
+    // normalized URI-path compare: footer-harvested manifests render files
+    // as the listing does (file:/p) while input_file_name renders file:///p
+    def normP(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
     val liveFiles = spk.read.parquet(live).select(input_file_name())
-      .distinct().collect().map(_.getString(0)).toSet
+      .distinct().collect().map(r => normP(r.getString(0))).toSet
     val manifest = spk.read.parquet(s"$live/_stats")
-    val manifestFiles = manifest.select("file").collect().map(_.getString(0)).toSet
+    val manifestFiles = manifest.select("file").collect()
+      .map(r => normP(r.getString(0))).toSet
     assert(manifestFiles === liveFiles,
       s"manifest does not cover the live version: ${manifestFiles.size} vs ${liveFiles.size}")
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
@@ -767,14 +771,17 @@ class ScaleSpec extends SparkTestBase {
         s"$stage: version lost its _stats manifest")
       assert(new java.io.File(s"$live/_bloom").exists,
         s"$stage: version lost its _bloom manifest")
+      // normalized URI-path compare (footer manifests render file:/p,
+      // input_file_name renders file:///p)
+      def normP(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
       val manifestFiles = spk.read.parquet(sp)
-        .select("file").collect().map(_.getString(0)).toSet
+        .select("file").collect().map(r => normP(r.getString(0))).toSet
       val liveFiles = spk.read.parquet(live).select(input_file_name())
-        .distinct().collect().map(_.getString(0)).toSet
+        .distinct().collect().map(r => normP(r.getString(0))).toSet
       assert(manifestFiles === liveFiles,
         s"$stage: manifest/file drift (${manifestFiles.size} vs ${liveFiles.size})")
       val bloomFiles = spk.read.parquet(s"$live/_bloom")
-        .select("file").collect().map(_.getString(0)).toSet
+        .select("file").collect().map(r => normP(r.getString(0))).toSet
       assert(bloomFiles === liveFiles,
         s"$stage: bloom manifest/file drift (${bloomFiles.size} vs ${liveFiles.size})")
       val lo = lit("1996-01-01 00:00:00").cast("timestamp")
@@ -913,13 +920,24 @@ class ScaleSpec extends SparkTestBase {
       lit(42.0).as("o_totalprice"),
       lit(1L).as("seq"))
     graft.sources.Sinks.writeBatch(batch, root, 7L)
-    val live = graft.sources.Sinks.resolveTable(spk, root)
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
     val hi = lit("1996-02-29 23:59:59").cast("timestamp")
+    // the truth side goes through readTable — the layout-aware read. A
+    // plain spark.read.parquet of this MIXED version (root files + the
+    // batch=7 dir) silently drops the whole merged base via partition
+    // discovery, which made the r17 version of this compare vacuous (both
+    // sides degenerated identically). Lock the absolute counts so neither
+    // side can silently shrink again.
+    val fullTable = graft.sources.Sinks.readTable(spk, root)
+    assert(fullTable.count() === ord.count() + 2,
+      "readTable lost rows on the mixed root-files+batch-dir version")
     val a = graft.sources.Sinks.readTableSkip(spk, root, "o_orderdate", lo, hi)
       .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
-    val b = spk.read.parquet(live).filter(col("o_orderdate").between(lo, hi))
+    val b = fullTable.filter(col("o_orderdate").between(lo, hi))
       .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long"))).head()
+    val baseInWindow = ord.filter(col("o_orderdate").between(lo, hi)).count()
+    assert(b.getLong(0) === baseInWindow + 2,
+      s"full read lost base or batch rows: ${b.getLong(0)} vs $baseInWindow + 2")
     assert(a === b,
       s"range skip-scan lost the post-commit micro-batch: $a vs $b")
     // point lookup for a batch-only key: no sketch covers it, the
@@ -930,5 +948,45 @@ class ScaleSpec extends SparkTestBase {
     assert(hit.map(r => (r.getLong(0), r.getDouble(1))).toSet ===
       Set((9000001L, 42.0)),
       s"bloom lookup lost the post-commit micro-batch row: ${hit.mkString}")
+  }
+
+  test("string-keyed clustering prunes: hashed-slot envelopes select a strict file subset, residual keeps exactness") {
+    // q_layout_zorder_str's layout claim: clustering on the Morton
+    // interleave of md5-slot projections of (lang, source) gives per-file
+    // envelopes that prune a string point-lookup to a strict subset of
+    // files, and the exact string residual keeps hash collisions harmless.
+    val spk = spark
+    val table = graft.operators.Scans.rtTable("strskip_spec")
+    try {
+      val keyed = graft.sources.Tables.documents(spk, sf("sf0.01"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("x",
+          expr(s"${graft.functions.PortableHash.spark("lang")} % 256").cast("int"))
+        .withColumn("y",
+          expr(s"${graft.functions.PortableHash.spark("source")} % 256").cast("int"))
+      graft.operators.PipelineOps.zWriteWithStats(keyed, table)
+      def slot(v: String): Int = spk.sql(
+        s"SELECT CAST(${graft.functions.PortableHash.spark(s"'$v'")} % 256 AS INT)")
+        .head().getInt(0)
+      val (hx, hy) = (slot("de"), slot("src7"))
+      val sel = spk.table(s"${table}_stats")
+        .filter(col("x_max") >= hx && col("x_min") <= hx &&
+          col("y_max") >= hy && col("y_min") <= hy)
+        .count()
+      val total = spk.table(s"${table}_stats").count()
+      info(s"string point-lookup: $sel of $total files")
+      assert(sel < total, "hashed-slot envelopes pruned nothing")
+      val a = graft.operators.PipelineOps.zSkipScan(spk, table, hx, hx, hy, hy)
+        .filter(col("lang") === "de" && col("source") === "src7")
+        .agg(count(lit(1)), sum("n_chars")).head()
+      val b = spk.table(table)
+        .filter(col("lang") === "de" && col("source") === "src7")
+        .agg(count(lit(1)), sum("n_chars")).head()
+      assert(a === b, s"string skip-scan diverged from full filter: $a vs $b")
+      assert(a.getLong(0) > 0, "probe pair missing from the fixture")
+    } finally {
+      Seq(table, s"${table}_stats").foreach(t =>
+        spk.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
   }
 }

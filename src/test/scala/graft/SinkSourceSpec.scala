@@ -765,4 +765,119 @@ class SinkSourceSpec extends SparkTestBase {
       .count(_.getName.startsWith("data-")) === 1,
       "shrinking vacuum left history behind")
   }
+
+  test("skip-readers resolve files from the _files commit log: zero listings, sound under streaming arrivals") {
+    // The r17 scale finding: every readTableSkip/readTableBloomSkip paid a
+    // recursive fs.listFiles over the live version (a full object-store
+    // LIST + O(files) driver loop per read at 100 TB). Now every commit
+    // writes a `_files` manifest (the authoritative file set + schema)
+    // and writeBatch commit-logs its batch DIR into it, so the covered
+    // lifecycle — commit, skip-read, streaming arrival, skip-read again —
+    // must take ZERO legacy-valve listings while staying sound (the
+    // batch-only row is still found). A version stripped of its `_files`
+    // log (a legacy table) must instead fire the valve and stay sound.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_zerolist").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"), bloomCol = "key")
+    val batch = spk.range(2).select(
+      (col("id") + 9000000L).as("key"),
+      lit("1996-02-10 00:00:00").cast("timestamp").as("o_orderdate"),
+      lit(42.0).as("o_totalprice"), lit(1L).as("seq"))
+    graft.sources.Sinks.writeBatch(batch, root, 7L)
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-02-29 23:59:59").cast("timestamp")
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    val baseKey = ord.agg(min("key")).head().getLong(0) // a key sure to exist
+    def readBoth(): (Long, Set[Long]) = {
+      val n = graft.sources.Sinks.readTableSkip(spk, root, "o_orderdate", lo, hi)
+        .count()
+      val ks = graft.sources.Sinks
+        .readTableBloomSkip(spk, root, "key", Seq(baseKey, 9000001L))
+        .select("key").as[Long].collect().toSet
+      (n, ks)
+    }
+    graft.sources.Sinks.valveListings.set(0L)
+    val (n1, k1) = readBoth()
+    assert(graft.sources.Sinks.valveListings.get() === 0L,
+      "skip-read of a _files-carrying version took a recursive listing")
+    assert(k1.contains(9000001L),
+      "commit-logged batch arrival lost by the zero-listing read path")
+    assert(k1.contains(baseKey),
+      "zero-listing bloom lookup lost a BASE-version key (the mixed-layout " +
+        "partition-discovery data-loss edge)")
+    // truth side through readTable — the layout-aware whole-version read.
+    // Lock the mixed-layout semantics explicitly: base rows AND batch rows
+    // both survive (plain spark.read.parquet of a mixed version silently
+    // drops the whole compacted/merged base — found and fixed this round).
+    val fullTable = graft.sources.Sinks.readTable(spk, root)
+    assert(fullTable.count() === ord.count() + 2,
+      "readTable lost rows on a mixed root-files+batch-dirs version")
+    val expected = fullTable
+      .filter(col("o_orderdate").between(lo, hi)).count()
+    val baseInWindow = ord.filter(col("o_orderdate").between(lo, hi)).count()
+    assert(expected === baseInWindow + 2,
+      s"full read lost base or batch rows: $expected vs $baseInWindow + 2")
+    assert(n1 === expected, s"zero-listing skip-scan diverged: $n1 vs $expected")
+    // the skip-read still PRUNES (manifest alive, not read-everything)
+    val prunedFiles = graft.sources.Sinks
+      .readTableSkip(spk, root, "o_orderdate", lo, hi)
+      .select(input_file_name()).distinct().count()
+    val allFiles = fullTable
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles < allFiles,
+      s"commit-log read path stopped pruning ($prunedFiles of $allFiles)")
+    // legacy table (no _files): the soundness valve must fire and still
+    // surface the batch-only row
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spk.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(live, "_files"), true)
+    graft.sources.Sinks.valveListings.set(0L)
+    val (n2, k2) = readBoth()
+    assert(graft.sources.Sinks.valveListings.get() > 0L,
+      "legacy version without _files must take the listing valve")
+    assert(n2 === expected && k2 === Set(baseKey, 9000001L),
+      "legacy valve path lost rows")
+  }
+
+  test("conflict retry: two interleaved writers both land (bounded OCC retry)") {
+    // withWriterRetry semantics: a mutator that loses the lease race
+    // re-runs its whole stage+publish cycle against the NEW current
+    // version — so with retry enabled, two concurrent upserts of
+    // DISJOINT keys must BOTH commit (the r17 fail-fast behavior made
+    // the second abort to its caller). Also re-run under a third
+    // concurrent optimize-with-retry to cover the mutator mix.
+    val spk = spark
+    import spk.implicits._
+    (1 to 3).foreach { round =>
+      val table = Files.createTempDirectory(s"graft_occ$round").toString + "/t"
+      graft.sources.Sinks.upsertBatch(
+        Seq((0L, "base", 1L)).toDF("key", "v", "seq"), table, "key", "seq",
+        statsCols = Seq("key"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1L to 2L).map { k =>
+        new Thread(() =>
+          try graft.sources.Sinks.upsertBatchRetry(
+            Seq((k, s"w$k", 2L)).toDF("key", "v", "seq"), table, "key", "seq",
+            attempts = 20)
+          catch { case t: Throwable => errs.add(t) })
+      } :+ new Thread(() =>
+        try graft.sources.Sinks.optimizeClusteredRetry(spk, table, 2,
+          Seq("key"), attempts = 20)
+        catch { case t: Throwable => errs.add(t) })
+      threads.foreach(_.start())
+      threads.foreach(_.join(180000))
+      import scala.jdk.CollectionConverters._
+      assert(errs.isEmpty,
+        s"round $round: a retrying writer still failed: ${errs.asScala.map(_.getMessage)}")
+      val rows = graft.sources.Sinks.readTable(spk, table)
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows === Set((0L, "base", 1L), (1L, "w1", 2L), (2L, "w2", 2L)),
+        s"round $round: conflict retry lost a committed write: $rows")
+    }
+  }
 }
