@@ -171,10 +171,17 @@ object Bench {
       }
     CacheWarnCapture.install()
     CacheWarnCapture.drain() // warm-up/warmCache noise is not a query's fault
-    // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
+    // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries;
+    // SPARK_GRAFT_MODULES=sketchdedup,vectorops times whole module groups
+    // (the constrained-heap gate runs the dedup+vec modules at -Xmx8g).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val modOnly = sys.env.get("SPARK_GRAFT_MODULES").map(_.split(",").toSet)
+    val moduleNames: Set[String] = modOnly.map(ms =>
+      SparkEntry.moduleGroups.filter(g => ms.contains(g._1))
+        .flatMap(_._2.map(_.name)).toSet).getOrElse(Set.empty)
     val names = SparkEntry.allQ.map(_.name)
       .filter(n => only.forall(_.contains(n)))
+      .filter(n => modOnly.isEmpty || moduleNames.contains(n))
     val queries = SparkEntry.queries
     // Scratch release granularity: by default the bench releases at MODULE
     // boundaries (SparkEntry.moduleGroups) instead of per query. Queries

@@ -989,4 +989,42 @@ class ScaleSpec extends SparkTestBase {
         spk.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
+
+  test("pruned skip-scan of a hive-partitioned table keeps partition values that live only in dir names") {
+    // The r17 ADVICE finding: zSkipScan read its pruned file list without
+    // a basePath, so a table whose partition values exist ONLY in
+    // directory names (p=.../part-*.parquet) silently read the partition
+    // column as NULL on the pruned path while the full scan kept it —
+    // wrong data exactly when pruning worked. readFiles now anchors every
+    // pruned read to the table's catalog location as basePath.
+    val spk = spark
+    val table = graft.operators.Scans.rtTable("partskip_spec")
+    try {
+      val xy = graft.sources.Tables.orders(spk, sf("sf0.001"))
+        .select((col("o_custkey") % 256).cast("int").as("x"),
+          (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256)
+            .cast("int").as("y"),
+          (col("o_orderkey") % 4).cast("int").as("p"),
+          col("o_totalprice"))
+      spk.sql(s"DROP TABLE IF EXISTS `$table`")
+      xy.write.format("parquet").partitionBy("p").saveAsTable(table)
+      graft.operators.PipelineOps.statsWriteIndex(spk, table, Seq("x", "y"))
+      val pruned = graft.operators.PipelineOps
+        .zSkipScan(spk, table, 32, 95, 64, 127)
+      assert(pruned.filter(col("p").isNull).count() === 0,
+        "pruned read nulled the dir-only partition column")
+      val a = pruned.groupBy("p")
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long")))
+        .collect().map(_.toString).sorted.toSeq
+      val b = spk.table(table)
+        .filter(col("x").between(32, 95) && col("y").between(64, 127))
+        .groupBy("p")
+        .agg(count(lit(1)), sum((col("o_totalprice") * 100).cast("long")))
+        .collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"partitioned skip-scan diverged from full filter: $a vs $b")
+    } finally {
+      Seq(table, s"${table}_stats").foreach(t =>
+        spk.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }
