@@ -102,7 +102,33 @@ object Bench {
     val gcs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => jstr(b.getName))
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    s"""{"max_heap_mb":$heapMb,"gc":${gcs.mkString("[", ",", "]")}}"""
+    val (sm, sd) = SpillMeter.snapshot()
+    s"""{"max_heap_mb":$heapMb,"gc":${gcs.mkString("[", ",", "]")},""" +
+      s""""spill_memory_mb":${sm / (1024 * 1024)},""" +
+      s""""spill_disk_mb":${sd / (1024 * 1024)}}"""
+  }
+
+  /** Run-level spill accounting: sums every task's memory/disk spill so a
+    * constrained-heap reading is QUANTITATIVE ("272 queries, 0 errors,
+    * N MB spilled at -Xmx8g"), not just green. Run-level, not per-query —
+    * listener-bus delivery is asynchronous, so attributing task metrics
+    * to the query that was timing when they arrived would be racy; the
+    * total is exact once the run's jobs have finished. */
+  private object SpillMeter extends org.apache.spark.scheduler.SparkListener {
+    private val mem = new java.util.concurrent.atomic.AtomicLong(0)
+    private val disk = new java.util.concurrent.atomic.AtomicLong(0)
+    def install(spark: SparkSession): Unit =
+      spark.sparkContext.addSparkListener(this)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        mem.addAndGet(m.memoryBytesSpilled)
+        disk.addAndGet(m.diskBytesSpilled)
+        ()
+      }
+    }
+    def snapshot(): (Long, Long) = (mem.get(), disk.get())
   }
 
   def main(args: Array[String]): Unit = {
@@ -119,6 +145,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SpillMeter.install(spark)
     // ALL setup below is fault-isolated: round 10's bench died rc=1 before
     // timing a single query because warmCache hit one broken table (the
     // regenerated events fixture). A setup failure now degrades — cold
