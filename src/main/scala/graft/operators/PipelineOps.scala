@@ -584,17 +584,64 @@ object PipelineOps {
     * dimensions' envelopes. The manifest costs one scan of the
     * just-written data (what a format's writer accumulates for free) and
     * is file-count-sized — metadata, never corpus-sized. */
+  /** Recursive data-file listing of a catalog table's location (hidden
+    * entries skipped) — the metadata read the manifest builders share. */
+  private def listTableFiles(spark: SparkSession, table: String): Seq[String] = {
+    val loc = new org.apache.hadoop.fs.Path(tableLocation(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) return Nil
+    val it = fs.listFiles(loc, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val rel = p.toUri.getPath.stripPrefix(loc.toUri.getPath)
+      val hidden = rel.split("/").exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden && p.getName.endsWith(".parquet")) buf += p.toString
+    }
+    buf.toSeq
+  }
+
+  /** Per-file min/max envelopes over `cols` for an explicit file list,
+    * harvested from parquet FOOTER metadata (no data pages — the same
+    * O(files) builder the lake-protocol commits use, reused here for the
+    * managed-table layout family). None when any footer is unusable
+    * (exotic type, omitted stats) — callers fall back to the data-scan
+    * pass, an optimization valve, never a correctness dependency. */
+  private def footerManifestDF(spark: SparkSession, files: Seq[String],
+      cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    if (files.isEmpty) return None
+    val typed = cols.map(c => (c, schema(c).dataType))
+    val infos = graft.sources.Sinks.readFooters(spark, files, typed)
+    graft.sources.Sinks.footerStatsRows(infos, typed.map(_._2)).map { rs =>
+      val ms = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType) +: cols.flatMap(c => Seq(
+          org.apache.spark.sql.types.StructField(s"${c}_min", schema(c).dataType),
+          org.apache.spark.sql.types.StructField(s"${c}_max", schema(c).dataType))))
+      spark.createDataFrame(rs.asJava, ms)
+    }
+  }
+
   /** Per-file min/max STATS manifest over `cols` for an already-written
     * table — the generic half of the data-skipping contract (what a
-    * format's writer accumulates per file). One scan of the new data;
-    * the manifest is file-count-sized metadata. */
+    * format's writer accumulates per file). Envelopes come from footer
+    * metadata (O(files), no data pages); the column-pruned scan survives
+    * only as the fallback for footer-unusable types. The manifest is
+    * file-count-sized metadata. */
   private[graft] def statsWriteIndex(spark: SparkSession, table: String,
       cols: Seq[String]): Unit = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
-    val stats = spark.table(table)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    val stats = footerManifestDF(spark, listTableFiles(spark, table),
+        cols, spark.table(table).schema)
+      .getOrElse {
+        val aggs = cols.flatMap(c =>
+          Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
+        spark.table(table)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+      }
       // provenance flag: rows written by a clustered write are sorted on
       // the layout key; append-refresh rows are not. OPTIMIZE rewrites
       // exactly the unclustered files — the same bookkeeping a table
@@ -661,13 +708,9 @@ object PipelineOps {
     * recluster tightens them; the sorted base keeps its tight stats. */
   private[graft] def statsAppendIndex(spark: SparkSession, table: String,
       cols: Seq[String]): Unit = {
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // normalize to bare URI paths: input_file_name() renders file:///p,
     // FileStatus renders file:/p — comparing raw strings would re-index
-    // (and then double-read) every base file
+    // (and then double-read) every base file.
     def norm(s: String): String =
       new org.apache.hadoop.fs.Path(s).toUri.getPath
     // RECURSIVE listing (metadata op: one row per file): a PARTITIONED
@@ -675,27 +718,19 @@ object PipelineOps {
     // would silently never index them and the skip-scan would prune
     // forever against a stale manifest. Hidden dirs (_spark_metadata,
     // .staging) are skipped the way Spark's own FileIndex does.
-    val listed = {
-      val it = fs.listFiles(loc, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val p = it.next().getPath
-        val rel = p.toUri.getPath.stripPrefix(loc.toUri.getPath)
-        val hidden = rel.split("/").exists(seg =>
-          seg.startsWith("_") || seg.startsWith("."))
-        if (!hidden && p.getName.endsWith(".parquet")) buf += p.toString
-      }
-      buf.toSeq
-    }
+    val listed = listTableFiles(spark, table)
     val known = spark.table(s"${table}_stats")
       .select("file").collect().map(r => norm(r.getString(0))).toSet
     val fresh = listed.filterNot(p => known(norm(p)))
     if (fresh.nonEmpty) {
-      val aggs = cols.flatMap(c =>
-        Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
-      spark.read.schema(spark.table(table).schema).parquet(fresh: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(aggs.head, aggs.tail: _*)
+      footerManifestDF(spark, fresh, cols, spark.table(table).schema)
+        .getOrElse {
+          val aggs = cols.flatMap(c =>
+            Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
+          spark.read.schema(spark.table(table).schema).parquet(fresh: _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+        }
         .withColumn("clustered", lit(false)) // appended as-arrived, unsorted
         .coalesce(1)
         .write.format("parquet").mode("append")
@@ -843,18 +878,29 @@ object PipelineOps {
     * residual filters kept. Each manifest alone over-selects (a date
     * window keeps whole stripes; a key set keeps scattered files); the
     * intersection is what makes multi-predicate lookups cheap at 100 TB. */
+  /** Path-rendering-proof file key: the stats manifest renders files as
+    * the filesystem listing does (file:/p, the footer-harvest source)
+    * while the Bloom manifest's come from input_file_name (file:///p) —
+    * a raw string equi-join of the two silently intersects to EMPTY
+    * (caught by ScaleSpec when the footer harvest landed). Collapse the
+    * scheme-slash multiplicity before joining. */
+  private def normFileKey(c: Column): Column =
+    regexp_replace(c, "^file:/+", "/")
+
   private[graft] def comboSkipScan(spark: SparkSession, table: String,
       keyCol: String, keys: Seq[Long], rangeCol: String,
       lo: Column, hi: Column): DataFrame = {
     // both manifest prunes evaluate on executors (the Bloom side via the
     // distributed graft_bloom_any filter); the intersection is a manifest
-    // ∩ manifest equi-join on file name, and only the surviving NAMES
-    // reach the driver
+    // ∩ manifest equi-join on the NORMALIZED file key, and only the
+    // surviving names reach the driver
     val statFiles = spark.table(s"${table}_stats")
       .filter(col(s"${rangeCol}_max") >= lo && col(s"${rangeCol}_min") <= hi)
-      .select("file")
+      .select(normFileKey(col("file")).as("fkey"))
     val sel = bloomSelectFilesDF(spark, table, keys)
-      .join(statFiles, "file")
+      .withColumn("fkey", normFileKey(col("file")))
+      .join(statFiles, "fkey")
+      .select("file")
       .collect().map(_.getString(0)).toSeq
     readFiles(spark, table, sel)
       .filter(col(keyCol).isin(keys: _*) && col(rangeCol).between(lo, hi))
@@ -1051,20 +1097,23 @@ object PipelineOps {
     // output: the manifest is then exactly the adopted rows
     val manifest =
       if (newFiles.isEmpty) adoptedStats
-      else {
-        val aggs = Seq("x", "y").flatMap(c =>
-          Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
-        spark.read.schema(spark.table(src).schema)
-          .parquet(newFiles: _*)
-          .groupBy(input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*)
+      else
+        footerManifestDF(spark, newFiles, Seq("x", "y"),
+            spark.table(src).schema)
+          .getOrElse {
+            val aggs = Seq("x", "y").flatMap(c =>
+              Seq(min(c).as(s"${c}_min"), max(c).as(s"${c}_max")))
+            spark.read.schema(spark.table(src).schema)
+              .parquet(newFiles: _*)
+              .groupBy(input_file_name().as("file"))
+              .agg(aggs.head, aggs.tail: _*)
+          }
           .select(col("file"), col("x_min").cast("int"),
             col("x_max").cast("int"), col("y_min").cast("int"),
             col("y_max").cast("int"))
           .toDF("file", "x_min", "x_max", "y_min", "y_max")
           .withColumn("clustered", lit(true)) // the rewrite sorted them
           .unionByName(adoptedStats)
-      }
     graft.sources.Sinks.writeClustered(manifest.coalesce(1),
       1, Seq("file"), s"${dst}_stats")
     (adopted.length, wideFiles.length)

@@ -391,11 +391,16 @@ class ScaleSpec extends SparkTestBase {
       // the post-residual touched-file count (which is a subset of any
       // selection by construction and can't catch a manifest being
       // ignored)
+      // normalized compare: the stats manifest is listing-rendered
+      // (file:/p, footer harvest) while bloom files are input_file_name-
+      // rendered (file:///p)
+      def normF(s: String): String =
+        new org.apache.hadoop.fs.Path(s).toUri.getPath
       val statFileSet = spk.table(s"${table}_stats")
         .filter(col("l_shipdate_max") >= lo && col("l_shipdate_min") <= hi)
-        .select("file").collect().map(_.getString(0)).toSet
+        .select("file").collect().map(r => normF(r.getString(0))).toSet
       val comboSel = graft.operators.PipelineOps
-        .bloomSelectFiles(spk, table, keys).count(statFileSet)
+        .bloomSelectFiles(spk, table, keys).map(normF).count(statFileSet)
       info(s"files: total=$total stats=$statsSel bloom=$bloomSel intersection=$comboSel")
       assert(statsSel < total && bloomSel < total,
         s"one manifest pruned nothing: stats=$statsSel bloom=$bloomSel of $total")
