@@ -1209,6 +1209,106 @@ object PipelineOps {
     boxLookupAgg(zSkipScan(spark, table, 32, 95, 64, 127))
   }
 
+  /** 3-D Hilbert index via Skilling's transpose algorithm (Skilling 2004,
+    * "Programming the Hilbert curve" — the standard n-dimensional
+    * formulation): AxesToTranspose rotates the coordinate frame one bit
+    * level at a time (the same quadrant-rotation idea as the 2-D xy2d
+    * walk, generalized to n axes with XOR swaps), then a Gray decode and
+    * the per-level reflection accumulator, and finally the transpose bits
+    * interleave into the key exactly like [[morton3]] (X(0) carries each
+    * level's most significant bit). Everything is bitwiseAND/XOR +
+    * when/otherwise — exact integer arithmetic, codegen-friendly, each
+    * step its own projection so the expression tree stays LINEAR in the
+    * bit count. `bits` parameterizes the grid (8 for the 256³ fixture;
+    * the curve-property spec proves bijectivity + unit-step EXHAUSTIVELY
+    * at a smaller `bits` over the identical code path). Expects x, y, z
+    * columns; appends `hkey3`. Intermediates use a `__h3_` prefix
+    * (collision-free, like [[withHilbert]]). */
+  private[graft] def withHilbert3(df: DataFrame, bits: Int = 8): DataFrame = {
+    val n = 3
+    def c(i: Int) = col(s"__h3_$i")
+    var cur = df
+      .withColumn("__h3_0", col("x").cast("long"))
+      .withColumn("__h3_1", col("y").cast("long"))
+      .withColumn("__h3_2", col("z").cast("long"))
+    // AxesToTranspose: per bit level (high to low), per axis
+    for (qbit <- (bits - 1) to 1 by -1) {
+      val q = 1L << qbit
+      val p = q - 1
+      for (i <- 0 until n) {
+        val cond = c(i).bitwiseAND(lit(q)) =!= 0
+        if (i == 0) {
+          // X(0)^X(0) is 0, so the else-branch is a no-op on axis 0
+          cur = cur.withColumn("__h3_0",
+            when(cond, c(0).bitwiseXOR(lit(p))).otherwise(c(0)))
+        } else {
+          // t from the CURRENT values, then both axes updated from it
+          cur = cur
+            .withColumn("__h3_t",
+              when(cond, lit(0L))
+                .otherwise(c(0).bitwiseXOR(c(i)).bitwiseAND(lit(p))))
+            .withColumn("__h3_0",
+              when(cond, c(0).bitwiseXOR(lit(p)))
+                .otherwise(c(0).bitwiseXOR(col("__h3_t"))))
+            .withColumn(s"__h3_$i", c(i).bitwiseXOR(col("__h3_t")))
+            .drop("__h3_t")
+        }
+      }
+    }
+    // Gray decode across axes
+    for (i <- 1 until n)
+      cur = cur.withColumn(s"__h3_$i", c(i).bitwiseXOR(c(i - 1)))
+    // per-level reflection accumulator from the last axis's bits
+    var t: Column = lit(0L)
+    for (qbit <- (bits - 1) to 1 by -1) {
+      val q = 1L << qbit
+      t = when(c(n - 1).bitwiseAND(lit(q)) =!= 0,
+        t.bitwiseXOR(lit(q - 1))).otherwise(t)
+    }
+    cur = cur.withColumn("__h3_t", t)
+    for (i <- 0 until n)
+      cur = cur.withColumn(s"__h3_$i", c(i).bitwiseXOR(col("__h3_t")))
+    // interleave the transpose: key bit (j*n + n-1-i) = bit j of X(i)
+    val key = (0 until bits).flatMap { j =>
+      (0 until n).map { i =>
+        shiftleft(shiftright(c(i), j).bitwiseAND(1), j * n + (n - 1 - i))
+      }
+    }.reduce(_ + _)
+    cur.withColumn("hkey3", key).drop((0 until n).map(i => s"__h3_$i") :+ "__h3_t": _*)
+  }
+
+  /** 3-D Hilbert write → file-skipping read, graded end-to-end: the
+    * [[qLayoutZorder3Skip]] fixture and 3-D box answered through a table
+    * clustered on the 3-D HILBERT key — the curve ladder's last rung
+    * (2-D Morton, 3-D Morton, 2-D Hilbert, hashed-string Morton, and now
+    * 3-D Hilbert), closing the "Hilbert is 2-D-only" asymmetry. The
+    * oracle aggregates the source under the same box, so a green hash
+    * proves the 3-D Hilbert layout loses nothing; ScaleSpec proves the
+    * curve itself (bijective + unit-step, exhaustively at bits=5 over
+    * the same parameterized code path) and reports the box selection
+    * head-to-head against 3-D Morton. */
+  val qLayoutHilbert3Skip = Q(
+    "q_layout_hilbert3_skip",
+    s"""WITH k AS (
+       |  SELECT o_custkey % 256 AS x,
+       |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
+       |    o_orderkey % 256 AS z,
+       |    o_totalprice
+       |  FROM orders)
+       |SELECT CAST(x AS INT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS sum_price
+       |FROM k
+       |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
+       |  AND z BETWEEN 0 AND 127
+       |GROUP BY 1 ORDER BY x""".stripMargin
+  ) { (spark, dir) =>
+    val table = Scans.rtTable("h3skip")
+    graft.sources.Sinks.writeClustered(
+      withHilbert3(ordersXYZ(spark, dir)), 16, Seq("hkey3"), table)
+    statsWriteIndex(spark, table, Seq("x", "y", "z"))
+    boxLookupAgg(zSkipScan3(spark, table, 32, 95, 64, 127, 0, 127))
+  }
+
   /** The 3-column fixture frame: orders keyed to three 0..255 dims
     * (customer slot, day-of-epoch slot, orderkey slot) + the measure. */
   private def ordersXYZ(spark: SparkSession, dir: String): DataFrame =
@@ -1471,5 +1571,5 @@ object PipelineOps {
     qLayoutZorderSkip, qLayoutZorder3Skip, qLayoutHilbertSkip,
     qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend, qLayoutOptimize,
     qLayoutOptimizeInc, qLayoutOptimizePublish, qLayoutMergeSkip,
-    qLayoutMergeBloom, qLayoutZorderStr, qDocShard)
+    qLayoutMergeBloom, qLayoutZorderStr, qLayoutHilbert3Skip, qDocShard)
 }
