@@ -880,4 +880,45 @@ class SinkSourceSpec extends SparkTestBase {
         s"round $round: conflict retry lost a committed write: $rows")
     }
   }
+
+  test("footer-harvested stats handle all-null and skewed-null stats columns") {
+    // The footer path's null-envelope semantics must match what the old
+    // min()/max() scan produced: a file whose stats column is entirely
+    // NULL gets a (null, null) envelope — which every BETWEEN skip
+    // predicate correctly never selects — while rows with values keep
+    // exact envelopes, and the skip-read must still return every
+    // surviving row (null-keyed rows are invisible to a range predicate
+    // on either engine).
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_nullstats").toString + "/t"
+    // keys 0..99; ts null for a whole key stripe (clustered writes put
+    // the nulls together -> at least one all-null file)
+    val rows = spk.range(100).select(
+      col("id").as("key"),
+      when(col("id") < 30, lit(null).cast("timestamp"))
+        .otherwise(to_timestamp(
+          concat(lit("1996-01-"),
+            lpad((col("id") % 28 + 1).cast("string"), 2, "0"))))
+        .as("ts"),
+      lit(1.0).as("v"))
+    graft.sources.Sinks.upsertBatch(rows.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("ts"))
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    val stats = spk.read.parquet(s"$live/_stats")
+    // the manifest rendering proves the footer path ran (listing file:/,
+    // not input_file_name file:///) — this spec must test the new path
+    assert(stats.select("file").collect()
+      .forall(!_.getString(0).startsWith("file:///")),
+      "stats manifest came from the scan fallback, not the footer harvest")
+    assert(stats.filter(col("ts_min").isNull && col("ts_max").isNull).count() > 0,
+      "no all-null envelope produced — fixture did not isolate a null file")
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-01-31 23:59:59").cast("timestamp")
+    val n = graft.sources.Sinks.readTableSkip(spk, root, "ts", lo, hi).count()
+    val expected = graft.sources.Sinks.readTable(spk, root)
+      .filter(col("ts").between(lo, hi)).count()
+    assert(n === expected && n === 70L,
+      s"skip-read over null-enveloped files diverged: $n vs $expected (want 70)")
+  }
 }
