@@ -1481,6 +1481,48 @@ object PipelineOps {
       .orderBy("key")
   }
 
+  /** MERGE-ON-READ DELETE, graded end-to-end: the upsert seeds a
+    * clustered+manifested table, [[graft.sources.Sinks.deleteWhere]]
+    * records every 7th key as a POSITIONAL DELETION VECTOR (zero data
+    * files rewritten — the Delta-DV/Iceberg-positional-delete shape,
+    * the metadata-write answer to rewrite amplification), and the query
+    * is the date-window rollup read through the SKIP-SCAN — so the row
+    * proves the vectors compose with manifest pruning, not just with
+    * whole-table reads. The oracle computes the source minus the deleted
+    * keys, so a green hash proves record + anti-join + pruning are
+    * lossless; SinkSourceSpec locks the zero-rewrite property (the
+    * version's file set is byte-identical before and after the delete)
+    * and that the next rewriting commit FOLDS the vectors in. */
+  val qLayoutDeleteVector = Q(
+    "q_layout_delete_vector",
+    s"""WITH m AS (
+       |  SELECT o_orderkey AS key, o_orderdate, o_totalprice
+       |  FROM orders WHERE o_orderkey % 7 <> 0)
+       |SELECT CAST(month(o_orderdate) AS INT) AS mo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS revenue
+       |FROM m
+       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                      AND TIMESTAMP '1996-06-30 23:59:59'
+       |GROUP BY 1 ORDER BY mo""".stripMargin
+  ) { (spark, dir) =>
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-06-30 23:59:59").cast("timestamp")
+    val root = Scans.rtDir("dvskip")
+    graft.sources.Sinks.upsertBatch(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("key"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    graft.sources.Sinks.deleteWhere(spark, root, col("key") % 7 === 0)
+    graft.sources.Sinks.readTableSkip(spark, root, "o_orderdate", lo, hi)
+      .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .orderBy("mo")
+  }
+
   /** STRING-KEYED clustering rung: z-order over HASHED string keys — the
     * layout a lake picks when the cluster columns aren't integers (the
     * usual case: (lang, source) on a document corpus). Each key is
@@ -1571,5 +1613,6 @@ object PipelineOps {
     qLayoutZorderSkip, qLayoutZorder3Skip, qLayoutHilbertSkip,
     qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend, qLayoutOptimize,
     qLayoutOptimizeInc, qLayoutOptimizePublish, qLayoutMergeSkip,
-    qLayoutMergeBloom, qLayoutZorderStr, qLayoutHilbert3Skip, qDocShard)
+    qLayoutMergeBloom, qLayoutZorderStr, qLayoutHilbert3Skip,
+    qLayoutDeleteVector, qDocShard)
 }

@@ -484,8 +484,12 @@ object Sinks {
     // column from the dir entries and silently DROP the root-level file
     // entries (the readVersionDir data-loss edge, reproduced on explicit
     // file lists too). Each entry read standalone keeps every row; the
-    // batch lineage column is not surfaced by pruned reads.
-    else spark.read.schema(schema).parquet(all: _*)
+    // batch lineage column is not surfaced by pruned reads. Deletion
+    // vectors apply here too — a skip-read must never return a row the
+    // whole-version read hides (only on the file-source branch: the
+    // empty frame has no _metadata to resolve, and nothing to delete).
+    else applyDeletes(spark, live,
+      spark.read.schema(schema).parquet(all: _*))
   }
 
   // ---- Commit-time manifest construction ----------------------------------
@@ -1292,6 +1296,69 @@ object Sinks {
       .map(name => s"$path/$name").getOrElse(path)
   }
 
+  /** The version's positional DELETION VECTORS: `_deletes` holds
+    * (file, pos) rows naming deleted positions in the version's own data
+    * files — the merge-on-read half of a table format's delete support
+    * (Delta deletion vectors / Iceberg positional deletes). Lives INSIDE
+    * the version dir, so it is valid exactly for the files it names and
+    * retires with them; every rewriting mutator reads through
+    * [[readVersionDir]], so a rewrite FOLDS the deletes into the new
+    * version (which starts with no `_deletes`) instead of resurrecting
+    * the rows. */
+  private val DeletesManifest = "_deletes"
+
+  /** Apply a version dir's deletion vectors to a frame read FROM ITS
+    * FILES: anti-join on (_metadata.file_path, _metadata.row_index) —
+    * both sides render identically because [[deleteWhere]] records the
+    * positions from the same metadata columns. Only valid on
+    * file-source frames over `dir`'s files (the hidden _metadata struct
+    * must resolve). No broadcast hint: DV volume is bounded by deleted
+    * rows, and AQE's size-gated broadcast decides; at pathological
+    * delete volumes the planner falls back to a shuffle join instead of
+    * OOMing the driver. */
+  private def applyDeletes(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val dp = new org.apache.hadoop.fs.Path(dir, DeletesManifest)
+    if (!fsOf(spark, dp).exists(dp)) df
+    else {
+      val dels = spark.read.parquet(dp.toString)
+        .select(functions.col("file").as("__dv_file"),
+          functions.col("pos").as("__dv_pos"))
+        .distinct() // idempotent under replayed/duplicate delete appends
+      df.withColumn("__dv_file", functions.col("_metadata.file_path"))
+        .withColumn("__dv_pos", functions.col("_metadata.row_index"))
+        .join(dels, Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
+  }
+
+  /** Merge-on-read DELETE: record every live row matching `predicate` as
+    * a (file, position) deletion vector in the live version's `_deletes`
+    * manifest — ZERO data files rewritten, the O(matched rows) metadata
+    * write a production lake uses when rewrite amplification is the
+    * bottleneck (a 1-row delete in a 1 GB file costs a few bytes, not a
+    * 1 GB rewrite). Readers ([[readTable]], the skip-readers, every
+    * mutator's base read) apply the vectors via anti-join; the NEXT
+    * rewriting commit folds them into its new version. Contrast with
+    * [[purgeTombstones]], the copy-on-write path (full filter-rewrite
+    * cycle) — the classic MOR/COW trade, both now available. Runs under
+    * the writer lease. Appends accumulate; duplicate positions dedup at
+    * read. */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Unit =
+    withTableLock(spark, path) {
+      val live = resolveTable(spark, path)
+      // RAW read (no DV application): the hidden _metadata struct only
+      // resolves directly on the file-source relation — the DV anti-join
+      // projects it away. Re-recording an already-deleted position that
+      // still matches is harmless: readers dedup (file, pos).
+      readVersionDirRaw(spark, live)
+        .filter(predicate)
+        .select(functions.col("_metadata.file_path").as("file"),
+          functions.col("_metadata.row_index").as("pos"))
+        .write.mode(SaveMode.Append).parquet(s"$live/$DeletesManifest")
+    }
+
   /** Read one VERSION DIRECTORY with layout-aware semantics — the single
     * whole-version read every reader and mutator goes through. Spark's
     * partition discovery has a silent data-loss edge this guards: a dir
@@ -1306,7 +1373,7 @@ object Sinks {
     * no partition inference; the batch lineage column is the documented
     * cost), pure layouts (flat, hive-partitioned, batch-only) keep the
     * plain read and their partition-column semantics. */
-  private[graft] def readVersionDir(spark: SparkSession, dir: String): DataFrame = {
+  private def readVersionDirRaw(spark: SparkSession, dir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, root)
     val top = if (fs.exists(root)) fs.listStatus(root) else Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -1317,6 +1384,11 @@ object Sinks {
       spark.read.option("recursiveFileLookup", "true").parquet(dir)
     else spark.read.parquet(dir)
   }
+
+  /** [[readVersionDirRaw]] with the version's deletion vectors applied —
+    * what every consumer outside [[deleteWhere]] itself uses. */
+  private[graft] def readVersionDir(spark: SparkSession, dir: String): DataFrame =
+    applyDeletes(spark, dir, readVersionDirRaw(spark, dir))
 
   /** Read a (possibly pointer-published) table — the reader half of the
     * publish protocol. */

@@ -921,4 +921,70 @@ class SinkSourceSpec extends SparkTestBase {
     assert(n === expected && n === 70L,
       s"skip-read over null-enveloped files diverged: $n vs $expected (want 70)")
   }
+
+  test("deletion vectors: zero file rewrites, all readers agree, the next commit folds them in") {
+    // q_layout_delete_vector's protocol claims: (a) deleteWhere touches
+    // NO data file (byte-identical file set — the whole point vs the
+    // copy-on-write purge), (b) readTable, the skip-readers, and time
+    // travel all apply the vectors identically, (c) a second deleteWhere
+    // accumulates, (d) the next rewriting commit (an upsert) FOLDS the
+    // vectors into its new version — no _deletes survives, no deleted
+    // row resurrects.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_dv").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    val total = ord.count()
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"), bloomCol = "key")
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    def fileSig(): Map[String, Long] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spk.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(live))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    }
+    val before = fileSig()
+    graft.sources.Sinks.deleteWhere(spk, root, col("key") % 7 === 0)
+    assert(fileSig() === before,
+      "deleteWhere rewrote data files — the MOR contract is zero rewrites")
+    val expected = ord.filter(col("key") % 7 =!= 0).count()
+    assert(graft.sources.Sinks.readTable(spk, root).count() === expected,
+      "readTable did not apply the deletion vectors")
+    // skip-readers agree (range scan + bloom point lookup)
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-06-30 23:59:59").cast("timestamp")
+    val skipN = graft.sources.Sinks
+      .readTableSkip(spk, root, "o_orderdate", lo, hi).count()
+    val fullN = graft.sources.Sinks.readTable(spk, root)
+      .filter(col("o_orderdate").between(lo, hi)).count()
+    assert(skipN === fullN, s"skip-read disagrees with MOR readTable: $skipN vs $fullN")
+    val deadKey = ord.filter(col("key") % 7 === 0)
+      .agg(min("key")).head().getLong(0)
+    assert(graft.sources.Sinks
+      .readTableBloomSkip(spk, root, "key", Seq(deadKey)).count() === 0,
+      "bloom point lookup resurrected a deleted key")
+    // accumulation: a second vector composes
+    graft.sources.Sinks.deleteWhere(spk, root, col("key") % 11 === 0)
+    val expected2 = ord.filter(col("key") % 7 =!= 0 && col("key") % 11 =!= 0).count()
+    assert(graft.sources.Sinks.readTable(spk, root).count() === expected2,
+      "second deletion vector did not accumulate")
+    // fold: the next rewriting commit bakes the deletes into its version
+    graft.sources.Sinks.upsertBatch(
+      Seq((-1L, "1996-02-01 00:00:00", 1.0, 2L))
+        .toDF("key", "o_orderdate", "o_totalprice", "seq")
+        .withColumn("o_orderdate",
+          col("o_orderdate").cast("timestamp_ntz")), // the table's flavor
+      root, "key", "seq")
+    val live2 = graft.sources.Sinks.resolveTable(spk, root)
+    assert(live2 !== live, "upsert did not publish a new version")
+    assert(!new java.io.File(s"$live2/_deletes").exists,
+      "folded version must start with no deletion vectors")
+    assert(graft.sources.Sinks.readTable(spk, root).count() === expected2 + 1,
+      "fold lost rows or resurrected deleted ones")
+    assert(total > expected && expected > expected2, "fixture degenerate")
+  }
 }
