@@ -29,7 +29,15 @@ def norm(v):
     if isinstance(v, float):
         return ("num", v)
     if isinstance(v, datetime.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
+        # tz-aware and naive timestamps are tagged DISTINCTLY: in round 18 a
+        # writer-conf change flipped 13 outputs to timestamp[us, tz=UTC] and
+        # this function's old tzinfo-strip hid it from the local gate while
+        # the driver's tz-aware compare failed all 13 (VERDICT r18 #2). Same
+        # strictness rationale as int-vs-float and date-vs-timestamp above.
+        if v.tzinfo is not None:
+            return ("ts_tz", v.astimezone(datetime.timezone.utc)
+                    .replace(tzinfo=None).isoformat())
+        return ("ts", v.isoformat())
     if isinstance(v, datetime.date):
         # tagged distinctly from timestamps: a DATE-vs-TIMESTAMP drift
         # between engines must FAIL here (the driver's schema check would
@@ -47,6 +55,8 @@ def canon_duck(t):
         return ("list", canon_duck(t[:-2]))
     if t.startswith("DECIMAL"):
         return "decimal"
+    if t.startswith("TIMESTAMP WITH TIME ZONE") or t == "TIMESTAMPTZ":
+        return "timestamp_tz"
     if t.startswith("TIMESTAMP"):
         return "timestamp"
     return {"TINYINT": "int8", "SMALLINT": "int16", "INTEGER": "int32",
@@ -64,7 +74,9 @@ def canon_arrow(t):
     if pa.types.is_decimal(t):
         return "decimal"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # naive vs tz-annotated must NOT fold together (r18 regression class:
+        # the driver's schema check is tz-strict, so this gate must be too)
+        return "timestamp_tz" if t.tz is not None else "timestamp"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_date(t):

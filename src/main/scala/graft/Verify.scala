@@ -1,9 +1,64 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Rewrite every TimestampType (tz-aware instant) in a schema to
+    * TimestampNTZType, recursing through arrays/structs/maps.
+    *
+    * Why: round 18 set spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS
+    * (the footer-stats harvest needs annotated INT64 min/max, not stat-less
+    * INT96), which made every TimestampType output column write
+    * isAdjustedToUTC=true. That reads back in arrow as timestamp[us, tz=UTC]
+    * while the DuckDB oracle emits naive TIMESTAMP — 13 rows regressed on the
+    * driver's tz-aware schema+hash compare with bit-identical values
+    * (VERDICT r18 §what's-wrong #1). The session TZ is pinned UTC on both
+    * engines, so casting to NTZ is value-preserving: the written µs are
+    * bit-identical, only the annotation flips to isAdjustedToUTC=false. */
+  private def ntzType(dt: DataType): DataType = dt match {
+    case TimestampType       => TimestampNTZType
+    case ArrayType(e, n)     => ArrayType(ntzType(e), n)
+    case MapType(k, v, n)    => MapType(ntzType(k), ntzType(v), n)
+    case StructType(fields)  =>
+      StructType(fields.map(f => f.copy(dataType = ntzType(f.dataType))))
+    case other               => other
+  }
+  def ntzNormalize(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      val want = ntzType(f.dataType)
+      if (want == f.dataType) d else d.withColumn(f.name, col(f.name).cast(want))
+    }
+  /** Post-dump tripwire (VERDICT r18 next-round #3): read the written parquet
+    * footers back and reject any timestamp annotated isAdjustedToUTC=true —
+    * the engine's own output gets the fixture-drift-tripwire treatment so the
+    * next session-conf change can't silently re-break the driver's schema
+    * check. Returns the offending column names (empty = clean). */
+  def utcAnnotated(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          schema.getColumns.asScala.toSeq.flatMap { cd =>
+            Option(cd.getPrimitiveType.getLogicalTypeAnnotation).collect {
+              case ts: TimestampLogicalTypeAnnotation if ts.isAdjustedToUTC =>
+                cd.getPath.mkString(".")
+            }
+          }
+        } finally reader.close()
+      }.distinct
+  }
   def main(args: Array[String]): Unit = {
     RunId.ensure() // export graft.run.id before the session's first log4j use
     val Array(sfDir, outDir) = args
@@ -30,9 +85,15 @@ object Verify {
     var failures = List.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          ntzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          val bad = utcAnnotated(spark, s"$outDir/$name")
+          if (bad.nonEmpty)
+            // LOUD, like every other Verify failure: a tz-annotated output
+            // column is exactly the r18 13-row regression shape.
+            failures ::= (name -> s"tz-annotated timestamp in output: ${bad.mkString(",")}")
+        } catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
           failures ::= (name -> msg)
           System.err.println(s"[verify] $name FAILED: $msg")
