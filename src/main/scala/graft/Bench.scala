@@ -102,7 +102,7 @@ object Bench {
     val gcs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(b => jstr(b.getName))
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val (sm, sd) = SpillMeter.snapshot()
+    val (sm, sd) = SpillMeter.drainedSnapshot()
     s"""{"max_heap_mb":$heapMb,"gc":${gcs.mkString("[", ",", "]")},""" +
       s""""spill_memory_mb":${sm / (1024 * 1024)},""" +
       s""""spill_disk_mb":${sd / (1024 * 1024)}}"""
@@ -117,8 +117,42 @@ object Bench {
   private object SpillMeter extends org.apache.spark.scheduler.SparkListener {
     private val mem = new java.util.concurrent.atomic.AtomicLong(0)
     private val disk = new java.util.concurrent.atomic.AtomicLong(0)
-    def install(spark: SparkSession): Unit =
+    @volatile private var sc: org.apache.spark.SparkContext = _
+    def install(spark: SparkSession): Unit = {
+      sc = spark.sparkContext
       spark.sparkContext.addSparkListener(this)
+    }
+    /** Drain the async listener bus before the report reads the counters:
+      * job COMPLETION does not imply event DELIVERY, so TaskEnd events
+      * from the final queries can still be in flight when the report
+      * renders and the spill totals would undercount (the r18 ADVICE
+      * race). listenerBus is private[spark] — public in bytecode — so the
+      * shim invokes waitUntilEmpty reflectively; any reflective surprise
+      * falls back to a bounded poll until the counters stop moving. */
+    private def drain(): Unit = {
+      val ctx = sc
+      if (ctx == null) return
+      try {
+        val bus = ctx.getClass.getMethod("listenerBus").invoke(ctx)
+        val ms = bus.getClass.getMethods
+        ms.find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0) match {
+          case Some(m) => m.invoke(bus)
+          case None => ms
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+            .foreach(_.invoke(bus, java.lang.Long.valueOf(10000L)))
+        }
+        ()
+      } catch { case scala.util.control.NonFatal(_) =>
+        var last = snapshot(); var stable = 0; var i = 0
+        while (stable < 3 && i < 50) {
+          Thread.sleep(20)
+          val cur = snapshot()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+          i += 1
+        }
+      }
+    }
+    def drainedSnapshot(): (Long, Long) = { drain(); snapshot() }
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics

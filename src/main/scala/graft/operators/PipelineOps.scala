@@ -1523,6 +1523,106 @@ object PipelineOps {
       .orderBy("mo")
   }
 
+  /** MERGE-ON-READ MERGE, graded end-to-end: the matched-UPDATE half of
+    * MERGE expressed as deletion vectors + appended files
+    * ([[graft.sources.Sinks.upsertBatchDv]]) — zero base data files
+    * rewritten, the Delta-DV MERGE shape for updates that touch a small
+    * scattered fraction of a huge table. The seed upsert publishes a
+    * clustered+manifested version; one MOR batch then updates every 10th
+    * key (price restatement) and inserts a disjoint new-key slice; the
+    * query is the date-window rollup through the SKIP-SCAN, so a green
+    * hash proves superseded-row vectors, appended commit-logged files,
+    * and manifest pruning compose losslessly. SinkSourceSpec locks the
+    * zero-rewrite property (base file set byte-identical across the
+    * merge) and that a rewriting commit folds the vectors in. */
+  val qMergeDv = Q(
+    "q_merge_dv",
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_orderdate, o_totalprice FROM orders
+       |  WHERE o_orderkey % 10 <> 0),
+       |up AS (
+       |  SELECT o_orderkey AS key, o_orderdate,
+       |         o_totalprice + 100 AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 10 = 0),
+       |ins AS (
+       |  SELECT o_orderkey + 500000000 AS key, o_orderdate, o_totalprice
+       |  FROM orders WHERE o_orderkey % 13 = 0),
+       |m AS (SELECT * FROM base UNION ALL SELECT * FROM up
+       |      UNION ALL SELECT * FROM ins)
+       |SELECT CAST(month(o_orderdate) AS INT) AS mo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS revenue
+       |FROM m
+       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                      AND TIMESTAMP '1996-06-30 23:59:59'
+       |GROUP BY 1 ORDER BY mo""".stripMargin
+  ) { (spark, dir) =>
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-06-30 23:59:59").cast("timestamp")
+    val root = Scans.rtDir("mergedv")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(
+      ord.withColumn("seq", lit(1L)), root, "key", "seq",
+      statsCols = Seq("o_orderdate"))
+    val updates = ord.filter(col("key") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("seq", lit(2L))
+    val inserts = ord.filter(col("key") % 13 === 0)
+      .withColumn("key", col("key") + 500000000L)
+      .withColumn("seq", lit(2L))
+    graft.sources.Sinks.upsertBatchDv(
+      updates.unionByName(inserts), root, "key", "seq")
+    graft.sources.Sinks.readTableSkip(spark, root, "o_orderdate", lo, hi)
+      .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .orderBy("mo")
+  }
+
+  /** DV COMPACTION POLICY, graded end-to-end: the read-amplification
+    * guard — a third of the table is deleted as vectors, which pushes
+    * [[graft.sources.Sinks.deletedFraction]] past the 25% policy
+    * threshold, so [[graft.sources.Sinks.compactDeletes]] FOLDS the
+    * vectors into one staged rewrite and publishes a clean version (no
+    * `_deletes`; reads flip from anti-join back to plain pruned base
+    * files). The query is the same skip-scan rollup, so a green hash
+    * proves the fold is lossless end-to-end; SinkSourceSpec locks the
+    * threshold semantics in both directions (below → metadata-only
+    * no-op, vectors retained; above → rewrite, vectors gone). */
+  val qDvCompact = Q(
+    "q_dv_compact",
+    s"""WITH m AS (
+       |  SELECT o_orderkey AS key, o_orderdate, o_totalprice
+       |  FROM orders WHERE o_orderkey % 3 <> 0)
+       |SELECT CAST(month(o_orderdate) AS INT) AS mo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS revenue
+       |FROM m
+       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                      AND TIMESTAMP '1996-06-30 23:59:59'
+       |GROUP BY 1 ORDER BY mo""".stripMargin
+  ) { (spark, dir) =>
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-06-30 23:59:59").cast("timestamp")
+    val root = Scans.rtDir("dvcompact")
+    graft.sources.Sinks.upsertBatch(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("key"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    graft.sources.Sinks.deleteWhere(spark, root, col("key") % 3 === 0)
+    graft.sources.Sinks.compactDeletes(spark, root,
+      maxDeletedFraction = 0.25, files = 4)
+    graft.sources.Sinks.readTableSkip(spark, root, "o_orderdate", lo, hi)
+      .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .orderBy("mo")
+  }
+
   /** STRING-KEYED clustering rung: z-order over HASHED string keys — the
     * layout a lake picks when the cluster columns aren't integers (the
     * usual case: (lang, source) on a document corpus). Each key is
@@ -1614,5 +1714,5 @@ object PipelineOps {
     qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend, qLayoutOptimize,
     qLayoutOptimizeInc, qLayoutOptimizePublish, qLayoutMergeSkip,
     qLayoutMergeBloom, qLayoutZorderStr, qLayoutHilbert3Skip,
-    qLayoutDeleteVector, qDocShard)
+    qLayoutDeleteVector, qMergeDv, qDvCompact, qDocShard)
 }

@@ -145,7 +145,45 @@ object Sinks {
     // resolve through the same pointer and see litter + compacted rows)
     val spark = batch.sparkSession
     val live = resolveTable(spark, path)
-    batch.write.mode(SaveMode.Overwrite).parquet(s"$live/batch=$batchId")
+    // REPLAY-vs-DELETION-VECTOR reconciliation (the r18 ADVICE conflict):
+    // [[deleteWhere]] may have recorded (file, pos) vectors naming files
+    // INSIDE this batch dir; the overwrite below renames every task file,
+    // so those rows would dangle and the replayed data would silently
+    // RESURRECT the deleted rows. Every DV producer here is predicate- or
+    // key-driven, i.e. value-determined — so the vectors are re-applied
+    // by VALUE: read the rows the old dir's vectors currently hide,
+    // materialize them (localCheckpoint — the source files are about to
+    // be overwritten; volume is bounded by this batch's deleted rows),
+    // and subtract them from the replayed content with a null-safe
+    // anti-join. The stale (file, pos) rows stay behind harmlessly: they
+    // name task-file UUIDs that no longer exist, the anti-join matches
+    // nothing, and the next rewriting commit folds them away.
+    val batchDir = s"$live/batch=$batchId"
+    val dp = new org.apache.hadoop.fs.Path(live, DeletesManifest)
+    val deletedVals: Option[DataFrame] =
+      if (!fsOf(spark, dp).exists(dp)) None
+      else {
+        val dels = spark.read.parquet(dp.toString)
+          .filter(functions.col("file").contains(s"/batch=$batchId/"))
+          .select(functions.col("file").as("__dv_file"),
+            functions.col("pos").as("__dv_pos"))
+          .distinct()
+        if (dels.isEmpty) None
+        else Some(
+          spark.read.parquet(batchDir)
+            .withColumn("__dv_file", functions.col("_metadata.file_path"))
+            .withColumn("__dv_pos", functions.col("_metadata.row_index"))
+            .join(dels, Seq("__dv_file", "__dv_pos"), "left_semi")
+            .drop("__dv_file", "__dv_pos")
+            .localCheckpoint(true))
+      }
+    val content = deletedVals.fold(batch) { d =>
+      // null-safe equality on every column: a deleted row carrying a null
+      // must still subtract (plain equi-join keys never match on null)
+      val cond = batch.columns.map(c => batch(c) <=> d(c)).reduce(_ && _)
+      batch.join(d, cond, "left_anti")
+    }
+    content.write.mode(SaveMode.Overwrite).parquet(batchDir)
     // Commit-log the arrival: the live version's `_files` manifest gains
     // the batch DIRECTORY entry, so manifest-skipping readers resolve the
     // post-commit arrival from the commit log instead of recursively
@@ -165,7 +203,41 @@ object Sinks {
         .toDF("entry", "dir", "schema_json")
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(fm.toString)
+      maybeCompactFilesLog(spark, live)
     }
+  }
+
+  /** Rewrite threshold for the `_files` commit log: each [[writeBatch]]
+    * appends a one-row parquet file, so a long streaming run would grow
+    * the log itself into an O(batches)-file dir that every skip-read
+    * re-lists — eroding the O(manifest) claim the log exists to provide
+    * (the r18 ADVICE bound). Past this many part files the log is folded
+    * into one. */
+  private val FilesLogCompactThreshold = 16
+
+  /** Fold the `_files` log back to a single file once the per-batch
+    * appends pass [[FilesLogCompactThreshold]]. Crash-safe without an
+    * atomic dir swap: the compacted log is staged to a hidden tmp dir,
+    * then delete-old + rename-tmp — a crash between the two leaves the
+    * version with NO `_files`, which skip-readers already handle soundly
+    * (the counted legacy listing valve) and the next publish rewrites.
+    * Duplicate dir entries from at-least-once replays dedup here too. */
+  private def maybeCompactFilesLog(spark: SparkSession, live: String): Unit = {
+    val fm = new org.apache.hadoop.fs.Path(live, FilesManifest)
+    val fs = fsOf(spark, fm)
+    if (!fs.exists(fm)) return
+    val parts = fs.listStatus(fm).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (parts <= FilesLogCompactThreshold) return
+    val rows = spark.read.parquet(fm.toString)
+      .select("entry", "dir", "schema_json").distinct()
+      .localCheckpoint(true) // materialize BEFORE the old log dir is deleted
+    val tmp = new org.apache.hadoop.fs.Path(live,
+      s".files-compact-${java.util.UUID.randomUUID().toString.take(12)}")
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(fm, true)
+    if (!fs.rename(tmp, fm)) throw new java.io.IOException(
+      s"could not swap compacted _files log into place at $fm")
   }
 
   /** Exactly-once streaming parquet sink via foreachBatch — the seam a
@@ -1358,6 +1430,151 @@ object Sinks {
           functions.col("_metadata.row_index").as("pos"))
         .write.mode(SaveMode.Append).parquet(s"$live/$DeletesManifest")
     }
+
+  /** MERGE-ON-READ UPSERT: the matched-update half of MERGE expressed as
+    * deletion vectors + appended files — ZERO base data files rewritten
+    * (contrast [[upsertBatch]], the copy-on-write MERGE that stages a
+    * whole new version). Per key, the greater (seq, full-row xxhash64)
+    * wins — the same total order as the COW path, so the two MERGE forms
+    * are interchangeable and replaying any batch converges on the same
+    * visible rows. A superseded base row becomes a (file, pos) vector in
+    * the live version's `_deletes`; winning batch rows (updates AND
+    * inserts) land as NEW files in the version dir, commit-logged in
+    * `_files`. At 100 TB this is the MERGE a continuously-updated table
+    * wants when updates touch a small fraction of rows scattered across
+    * many large files: cost is O(matched rows + batch), never a rewrite
+    * of every touched gigabyte (Delta's DV-backed MERGE shape).
+    *
+    * Commit order under the writer lease: stage both outputs while the
+    * live file set is still untouched, then files-in → `_files` log →
+    * `_deletes` append. A crash inside the window leaves transient
+    * DUPLICATES (old + new row per matched key) — the replay-friendly
+    * failure mode, consistent with [[writeBatch]]'s at-least-once
+    * discipline — never lost rows. Schema evolution is NOT this path's
+    * job: an evolving batch goes through the rewriting [[upsertBatch]]
+    * (the version's commit-logged read schema must change with it). */
+  def upsertBatchDv(batch: DataFrame, path: String, keyCol: String,
+      seqCol: String): Unit = withTableLock(batch.sparkSession, path) {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(readPointer(fsOf(spark, root), root).isDefined,
+      s"upsertBatchDv needs a published table at $path (seed it with " +
+        "upsertBatch first) — merge-on-read mutates a committed version")
+    val live = resolveTable(spark, path)
+    // latest-wins within the batch, same tiebreak as the COW path
+    def rowHash(cols: Seq[String], prefix: String = "") =
+      functions.xxhash64(cols.sorted.map(c => functions.col(s"$prefix$c")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(functions.col(seqCol).desc, rowHash(batch.columns.toSeq).desc)
+    val latest = batch
+      .withColumn("__rn", functions.row_number().over(w))
+      .filter(functions.col("__rn") === 1).drop("__rn")
+    // base rows with their physical positions, current vectors applied
+    // (an already-deleted row must neither block an insert nor be
+    // re-deleted at a second position)
+    val baseRaw = readVersionDirRaw(spark, live)
+      .withColumn("__file", functions.col("_metadata.file_path"))
+      .withColumn("__pos", functions.col("_metadata.row_index"))
+    val base = applyDeletes(spark, live, baseRaw)
+    val dataCols = base.columns.filterNot(Set("__file", "__pos")).toSeq
+    require(latest.columns.toSet == dataCols.toSet,
+      s"merge-on-read batch columns ${latest.columns.sorted.mkString(",")} " +
+        s"must equal the table's ${dataCols.sorted.mkString(",")} — " +
+        "additive evolution goes through upsertBatch")
+    val b = latest.columns.foldLeft(latest) { (d, c) =>
+      d.withColumnRenamed(c, s"__b_$c")
+    }
+    val baseHash = rowHash(dataCols)
+    val batchHash = rowHash(dataCols, "__b_")
+    val batchWins = functions.col(s"__b_$keyCol").isNotNull &&
+      (functions.col(keyCol).isNull ||
+        functions.col(s"__b_$seqCol") > functions.col(seqCol) ||
+        (functions.col(s"__b_$seqCol") === functions.col(seqCol) &&
+          batchHash >= baseHash))
+    val joined = base.join(b,
+      functions.col(keyCol) === functions.col(s"__b_$keyCol"), "full_outer")
+    val newRows = joined.filter(batchWins)
+      .select(dataCols.map(c => functions.col(s"__b_$c").as(c)): _*)
+    val dvRows = joined
+      .filter(functions.col(keyCol).isNotNull && batchWins)
+      .select(functions.col("__file").as("file"),
+        functions.col("__pos").as("pos"))
+    // stage BOTH outputs first (hidden dot-dirs — invisible to readers
+    // and to the mixed-layout classifier) while the live file set both
+    // plans captured is still physically intact
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val stageData = new org.apache.hadoop.fs.Path(live, s".merge-dv-$tag")
+    val stageDv = new org.apache.hadoop.fs.Path(live, s".merge-dvv-$tag")
+    newRows.write.mode(SaveMode.Overwrite).parquet(stageData.toString)
+    dvRows.write.mode(SaveMode.Overwrite).parquet(stageDv.toString)
+    val fs = fsOf(spark, stageData)
+    def partsOf(dir: org.apache.hadoop.fs.Path) = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq
+    // commit: data files in, log them, then the vectors
+    val landed = partsOf(stageData).map { p =>
+      val dst = new org.apache.hadoop.fs.Path(live, p.getName)
+      if (!fs.rename(p, dst)) throw new java.io.IOException(
+        s"merge-on-read commit: could not move $p into $live")
+      dst.toString
+    }
+    val fm = new org.apache.hadoop.fs.Path(live, FilesManifest)
+    if (landed.nonEmpty && fs.exists(fm)) {
+      import spark.implicits._
+      landed.map(f => (f, false, null: String))
+        .toDF("entry", "dir", "schema_json")
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(fm.toString)
+    }
+    val delDir = new org.apache.hadoop.fs.Path(live, DeletesManifest)
+    val dvParts = partsOf(stageDv)
+    if (dvParts.nonEmpty) {
+      if (!fs.exists(delDir)) fs.mkdirs(delDir)
+      dvParts.foreach { p =>
+        val dst = new org.apache.hadoop.fs.Path(delDir, p.getName)
+        if (!fs.rename(p, dst)) throw new java.io.IOException(
+          s"merge-on-read commit: could not move vector file $p into $delDir")
+      }
+    }
+    fs.delete(stageData, true)
+    fs.delete(stageDv, true)
+  }
+
+  /** Deleted fraction of the live version: distinct recorded (file, pos)
+    * vectors over the version's physical row count. Both sides are
+    * metadata-cheap — the vectors are a small manifest, and a bare
+    * filterless parquet COUNT answers from footer row counts. Dangling
+    * vectors (files renamed away by a batch replay) inflate the estimate
+    * slightly — conservative in the right direction for a compaction
+    * trigger. */
+  def deletedFraction(spark: SparkSession, path: String): Double = {
+    val live = resolveTable(spark, path)
+    val dp = new org.apache.hadoop.fs.Path(live, DeletesManifest)
+    if (!fsOf(spark, dp).exists(dp)) return 0.0
+    val dels = spark.read.parquet(dp.toString).distinct().count()
+    if (dels == 0L) return 0.0
+    val total = readVersionDirRaw(spark, live).count()
+    if (total == 0L) 1.0 else dels.toDouble / total
+  }
+
+  /** DV COMPACTION POLICY — the read-amplification guard a 100 TB
+    * merge-on-read deployment needs: every deleted row is anti-join work
+    * on EVERY read, so past a deleted-fraction threshold the metadata
+    * trade inverts and a rewrite is cheaper than carrying the vectors.
+    * When [[deletedFraction]] exceeds `maxDeletedFraction`, fold: one
+    * staged rewrite through [[compact]] (whose base read applies the
+    * vectors) publishes a clean version — no `_deletes`, stats/bloom
+    * layout contract propagated — and reads flip from anti-join back to
+    * plain pruned base files. Below the threshold this is a metadata-only
+    * no-op. Returns whether a rewrite was published. */
+  def compactDeletes(spark: SparkSession, path: String,
+      maxDeletedFraction: Double, files: Int): Boolean = {
+    require(maxDeletedFraction >= 0.0 && maxDeletedFraction < 1.0,
+      s"maxDeletedFraction must be in [0, 1), got $maxDeletedFraction")
+    if (deletedFraction(spark, path) <= maxDeletedFraction) false
+    else { compact(spark, path, files); true }
+  }
 
   /** Read one VERSION DIRECTORY with layout-aware semantics — the single
     * whole-version read every reader and mutator goes through. Spark's

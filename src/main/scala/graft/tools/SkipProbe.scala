@@ -42,13 +42,19 @@ object SkipProbe {
       .collect().map(_.getString(0)).sorted
     println(s"PRUNED_FILES=${prunedNames.length}")
     prunedNames.foreach(n => println("  P: " + n))
-    val allNames = spark.read.parquet(live).select(input_file_name()).distinct()
+    // truth side via the layout-aware table read: after the writeBatch
+    // arrival this version is MIXED (root files + batch=7/), the exact
+    // shape where bare spark.read.parquet silently drops the merged base
+    // from partition discovery — the probe's own reference output would
+    // lie (r18 finding; ADVICE r18)
+    val allNames = graft.sources.Sinks.readTable(spark, root)
+      .select(input_file_name()).distinct()
       .collect().map(_.getString(0)).sorted
     println(s"ALL_FILES=${allNames.length}")
     allNames.foreach(n => println("  A: " + n))
     println("VALVE=" + graft.sources.Sinks.valveListings.get())
     println("N_PRUNED=" + pruned.count())
-    println("N_FULL=" + spark.read.parquet(live)
+    println("N_FULL=" + graft.sources.Sinks.readTable(spark, root)
       .filter(col("o_orderdate").between(lo, hi)).count())
     spark.stop()
   }

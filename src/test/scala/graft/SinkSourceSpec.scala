@@ -987,4 +987,221 @@ class SinkSourceSpec extends SparkTestBase {
       "fold lost rows or resurrected deleted ones")
     assert(total > expected && expected > expected2, "fixture degenerate")
   }
+
+  private def dataFileSig(spk: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spk.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+  }
+
+  test("merge-on-read MERGE: zero rewritten base files, update+insert via vectors, replay converges, the next commit folds") {
+    // q_merge_dv's protocol claims: (a) upsertBatchDv never touches a base
+    // data file (every pre-merge file survives byte-identical; new files
+    // are ADDED), (b) matched updates supersede via _deletes + appended
+    // rows, inserts just append, (c) replaying the same batch converges on
+    // the same visible rows (the COW path's total-order contract), (d) a
+    // rewriting commit folds the vectors into its clean new version.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_mordv").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    val total = ord.count()
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    val before = dataFileSig(spk, live)
+    val updates = ord.filter(col("key") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("seq", lit(2L))
+    val inserts = ord.filter(col("key") % 13 === 0)
+      .withColumn("key", col("key") + 500000000L)
+      .withColumn("seq", lit(2L))
+    val nIns = inserts.count()
+    graft.sources.Sinks.upsertBatchDv(updates.unionByName(inserts),
+      root, "key", "seq")
+    val after = dataFileSig(spk, live)
+    assert(before.forall { case (n, len) => after.get(n).contains(len) },
+      "merge-on-read rewrote or removed a base data file")
+    assert(after.size > before.size, "merge appended no new files")
+    assert(new java.io.File(s"$live/_deletes").exists,
+      "matched updates recorded no deletion vectors")
+    val merged = graft.sources.Sinks.readTable(spk, root)
+    assert(merged.count() === total + nIns,
+      "visible row count after MOR merge is wrong")
+    // one concrete updated key: exactly one visible row, at the new price
+    val probe = ord.filter(col("key") % 10 === 0)
+      .orderBy("key").limit(1).head()
+    val k = probe.getLong(0)
+    val oldPrice = probe.getDouble(2)
+    val got = merged.filter(col("key") === k)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    assert(got.toSeq === Seq(oldPrice + 100),
+      s"updated key $k visible as ${got.mkString(",")}, want ${oldPrice + 100}")
+    // skip-reader agrees with the whole-table read
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-06-30 23:59:59").cast("timestamp")
+    val skipN = graft.sources.Sinks
+      .readTableSkip(spk, root, "o_orderdate", lo, hi).count()
+    val fullN = merged.filter(col("o_orderdate").between(lo, hi)).count()
+    assert(skipN === fullN, s"skip-read disagrees after MOR merge: $skipN vs $fullN")
+    // replay: same batch again → same visible rows (convergence)
+    graft.sources.Sinks.upsertBatchDv(updates.unionByName(inserts),
+      root, "key", "seq")
+    assert(graft.sources.Sinks.readTable(spk, root).count() === total + nIns,
+      "replaying the MOR batch changed the visible row count")
+    // fold: a rewriting commit publishes a clean version
+    graft.sources.Sinks.upsertBatch(
+      Seq((-1L, "1996-02-01 00:00:00", 1.0, 9L))
+        .toDF("key", "o_orderdate", "o_totalprice", "seq")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz")),
+      root, "key", "seq")
+    val live2 = graft.sources.Sinks.resolveTable(spk, root)
+    assert(live2 !== live, "rewriting commit did not publish")
+    assert(!new java.io.File(s"$live2/_deletes").exists,
+      "folded version must start with no deletion vectors")
+    assert(graft.sources.Sinks.readTable(spk, root).count() === total + nIns + 1,
+      "fold after MOR merge lost rows or resurrected superseded ones")
+  }
+
+  test("writeBatch replay after deleteWhere re-applies the vectors: no resurrection, no duplicates") {
+    // The r18 ADVICE conflict: deleteWhere records (file, pos) inside a
+    // batch dir; an at-least-once replay OVERWRITES that dir with fresh
+    // task-file names. The reconciliation must keep the deleted rows dead
+    // (vectors re-applied by value) without duplicating the survivors.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_dvreplay").toString + "/t"
+    val b0 = spk.range(100).select(col("id").as("key"),
+      (col("id") % 10).as("bucket"))
+    graft.sources.Sinks.writeBatch(b0.toDF(), root, 0L)
+    graft.sources.Sinks.deleteWhere(spk, root, col("key") % 4 === 0)
+    val expected = 100L - 25L
+    assert(graft.sources.Sinks.readTable(spk, root).count() === expected)
+    // replay the same batch id with the same data
+    graft.sources.Sinks.writeBatch(b0.toDF(), root, 0L)
+    val replayed = graft.sources.Sinks.readTable(spk, root)
+    assert(replayed.count() === expected,
+      "replay resurrected deleted rows or dropped survivors")
+    assert(replayed.select("key").distinct().count() === expected,
+      "replay duplicated surviving rows")
+    assert(replayed.filter(col("key") % 4 === 0).count() === 0,
+      "a deleted row came back after the replay")
+  }
+
+  test("torn batch arrival (dir present, log entry missing): reader families converge after replay") {
+    // The documented crash window between the batch-dir write and the
+    // _files append: full-table readers see the batch, commit-log
+    // skip-readers do not — both must converge once the streaming engine
+    // replays the batch (at-least-once), with no duplicates.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_torn").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    val total = ord.count()
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    val batch = spk.range(5).select(
+      (col("id") + 900000000L).as("key"),
+      lit("1996-02-10 00:00:00").cast("timestamp_ntz").as("o_orderdate"),
+      lit(42.0).as("o_totalprice"), lit(1L).as("seq"))
+    // simulate the torn state: data landed, crash before the log append
+    batch.write.mode("overwrite").parquet(s"$live/batch=3")
+    val lo = lit("1990-01-01 00:00:00").cast("timestamp")
+    val hi = lit("2000-12-31 23:59:59").cast("timestamp")
+    // the residual between-filter drops the fixture's NULL o_orderdate
+    // rows, so the skip side is compared against the same-filtered count
+    val inRange = ord.filter(col("o_orderdate").between(lo, hi)).count()
+    val fullTorn = graft.sources.Sinks.readTable(spk, root).count()
+    val skipTorn = graft.sources.Sinks
+      .readTableSkip(spk, root, "o_orderdate", lo, hi).count()
+    assert(fullTorn === total + 5, "full reader must see the torn batch")
+    assert(skipTorn === inRange,
+      "commit-log skip-reader must NOT see the unlogged batch")
+    // the streaming engine replays the batch → writeBatch completes the
+    // data-then-log discipline and both families agree
+    graft.sources.Sinks.writeBatch(batch.toDF(), root, 3L)
+    val fullAfter = graft.sources.Sinks.readTable(spk, root).count()
+    val skipAfter = graft.sources.Sinks
+      .readTableSkip(spk, root, "o_orderdate", lo, hi).count()
+    assert(fullAfter === total + 5 && skipAfter === inRange + 5,
+      s"reader families disagree after replay: full=$fullAfter skip=$skipAfter")
+  }
+
+  test("_files log compacts past the batch-append threshold; zero-listing skip reads stay sound") {
+    // Each writeBatch appends a one-row parquet file to the commit log;
+    // left alone a long streaming run turns the log itself into an
+    // O(batches)-file dir (the r18 ADVICE bound). Past the threshold the
+    // log folds to one file, dedup'd, with the skip contract intact.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_logcompact").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    val nBatches = 20
+    (1 to nBatches).foreach { i =>
+      val b = spk.range(2).select(
+        (col("id") + 900000000L + i * 10L).as("key"),
+        lit("1996-02-10 00:00:00").cast("timestamp_ntz").as("o_orderdate"),
+        lit(1.0).as("o_totalprice"), lit(1L).as("seq"))
+      graft.sources.Sinks.writeBatch(b.toDF(), root, i.toLong)
+    }
+    val logParts = dataFileSig(spk, s"$live/_files").size
+    assert(logParts <= 16,
+      s"_files log did not compact: $logParts part files after $nBatches appends")
+    val lo = lit("1990-01-01 00:00:00").cast("timestamp")
+    val hi = lit("2000-12-31 23:59:59").cast("timestamp")
+    // between drops the fixture's NULL o_orderdate rows — filter the
+    // expectation identically
+    val inRange = ord.filter(col("o_orderdate").between(lo, hi)).count()
+    graft.sources.Sinks.valveListings.set(0L)
+    val skipN = graft.sources.Sinks
+      .readTableSkip(spk, root, "o_orderdate", lo, hi).count()
+    assert(skipN === inRange + 2L * nBatches,
+      s"skip-read lost rows across the log compaction: $skipN")
+    assert(graft.sources.Sinks.valveListings.get() === 0L,
+      "log compaction broke the zero-listing contract")
+  }
+
+  test("compactDeletes: below the threshold a metadata no-op retaining vectors; above, a rewrite folds them") {
+    val spk = spark
+    val root = Files.createTempDirectory("graft_dvpolicy").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    // ~1% deleted: policy must NOT rewrite — reads stay anti-join
+    graft.sources.Sinks.deleteWhere(spk, root, col("key") % 101 === 0)
+    assert(!graft.sources.Sinks.compactDeletes(spk, root, 0.25, 4),
+      "policy rewrote below the threshold")
+    assert(graft.sources.Sinks.resolveTable(spk, root) === live,
+      "below-threshold call published a version")
+    assert(new java.io.File(s"$live/_deletes").exists,
+      "below-threshold call dropped the vectors")
+    // ~34% deleted: past the threshold the fold must publish
+    graft.sources.Sinks.deleteWhere(spk, root, col("key") % 3 === 0)
+    val expected = ord
+      .filter(col("key") % 101 =!= 0 && col("key") % 3 =!= 0).count()
+    assert(graft.sources.Sinks.compactDeletes(spk, root, 0.25, 4),
+      "policy did not rewrite above the threshold")
+    val live2 = graft.sources.Sinks.resolveTable(spk, root)
+    assert(live2 !== live, "above-threshold call did not publish")
+    assert(!new java.io.File(s"$live2/_deletes").exists,
+      "folded version still carries vectors")
+    assert(graft.sources.Sinks.readTable(spk, root).count() === expected,
+      "the fold lost rows or resurrected deleted ones")
+  }
 }
