@@ -26,6 +26,28 @@ object IngestProfile {
       println(f"[ingestprof] $label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // per-job anatomy: which Spark jobs a cycle runs and what each costs —
+    // fixed job-count overhead vs real join work is the optimization fork
+    if (args.length > 1 && args(1) == "jobs") {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts.put(js.jobId, System.nanoTime()); ()
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val d = (System.nanoTime() - starts.getOrDefault(je.jobId, 0L)) / 1e9
+            println(f"[ingestprof]   job ${je.jobId}%3d ${d}%6.2f s")
+          }
+        })
+    }
+    // A/B knobs: `noaqe` disables adaptive execution (per-stage job
+    // scheduling overhead on tiny per-cycle frames), `sp8` narrows the
+    // shuffle width to the bucket count
+    if (args.contains("noaqe")) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if (args.contains("sp8")) spark.conf.set("spark.sql.shuffle.partitions", "8")
     val docs = Tables.documents(spark, dir).select("doc_id", "text", "lang")
     t("warm docs")(docs.count())
     t("seed write")(
