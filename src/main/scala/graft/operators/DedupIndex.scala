@@ -268,7 +268,7 @@ object DedupIndex {
     * are serialized by the streaming engine (and the graded harnesses run
     * queries sequentially); a deployment multiplexing unrelated queries
     * on the ingest session would instead pin these in its own scope. */
-  private def withCycleConf[A](spark: SparkSession, buckets: Int)(f: => A): A = {
+  private[operators] def withCycleConf[A](spark: SparkSession, buckets: Int)(f: => A): A = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val width = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

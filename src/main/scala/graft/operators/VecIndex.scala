@@ -431,6 +431,19 @@ object VecIndex {
   def ingestBatch(batch: DataFrame, name: String, out: String,
       batchId: Long, dupSim: Double = 0.99, buckets: Int = 8): Unit = {
     val spark = batch.sparkSession
+    // same micro-batch envelope as the dedup loop (AQE off + shuffle
+    // width = the artifact's bucket knob, restored after): per-cycle
+    // frames are batch-sized, so AQE's per-stage job scheduling and the
+    // wide session shuffle width are pure stage-floor overhead here —
+    // see DedupIndex.withCycleConf for the measured anatomy
+    DedupIndex.withCycleConf(spark, buckets) {
+      ingestBatchBody(batch, name, out, batchId, dupSim, buckets)
+    }
+  }
+
+  private def ingestBatchBody(batch: DataFrame, name: String, out: String,
+      batchId: Long, dupSim: Double, buckets: Int): Unit = {
+    val spark = batch.sparkSession
     val b = batch.select("vec_id", "embedding")
     val indexed = spark.table(s"${name}_emb").select("vec_id").distinct()
     val prior = b.join(indexed, Seq("vec_id"), "left_semi")
