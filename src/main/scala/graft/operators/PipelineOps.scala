@@ -1581,6 +1581,56 @@ object PipelineOps {
       .orderBy("mo")
   }
 
+  /** MERGE-ON-READ matched-DELETE, graded end-to-end: one MOR batch mixes
+    * the UPDATE clause (price restatement for every 10th key) with the
+    * DELETE clause (tombstone flag for every 7th key) — updates retire
+    * their base row as a vector and append the new row, deletes retire
+    * the base row and append NOTHING ([[graft.sources.Sinks.upsertBatchDv]]
+    * with `deleteCol`), so a delete costs metadata bytes, never a file
+    * write. Read through the skip-scan; the oracle computes the post-merge
+    * state declaratively, so a green hash proves both clauses compose with
+    * the vectors and manifest pruning. Contrast q_merge_delete — the
+    * copy-on-write soft-tombstone + purge cycle — the MOR/COW delete
+    * trade, both graded. */
+  val qMergeDvDelete = Q(
+    "q_merge_dv_delete",
+    s"""WITH m AS (
+       |  SELECT o_orderkey AS key, o_orderdate,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 7 <> 0)
+       |SELECT CAST(month(o_orderdate) AS INT) AS mo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${Det.sqlExactSum("o_totalprice", 100)} AS revenue
+       |FROM m
+       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                      AND TIMESTAMP '1996-06-30 23:59:59'
+       |GROUP BY 1 ORDER BY mo""".stripMargin
+  ) { (spark, dir) =>
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-06-30 23:59:59").cast("timestamp")
+    val root = Scans.rtDir("mergedvdel")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("deleted", lit(false))
+    graft.sources.Sinks.upsertBatch(
+      ord.withColumn("seq", lit(1L)), root, "key", "seq",
+      statsCols = Seq("o_orderdate"))
+    val deletes = ord.filter(col("key") % 7 === 0)
+      .withColumn("deleted", lit(true)).withColumn("seq", lit(2L))
+    val updates = ord.filter(col("key") % 10 === 0 && col("key") % 7 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("seq", lit(2L))
+    graft.sources.Sinks.upsertBatchDv(
+      deletes.unionByName(updates), root, "key", "seq", deleteCol = "deleted")
+    graft.sources.Sinks.readTableSkip(spark, root, "o_orderdate", lo, hi)
+      .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .orderBy("mo")
+  }
+
   /** DV COMPACTION POLICY, graded end-to-end: the read-amplification
     * guard — a third of the table is deleted as vectors, which pushes
     * [[graft.sources.Sinks.deletedFraction]] past the 25% policy
@@ -1714,5 +1764,5 @@ object PipelineOps {
     qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend, qLayoutOptimize,
     qLayoutOptimizeInc, qLayoutOptimizePublish, qLayoutMergeSkip,
     qLayoutMergeBloom, qLayoutZorderStr, qLayoutHilbert3Skip,
-    qLayoutDeleteVector, qMergeDv, qDvCompact, qDocShard)
+    qLayoutDeleteVector, qMergeDv, qMergeDvDelete, qDvCompact, qDocShard)
 }

@@ -1453,8 +1453,18 @@ object Sinks {
     * discipline — never lost rows. Schema evolution is NOT this path's
     * job: an evolving batch goes through the rewriting [[upsertBatch]]
     * (the version's commit-logged read schema must change with it). */
+  /** `deleteCol` (optional) adds the MERGE matched-DELETE clause in
+    * merge-on-read form: a winning batch row whose flag is true retires
+    * its matched base row as a deletion vector and appends NOTHING — a
+    * delete costs a few metadata bytes, never a file write. The flag must
+    * be one of the table's own columns (the COW soft-delete convention
+    * q_merge_delete uses), so delete batches replay-converge like any
+    * other: a replayed delete finds no base row, wins as an "insert",
+    * and is then filtered by its own flag — appending and deleting
+    * nothing. */
   def upsertBatchDv(batch: DataFrame, path: String, keyCol: String,
-      seqCol: String): Unit = withTableLock(batch.sparkSession, path) {
+      seqCol: String, deleteCol: String = null): Unit =
+    withTableLock(batch.sparkSession, path) {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     require(readPointer(fsOf(spark, root), root).isDefined,
@@ -1494,8 +1504,14 @@ object Sinks {
           batchHash >= baseHash))
     val joined = base.join(b,
       functions.col(keyCol) === functions.col(s"__b_$keyCol"), "full_outer")
-    val newRows = joined.filter(batchWins)
+    val winners = joined.filter(batchWins)
       .select(dataCols.map(c => functions.col(s"__b_$c").as(c)): _*)
+    // matched-DELETE clause: flagged winners retire their base row (the
+    // dvRows side below) and append nothing
+    val newRows = Option(deleteCol).map { c =>
+      winners.filter(!functions.coalesce(
+        functions.col(c).cast("boolean"), functions.lit(false)))
+    }.getOrElse(winners)
     val dvRows = joined
       .filter(functions.col(keyCol).isNotNull && batchWins)
       .select(functions.col("__file").as("file"),

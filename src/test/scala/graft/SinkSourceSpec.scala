@@ -1068,6 +1068,46 @@ class SinkSourceSpec extends SparkTestBase {
       "fold after MOR merge lost rows or resurrected superseded ones")
   }
 
+  test("merge-on-read matched-DELETE: tombstoned keys retire as vectors, zero base rewrites, replay converges") {
+    val spk = spark
+    val root = Files.createTempDirectory("graft_mordel").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("deleted", lit(false))
+    val total = ord.count()
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    val before = dataFileSig(spk, live)
+    val deletes = ord.filter(col("key") % 7 === 0)
+      .withColumn("deleted", lit(true)).withColumn("seq", lit(2L))
+    val nDel = deletes.count()
+    graft.sources.Sinks.upsertBatchDv(deletes, root, "key", "seq",
+      deleteCol = "deleted")
+    val after = dataFileSig(spk, live)
+    assert(before.forall { case (n, len) => after.get(n).contains(len) },
+      "MOR delete rewrote or removed a base data file")
+    // a pure-delete batch appends no data ROWS (Spark may still emit one
+    // empty schema-carrying part file for the empty staged frame)
+    val appended = after.keySet -- before.keySet
+    if (appended.nonEmpty) {
+      val rows = spk.read
+        .parquet(appended.map(n => s"$live/$n").toSeq: _*).count()
+      assert(rows === 0, "a pure-delete MOR batch appended data rows")
+    }
+    val merged = graft.sources.Sinks.readTable(spk, root)
+    assert(merged.count() === total - nDel, "delete clause missed rows")
+    assert(merged.filter(col("key") % 7 === 0).count() === 0,
+      "a tombstoned key survived the MOR delete")
+    // replay converges: the tombstone finds no base row, wins as an
+    // insert, and is filtered by its own flag
+    graft.sources.Sinks.upsertBatchDv(deletes, root, "key", "seq",
+      deleteCol = "deleted")
+    assert(graft.sources.Sinks.readTable(spk, root).count() === total - nDel,
+      "replaying the delete batch changed the visible row count")
+  }
+
   test("writeBatch replay after deleteWhere re-applies the vectors: no resurrection, no duplicates") {
     // The r18 ADVICE conflict: deleteWhere records (file, pos) inside a
     // batch dir; an at-least-once replay OVERWRITES that dir with fresh
