@@ -269,6 +269,10 @@ object DedupIndex {
     * queries sequentially); a deployment multiplexing unrelated queries
     * on the ingest session would instead pin these in its own scope. */
   private[operators] def withCycleConf[A](spark: SparkSession, buckets: Int)(f: => A): A = {
+    // A/B escape for tools/IngestProfile: without it the profiler's own
+    // conf knobs are inert (this pin would override them) and the AQE-on
+    // baseline becomes unmeasurable
+    if (sys.env.get("SPARK_GRAFT_NO_CYCLE_PIN").contains("1")) return f
     val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val width = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

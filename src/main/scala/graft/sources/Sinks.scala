@@ -150,39 +150,54 @@ object Sinks {
     // INSIDE this batch dir; the overwrite below renames every task file,
     // so those rows would dangle and the replayed data would silently
     // RESURRECT the deleted rows. Every DV producer here is predicate- or
-    // key-driven, i.e. value-determined — so the vectors are re-applied
-    // by VALUE: read the rows the old dir's vectors currently hide,
-    // materialize them (localCheckpoint — the source files are about to
-    // be overwritten; volume is bounded by this batch's deleted rows),
-    // and subtract them from the replayed content with a null-safe
-    // anti-join. The stale (file, pos) rows stay behind harmlessly: they
-    // name task-file UUIDs that no longer exist, the anti-join matches
-    // nothing, and the next rewriting commit folds them away.
+    // key-driven, i.e. value-determined — so deletion is re-applied by
+    // VALUE, and the deleted VALUES are made DURABLE first: positional
+    // vectors only identify the deleted rows while they still point at
+    // live files, so a reconciliation that subtracted from a transient
+    // frame would hold for exactly ONE replay — the next replay (which
+    // at-least-once permits, and which a crash between this overwrite and
+    // the log append forces) would find only dangling vectors, subtract
+    // nothing, and resurrect every deleted row. So: rows the LIVE vectors
+    // currently hide in this dir are appended to the hidden per-dir value
+    // store `_deletes_values/batch=<id>` BEFORE the overwrite (duplicate
+    // appends across crashed replays are harmless — the subtraction is an
+    // anti-join), and the replayed content subtracts the WHOLE store —
+    // deletions now survive any number of replays. The stale (file, pos)
+    // rows stay behind harmlessly (they match nothing) and both they and
+    // the value store fold away at the next rewriting commit, which
+    // starts a fresh version.
     val batchDir = s"$live/batch=$batchId"
     val dp = new org.apache.hadoop.fs.Path(live, DeletesManifest)
-    val deletedVals: Option[DataFrame] =
-      if (!fsOf(spark, dp).exists(dp)) None
-      else {
-        val dels = spark.read.parquet(dp.toString)
-          .filter(functions.col("file").contains(s"/batch=$batchId/"))
-          .select(functions.col("file").as("__dv_file"),
-            functions.col("pos").as("__dv_pos"))
-          .distinct()
-        if (dels.isEmpty) None
-        else Some(
-          spark.read.parquet(batchDir)
-            .withColumn("__dv_file", functions.col("_metadata.file_path"))
-            .withColumn("__dv_pos", functions.col("_metadata.row_index"))
-            .join(dels, Seq("__dv_file", "__dv_pos"), "left_semi")
-            .drop("__dv_file", "__dv_pos")
-            .localCheckpoint(true))
+    val vstore = new org.apache.hadoop.fs.Path(
+      live, s"$DeletesValueStore/batch=$batchId")
+    val fsv = fsOf(spark, dp)
+    if (hasParquetFiles(fsv, dp)) {
+      val dels = spark.read.parquet(dp.toString)
+        .filter(functions.col("file").contains(s"/batch=$batchId/"))
+        .select(functions.col("file").as("__dv_file"),
+          functions.col("pos").as("__dv_pos"))
+        .distinct()
+      if (!dels.isEmpty) {
+        // materialize the currently-hidden rows into the value store
+        // while their files still exist (the write reads the old dir)
+        spark.read.parquet(batchDir)
+          .withColumn("__dv_file", functions.col("_metadata.file_path"))
+          .withColumn("__dv_pos", functions.col("_metadata.row_index"))
+          .join(dels, Seq("__dv_file", "__dv_pos"), "left_semi")
+          .drop("__dv_file", "__dv_pos")
+          .write.mode(SaveMode.Append).parquet(vstore.toString)
       }
-    val content = deletedVals.fold(batch) { d =>
-      // null-safe equality on every column: a deleted row carrying a null
-      // must still subtract (plain equi-join keys never match on null)
-      val cond = batch.columns.map(c => batch(c) <=> d(c)).reduce(_ && _)
-      batch.join(d, cond, "left_anti")
     }
+    val content =
+      if (!hasParquetFiles(fsv, vstore)) batch
+      else {
+        val d = spark.read.parquet(vstore.toString)
+        // null-safe equality on every column: a deleted row carrying a
+        // null must still subtract (plain equi-join keys never match on
+        // null)
+        val cond = batch.columns.map(c => batch(c) <=> d(c)).reduce(_ && _)
+        batch.join(d, cond, "left_anti")
+      }
     content.write.mode(SaveMode.Overwrite).parquet(batchDir)
     // Commit-log the arrival: the live version's `_files` manifest gains
     // the batch DIRECTORY entry, so manifest-skipping readers resolve the
@@ -203,7 +218,7 @@ object Sinks {
         .toDF("entry", "dir", "schema_json")
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(fm.toString)
-      maybeCompactFilesLog(spark, live)
+      maybeCompactFilesLog(spark, path, live)
     }
   }
 
@@ -221,23 +236,43 @@ object Sinks {
     * then delete-old + rename-tmp — a crash between the two leaves the
     * version with NO `_files`, which skip-readers already handle soundly
     * (the counted legacy listing valve) and the next publish rewrites.
-    * Duplicate dir entries from at-least-once replays dedup here too. */
-  private def maybeCompactFilesLog(spark: SparkSession, live: String): Unit = {
+    * Duplicate dir entries from at-least-once replays dedup here too.
+    *
+    * LEASE-GUARDED, best-effort: the snapshot→delete→rename rewrite would
+    * silently DESTROY a log row a concurrent lease-holding mutator (e.g.
+    * an [[upsertBatchDv]] logging its landed files) appends in between —
+    * the appended files would vanish from the commit log while full
+    * readers still see them, a permanent reader-family split with no
+    * replay to heal it. So: a caller already holding this root's lease
+    * compacts directly; a lockless caller ([[writeBatch]]) takes the
+    * lease for the rewrite and simply SKIPS when a mutator holds it —
+    * compaction is maintenance, the next over-threshold append retries.
+    * (A second lockless streaming writer on one table is outside the
+    * sink's contract anyway — their batch=<id> dirs would collide.) */
+  private def maybeCompactFilesLog(spark: SparkSession, rootPath: String,
+      live: String): Unit = {
     val fm = new org.apache.hadoop.fs.Path(live, FilesManifest)
     val fs = fsOf(spark, fm)
     if (!fs.exists(fm)) return
     val parts = fs.listStatus(fm).count(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (parts <= FilesLogCompactThreshold) return
-    val rows = spark.read.parquet(fm.toString)
-      .select("entry", "dir", "schema_json").distinct()
-      .localCheckpoint(true) // materialize BEFORE the old log dir is deleted
-    val tmp = new org.apache.hadoop.fs.Path(live,
-      s".files-compact-${java.util.UUID.randomUUID().toString.take(12)}")
-    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(fm, true)
-    if (!fs.rename(tmp, fm)) throw new java.io.IOException(
-      s"could not swap compacted _files log into place at $fm")
+    def rewrite(): Unit = {
+      val rows = spark.read.parquet(fm.toString)
+        .select("entry", "dir", "schema_json").distinct()
+        .localCheckpoint(true) // materialize BEFORE the old log dir is deleted
+      val tmp = new org.apache.hadoop.fs.Path(live,
+        s".files-compact-${java.util.UUID.randomUUID().toString.take(12)}")
+      rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(fm, true)
+      if (!fs.rename(tmp, fm)) throw new java.io.IOException(
+        s"could not swap compacted _files log into place at $fm")
+    }
+    val root = new org.apache.hadoop.fs.Path(rootPath)
+    if (heldLeases.get().contains(root.toUri.getPath)) rewrite()
+    else
+      try withTableLock(spark, rootPath)(rewrite())
+      catch { case _: ConcurrentWriterException => () } // busy: skip, retry next append
   }
 
   /** Exactly-once streaming parquet sink via foreachBatch — the seam a
@@ -1379,6 +1414,25 @@ object Sinks {
     * the rows. */
   private val DeletesManifest = "_deletes"
 
+  /** Per-BATCH-DIR deleted-VALUE store (`_deletes_values/batch=<id>`):
+    * [[writeBatch]]'s replay reconciliation writes the row values its
+    * dir's positional vectors hide here before overwriting the dir, so a
+    * deletion survives any number of at-least-once replays (a positional
+    * vector identifies its rows only while its files exist — see the
+    * reconciliation comment in [[writeBatch]]). Underscore-hidden from
+    * every reader; retires with its version like `_deletes`. */
+  private val DeletesValueStore = "_deletes_values"
+
+  /** Guard for reading maybe-empty hidden manifests: a crash between
+    * `mkdirs` and the first file landing (or a zero-row append) leaves a
+    * parquet-file-less directory that `spark.read.parquet` cannot infer a
+    * schema for — treating it as "nothing recorded" both avoids the
+    * bricked-table failure mode and is semantically exact. */
+  private def hasParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+
   /** Apply a version dir's deletion vectors to a frame read FROM ITS
     * FILES: anti-join on (_metadata.file_path, _metadata.row_index) —
     * both sides render identically because [[deleteWhere]] records the
@@ -1391,7 +1445,7 @@ object Sinks {
   private def applyDeletes(spark: SparkSession, dir: String,
       df: DataFrame): DataFrame = {
     val dp = new org.apache.hadoop.fs.Path(dir, DeletesManifest)
-    if (!fsOf(spark, dp).exists(dp)) df
+    if (!hasParquetFiles(fsOf(spark, dp), dp)) df
     else {
       val dels = spark.read.parquet(dp.toString)
         .select(functions.col("file").as("__dv_file"),
@@ -1502,10 +1556,23 @@ object Sinks {
         functions.col(s"__b_$seqCol") > functions.col(seqCol) ||
         (functions.col(s"__b_$seqCol") === functions.col(seqCol) &&
           batchHash >= baseHash))
+    // persisted: the full-outer merge join over the whole-version read is
+    // the call's dominant cost, and BOTH outputs below consume it — a
+    // bare plan would re-run the base scan + DV anti-join + join twice
     val joined = base.join(b,
       functions.col(keyCol) === functions.col(s"__b_$keyCol"), "full_outer")
+      .persist()
+    // DISTINCT: a base holding duplicate rows for a key — exactly the
+    // state this op's own documented crash window (files in, vectors not
+    // yet) leaves behind — matches the one batch row N times in the
+    // full-outer join; without the dedup the re-run meant to CONVERGE
+    // that state would append the winner N times (permanent visible
+    // duplicates). All N copies are the identical batch-side row, so the
+    // distinct is deterministic; dvRows below intentionally keeps one
+    // vector per superseded base COPY.
     val winners = joined.filter(batchWins)
       .select(dataCols.map(c => functions.col(s"__b_$c").as(c)): _*)
+      .distinct()
     // matched-DELETE clause: flagged winners retire their base row (the
     // dvRows side below) and append nothing
     val newRows = Option(deleteCol).map { c =>
@@ -1522,8 +1589,10 @@ object Sinks {
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val stageData = new org.apache.hadoop.fs.Path(live, s".merge-dv-$tag")
     val stageDv = new org.apache.hadoop.fs.Path(live, s".merge-dvv-$tag")
-    newRows.write.mode(SaveMode.Overwrite).parquet(stageData.toString)
-    dvRows.write.mode(SaveMode.Overwrite).parquet(stageDv.toString)
+    try {
+      newRows.write.mode(SaveMode.Overwrite).parquet(stageData.toString)
+      dvRows.write.mode(SaveMode.Overwrite).parquet(stageDv.toString)
+    } finally joined.unpersist(false)
     val fs = fsOf(spark, stageData)
     def partsOf(dir: org.apache.hadoop.fs.Path) = fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -1542,6 +1611,11 @@ object Sinks {
         .toDF("entry", "dir", "schema_json")
         .coalesce(1)
         .write.mode(SaveMode.Append).parquet(fm.toString)
+      // same O(appends) commit-log growth bound as writeBatch: a table
+      // maintained by periodic MOR merges would otherwise regrow the
+      // per-append log file count the threshold exists to cap (we hold
+      // the lease here, so the rewrite runs directly)
+      maybeCompactFilesLog(spark, path, live)
     }
     val delDir = new org.apache.hadoop.fs.Path(live, DeletesManifest)
     val dvParts = partsOf(stageDv)
@@ -1567,7 +1641,7 @@ object Sinks {
   def deletedFraction(spark: SparkSession, path: String): Double = {
     val live = resolveTable(spark, path)
     val dp = new org.apache.hadoop.fs.Path(live, DeletesManifest)
-    if (!fsOf(spark, dp).exists(dp)) return 0.0
+    if (!hasParquetFiles(fsOf(spark, dp), dp)) return 0.0
     val dels = spark.read.parquet(dp.toString).distinct().count()
     if (dels == 0L) return 0.0
     val total = readVersionDirRaw(spark, live).count()

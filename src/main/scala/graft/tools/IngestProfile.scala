@@ -45,7 +45,10 @@ object IngestProfile {
     }
     // A/B knobs: `noaqe` disables adaptive execution (per-stage job
     // scheduling overhead on tiny per-cycle frames), `sp8` narrows the
-    // shuffle width to the bucket count
+    // shuffle width to the bucket count. Since round 19 the engine PINS
+    // both inside every ingest cycle (DedupIndex.withCycleConf), which
+    // would make these knobs inert — export SPARK_GRAFT_NO_CYCLE_PIN=1
+    // (sbt: add it to `run / envVars`) to measure the unpinned baseline.
     if (args.contains("noaqe")) spark.conf.set("spark.sql.adaptive.enabled", "false")
     if (args.contains("sp8")) spark.conf.set("spark.sql.shuffle.partitions", "8")
     val docs = Tables.documents(spark, dir).select("doc_id", "text", "lang")

@@ -1131,6 +1131,67 @@ class SinkSourceSpec extends SparkTestBase {
       "replay duplicated surviving rows")
     assert(replayed.filter(col("key") % 4 === 0).count() === 0,
       "a deleted row came back after the replay")
+    // a SECOND replay: the first one renamed every file, so the positional
+    // vectors now dangle — the deletion must survive through the durable
+    // value store, not the vectors (the round-19 review finding)
+    graft.sources.Sinks.writeBatch(b0.toDF(), root, 0L)
+    val replayed2 = graft.sources.Sinks.readTable(spk, root)
+    assert(replayed2.count() === expected &&
+      replayed2.filter(col("key") % 4 === 0).count() === 0,
+      "the SECOND replay resurrected deleted rows (stale-vector blindness)")
+    // deletions ACCUMULATE across replay generations: a fresh deleteWhere
+    // records vectors against the post-replay files; another replay must
+    // keep both generations dead
+    graft.sources.Sinks.deleteWhere(spk, root, col("key") % 4 === 1)
+    val expected2 = expected - 25L
+    assert(graft.sources.Sinks.readTable(spk, root).count() === expected2)
+    graft.sources.Sinks.writeBatch(b0.toDF(), root, 0L)
+    val replayed3 = graft.sources.Sinks.readTable(spk, root)
+    assert(replayed3.count() === expected2 &&
+      replayed3.filter(col("key") % 4 === 0 || col("key") % 4 === 1).count() === 0,
+      "a replay after a second deleteWhere generation lost a deletion")
+  }
+
+  test("merge-on-read re-run converges a torn duplicate-key state instead of multiplying it") {
+    // The documented crash window (new files landed, vectors not yet)
+    // leaves old+new rows visible per matched key. The converging re-run
+    // must end at ONE visible row per key — a winners side built without
+    // dedup would append the batch row once per matching base copy.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_mortorn").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    val total = ord.count()
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    val updates = ord.filter(col("key") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("seq", lit(2L))
+    val nUpd = updates.count()
+    graft.sources.Sinks.upsertBatchDv(updates, root, "key", "seq")
+    // simulate the crash window retroactively: drop the vectors the merge
+    // just recorded (files stay) — old and new rows are now BOTH visible
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spk.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$live/_deletes"), true))
+    assert(graft.sources.Sinks.readTable(spk, root).count() === total + nUpd,
+      "torn-state setup: expected old+new duplicates to be visible")
+    // the converging re-run of the same merge
+    graft.sources.Sinks.upsertBatchDv(updates, root, "key", "seq")
+    val conv = graft.sources.Sinks.readTable(spk, root)
+    assert(conv.count() === total,
+      "re-run did not converge the duplicate-key state")
+    assert(conv.groupBy("key").count().filter(col("count") > 1).count() === 0,
+      "a key is still visible more than once after the converging re-run")
+    val k = updates.orderBy("key").limit(1).head().getLong(0)
+    val prices = conv.filter(col("key") === k)
+      .select("o_totalprice").collect().map(_.getDouble(0)).toSeq
+    assert(prices.length === 1 && prices.head ===
+      ord.filter(col("key") === k).head().getDouble(2) + 100,
+      s"converged key $k carries $prices")
   }
 
   test("torn batch arrival (dir present, log entry missing): reader families converge after replay") {
@@ -1212,6 +1273,33 @@ class SinkSourceSpec extends SparkTestBase {
       s"skip-read lost rows across the log compaction: $skipN")
     assert(graft.sources.Sinks.valveListings.get() === 0L,
       "log compaction broke the zero-listing contract")
+  }
+
+  test("an empty _deletes directory (mkdirs-then-crash litter) is read as no deletions, not a bricked table") {
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_dvempty").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    val total = ord.count()
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    // the crash shape: the dir exists, no parquet file ever landed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spk.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$live/_deletes"))
+    assert(graft.sources.Sinks.readTable(spk, root).count() === total,
+      "an empty _deletes dir must read as zero deletions")
+    assert(graft.sources.Sinks.deletedFraction(spk, root) === 0.0)
+    // and the next mutation proceeds normally over the litter
+    graft.sources.Sinks.upsertBatchDv(
+      ord.filter(col("key") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("seq", lit(2L)),
+      root, "key", "seq")
+    assert(graft.sources.Sinks.readTable(spk, root).count() === total)
   }
 
   test("compactDeletes: below the threshold a metadata no-op retaining vectors; above, a rewrite folds them") {
