@@ -286,6 +286,26 @@ object Sinks {
         writeBatch(batch.toDF(), path, batchId)
     }
 
+  /** The streaming MERGE sink in MERGE-ON-READ form: each micro-batch
+    * upserts through [[upsertBatchDv]] — superseded rows become deletion
+    * vectors, winners append as new commit-logged files, ZERO base
+    * rewrites per batch. This is the sink a continuously-updated 100 TB
+    * table wants when per-batch updates touch a small scattered fraction:
+    * the copy-on-write [[upsertBatch]] re-stages the whole table every
+    * micro-batch (O(table) writes per batch), while this path writes
+    * O(batch + matched); periodic [[compactDeletes]] folds the vectors
+    * once the read-amplification trade inverts. At-least-once replay
+    * converges on the same visible rows (the (seq, row-hash) total
+    * order — batch-equal replays re-vector and re-append identical rows;
+    * stale replays lose per key and no-op). */
+  def mergeDvStream(stream: DataFrame, path: String, keyCol: String,
+      seqCol: String, deleteCol: String = null)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertBatchDv(batch.toDF(), path, keyCol, seqCol, deleteCol)
+    }
+
   /** One micro-batch of the streaming MERGE sink: upsert `batch` into the
     * keyed parquet table at `path` — the streaming twin of the
     * q_merge_upsert plan. Within the batch, latest-wins per key by

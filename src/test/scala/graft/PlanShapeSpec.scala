@@ -65,8 +65,8 @@ class PlanShapeSpec extends SparkTestBase {
       "q_subquery_scalar",
       // MERGE is ONE keyed full-outer equi-join of base and batch — a
       // BNLJ here would be the per-row-lookup anti-pattern MERGE exists
-      // to avoid
-      "q_merge_upsert")
+      // to avoid; the merge-on-read form shares the join shape
+      "q_merge_upsert", "q_merge_dv")
     mustNotBnlj.foreach { name =>
       assert(!finalPlan(name).contains("BroadcastNestedLoopJoin"),
         s"$name degraded to BroadcastNestedLoopJoin")

@@ -152,6 +152,67 @@ class StreamingSpec extends SparkTestBase {
       "equal-seq rows must resolve deterministically under replay")
   }
 
+  test("merge-on-read streaming MERGE: vectors+appends per batch, zero base rewrites, replay-safe") {
+    // The MOR twin of the foreachBatch streaming MERGE above
+    // (Sinks.mergeDvStream): every micro-batch retires superseded rows as
+    // deletion vectors and appends winners as new files — the SEED
+    // version's base files must survive byte-identical across the whole
+    // stream, and the visible table must match the COW sink's semantics
+    // exactly (update, insert, survivor, fresh replay, stale replay).
+    val spk = spark
+    import spk.implicits._
+    implicit val ctx = spk.sqlContext
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_mor_stream").toString + "/t"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_mor_stream_ck").toString
+    // MOR mutates a committed version: seed through the pointer protocol
+    graft.sources.Sinks.upsertBatch(
+      Seq((1L, "a0", 0L), (2L, "b0", 0L)).toDF("key", "payload", "seq"),
+      table, "key", "seq")
+    val live = graft.sources.Sinks.resolveTable(spk, table)
+    def baseSig(): Map[String, Long] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spk.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(live))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> st.getLen).toMap
+    }
+    val seedFiles = baseSig()
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.sources.Sinks.mergeDvStream(
+        input.toDF().toDF("key", "payload", "seq"), table, "key", "seq")
+      .option("checkpointLocation", ckpt).start()
+    def state(): Map[Long, String] = graft.sources.Sinks.readTable(spk, table)
+      .select("key", "payload").as[(Long, String)].collect().toMap
+    try {
+      // batch 1: update key 1 (in-batch dup, seq 2 wins), insert key 3
+      input.addData((1L, "a1", 1L), (1L, "a2", 2L), (3L, "c1", 1L))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> "a2", 2L -> "b0", 3L -> "c1"))
+      // batch 2: update key 3, key 2 still untouched
+      input.addData((3L, "c2", 2L))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> "a2", 2L -> "b0", 3L -> "c2"))
+    } finally q.stop()
+    // the seed version's files survived every micro-batch byte-identical
+    val after = baseSig()
+    assert(seedFiles.forall { case (n, len) => after.get(n).contains(len) },
+      "a MOR micro-batch rewrote or removed a seed base file")
+    assert(new java.io.File(s"$live/_deletes").exists,
+      "superseded rows must be recorded as deletion vectors")
+    // fresh replay converges (identical visible rows)
+    graft.sources.Sinks.upsertBatchDv(
+      Seq((3L, "c2", 2L)).toDF("key", "payload", "seq"), table, "key", "seq")
+    assert(state() === Map(1L -> "a2", 2L -> "b0", 3L -> "c2"))
+    // stale replay loses per key and is a visible no-op
+    graft.sources.Sinks.upsertBatchDv(
+      Seq((1L, "a1", 1L), (1L, "a2", 2L), (3L, "c1", 1L))
+        .toDF("key", "payload", "seq"), table, "key", "seq")
+    assert(state() === Map(1L -> "a2", 2L -> "b0", 3L -> "c2"),
+      "a stale replayed MOR batch must lose to greater stored seqs")
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     // Stateless stream-static join: no watermark required, the static
     // side broadcasts per micro-batch, and every event is enriched with
