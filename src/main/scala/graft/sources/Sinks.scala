@@ -1526,7 +1526,16 @@ object Sinks {
     * failure mode, consistent with [[writeBatch]]'s at-least-once
     * discipline — never lost rows. Schema evolution is NOT this path's
     * job: an evolving batch goes through the rewriting [[upsertBatch]]
-    * (the version's commit-logged read schema must change with it). */
+    * (the version's commit-logged read schema must change with it).
+    *
+    * HISTORY GRANULARITY (explicit trade): a MOR merge mutates the LIVE
+    * version in place (files + vectors + log rows) and performs no
+    * pointer publish, so [[readTableVersion]] steps over PUBLISHES, not
+    * MOR batches — the pre-merge state is not time-travelable. That is
+    * the deliberate other half of the zero-rewrite price: a deployment
+    * wanting per-merge snapshots interleaves publishes (any rewriting
+    * commit — [[compactDeletes]], OPTIMIZE — creates one), the same
+    * checkpoint-vs-delta granularity call every lake format exposes. */
   /** `deleteCol` (optional) adds the MERGE matched-DELETE clause in
     * merge-on-read form: a winning batch row whose flag is true retires
     * its matched base row as a deletion vector and appends NOTHING — a
