@@ -1302,6 +1302,52 @@ class SinkSourceSpec extends SparkTestBase {
     assert(graft.sources.Sinks.readTable(spk, root).count() === total)
   }
 
+  test("time travel to a pre-fold version still applies that version's own vectors") {
+    // _deletes lives INSIDE the version dir and retires with it — so a
+    // reader time-traveling past a compactDeletes fold must see the
+    // RETIRED version with its vectors applied (the deleted rows were
+    // logically gone before the fold; history must agree), never the
+    // raw pre-delete rows.
+    val spk = spark
+    val root = Files.createTempDirectory("graft_dvtt").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    graft.sources.Sinks.deleteWhere(spk, root, col("key") % 3 === 0)
+    val expected = ord.filter(col("key") % 3 =!= 0).count()
+    assert(graft.sources.Sinks.compactDeletes(spk, root, 0.25, 4),
+      "fold should trigger above the threshold")
+    // live = folded (no vectors); one back = the retired vector-carrying
+    // version — both must show the same logical rows
+    assert(graft.sources.Sinks.readTable(spk, root).count() === expected)
+    val prev = graft.sources.Sinks.readTablePrevious(spk, root)
+    assert(prev.isDefined, "the pre-fold version must be retained")
+    assert(prev.get.count() === expected,
+      "time travel surfaced rows the retired version's vectors had deleted")
+  }
+
+  test("merge-on-read rejects an evolving batch loudly (additive evolution goes through the rewriting path)") {
+    val spk = spark
+    val root = Files.createTempDirectory("graft_morevo").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq")
+    val evolving = ord.limit(5)
+      .withColumn("seq", lit(2L))
+      .withColumn("extra", lit("new-column"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.upsertBatchDv(evolving, root, "key", "seq")
+    }
+    assert(e.getMessage.contains("additive evolution goes through upsertBatch"),
+      s"wrong failure message: ${e.getMessage}")
+    // the rejected batch left the table untouched
+    assert(graft.sources.Sinks.readTable(spk, root).count() === ord.count())
+  }
+
   test("compactDeletes: below the threshold a metadata no-op retaining vectors; above, a rewrite folds them") {
     val spk = spark
     val root = Files.createTempDirectory("graft_dvpolicy").toString + "/t"
