@@ -1644,51 +1644,15 @@ object PipelineOps {
     * table under updates, inserts, AND the replay. */
   val qMergeDvStream = Q(
     "q_merge_dv_stream",
-    """WITH base AS (
-      |  SELECT c_custkey AS key, 0 AS seq, c_acctbal AS bal FROM customer),
-      |b1 AS (
-      |  SELECT CASE WHEN o_custkey % 2 = 1 THEN -o_custkey
-      |              ELSE o_custkey END AS key,
-      |    1 AS seq, o_totalprice AS bal
-      |  FROM (
-      |    SELECT o_custkey, o_totalprice,
-      |      row_number() OVER (PARTITION BY o_custkey
-      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-      |    FROM orders)
-      |  WHERE rn = 1),
-      |b2 AS (
-      |  SELECT c_custkey AS key, 2 AS seq, 0.0 AS bal FROM customer
-      |  WHERE c_acctbal < 0),
-      |u AS (
-      |  SELECT * FROM base UNION ALL SELECT * FROM b1
-      |  UNION ALL SELECT * FROM b2)
-      |SELECT key, seq, bal FROM (
-      |  SELECT key, seq, bal,
-      |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
-      |  FROM u)
-      |WHERE rn = 1
-      |ORDER BY key""".stripMargin
+    // ONE shared oracle with the COW twin (Scans.mergeStreamOracle): the
+    // rows' same-visible-table claim holds by construction, not by two
+    // copies staying in sync
+    Scans.mergeStreamOracle
   ) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val path = Scans.rtDir("merge_dv_stream") + "/state"
+    val (seed, b1, b2) = Scans.mergeStreamBatches(spark, dir)
     // MOR mutates a committed version: seed through the pointer protocol
-    graft.sources.Sinks.upsertBatch(
-      Tables.customer(spark, dir).select(
-        col("c_custkey").as("key"), lit(0).as("seq"),
-        col("c_acctbal").as("bal")),
-      path, "key", "seq")
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
-    val b1 = Tables.orders(spark, dir)
-      .select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(
-        when(col("o_custkey") % 2 === 1, -col("o_custkey"))
-          .otherwise(col("o_custkey")).as("key"),
-        lit(1).as("seq"), col("o_totalprice").as("bal"))
-    val b2 = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
-      .select(col("c_custkey").as("key"), lit(2).as("seq"),
-        lit(0.0).as("bal"))
+    graft.sources.Sinks.upsertBatch(seed, path, "key", "seq")
     graft.sources.Sinks.upsertBatchDv(b1, path, "key", "seq")
     graft.sources.Sinks.upsertBatchDv(b2, path, "key", "seq")
     graft.sources.Sinks.upsertBatchDv(b1, path, "key", "seq") // stale replay

@@ -266,8 +266,13 @@ object Scans {
     * botched staged-swap breaks the cross-engine hash. Scale: each batch
     * is ONE full-outer equi-join against the keyed table (the plan
     * Delta/Iceberg run under streaming MERGE), never a per-row lookup. */
-  val qMergeStream = Q(
-    "q_merge_stream",
+  /** The streaming-MERGE protocol's ORACLE and batch builders, shared
+    * verbatim by the copy-on-write row (q_merge_stream) and its
+    * merge-on-read twin (q_merge_dv_stream in PipelineOps): the two rows'
+    * "same visible table" claim is only as strong as their oracles and
+    * inputs staying byte-equivalent, so both reference ONE definition —
+    * an edit here moves both twins together, never silently one. */
+  private[operators] val mergeStreamOracle: String =
     """WITH base AS (
       |  SELECT c_custkey AS key, 0 AS seq, c_acctbal AS bal FROM customer),
       |b1 AS (
@@ -292,14 +297,16 @@ object Scans {
       |  FROM u)
       |WHERE rn = 1
       |ORDER BY key""".stripMargin
-  ) { (spark, dir) =>
+
+  /** The protocol's seed frame and two micro-batches: (seed, b1, b2). */
+  private[operators] def mergeStreamBatches(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val path = rtDir("merge_stream") + "/state"
-    graft.sources.Sinks.write(
-      Tables.customer(spark, dir).select(
-        col("c_custkey").as("key"), lit(0).as("seq"),
-        col("c_acctbal").as("bal")),
-      path)
+    val seed = Tables.customer(spark, dir).select(
+      col("c_custkey").as("key"), lit(0).as("seq"),
+      col("c_acctbal").as("bal"))
     val w = Window.partitionBy("o_custkey")
       .orderBy(desc("o_orderdate"), desc("o_orderkey"))
     val b1 = Tables.orders(spark, dir)
@@ -312,6 +319,16 @@ object Scans {
     val b2 = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
       .select(col("c_custkey").as("key"), lit(2).as("seq"),
         lit(0.0).as("bal"))
+    (seed, b1, b2)
+  }
+
+  val qMergeStream = Q(
+    "q_merge_stream",
+    mergeStreamOracle
+  ) { (spark, dir) =>
+    val path = rtDir("merge_stream") + "/state"
+    val (seed, b1, b2) = mergeStreamBatches(spark, dir)
+    graft.sources.Sinks.write(seed, path)
     graft.sources.Sinks.upsertBatch(b1, path, "key", "seq")
     graft.sources.Sinks.upsertBatch(b2, path, "key", "seq")
     graft.sources.Sinks.upsertBatch(b1, path, "key", "seq") // stale replay

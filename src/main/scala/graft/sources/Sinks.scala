@@ -1546,7 +1546,16 @@ object Sinks {
     * and is then filtered by its own flag — appending and deleting
     * nothing. */
   def upsertBatchDv(batch: DataFrame, path: String, keyCol: String,
-      seqCol: String, deleteCol: String = null): Unit =
+      seqCol: String, deleteCol: String = null): Unit = {
+    // empty-trigger short-circuit: a recovered/offsets-only micro-batch
+    // must not pay the whole-version read + merge join + staged writes
+    // for zero rows (at 100 TB that is a full table scan per no-op)
+    if (batch.isEmpty) return
+    upsertBatchDvNonEmpty(batch, path, keyCol, seqCol, deleteCol)
+  }
+
+  private def upsertBatchDvNonEmpty(batch: DataFrame, path: String,
+      keyCol: String, seqCol: String, deleteCol: String): Unit =
     withTableLock(batch.sparkSession, path) {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
@@ -1575,6 +1584,21 @@ object Sinks {
       s"merge-on-read batch columns ${latest.columns.sorted.mkString(",")} " +
         s"must equal the table's ${dataCols.sorted.mkString(",")} — " +
         "additive evolution goes through upsertBatch")
+    // TYPE parity too (the COW path's own guard, same rationale): names
+    // alone would let a same-name-different-type batch append mixed-type
+    // parquet next to the base files — every later plain read of the
+    // version throws on the footer mismatch (a silently bricked table),
+    // and int-vs-long also xxhash64 differently, breaking the replay
+    // tiebreak. Fail loudly at the write instead.
+    val typeClash = dataCols.flatMap { c =>
+      val bt = base.schema(c).dataType
+      val lt = latest.schema(c).dataType
+      if (bt == lt) None else Some(s"$c (table ${bt.sql}, batch ${lt.sql})")
+    }
+    require(typeClash.isEmpty,
+      "merge-on-read batch changes the type of existing column(s) " +
+        s"${typeClash.mkString(", ")} — cast the batch to the table's " +
+        "types explicitly before merging")
     val b = latest.columns.foldLeft(latest) { (d, c) =>
       d.withColumnRenamed(c, s"__b_$c")
     }

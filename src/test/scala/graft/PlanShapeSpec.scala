@@ -65,8 +65,10 @@ class PlanShapeSpec extends SparkTestBase {
       "q_subquery_scalar",
       // MERGE is ONE keyed full-outer equi-join of base and batch — a
       // BNLJ here would be the per-row-lookup anti-pattern MERGE exists
-      // to avoid; the merge-on-read form shares the join shape
-      "q_merge_upsert", "q_merge_dv")
+      // to avoid. (The merge-on-read form runs its join EAGERLY inside
+      // upsertBatchDv, invisible to finalPlan — it gets its own
+      // listener-captured lock below, not a vacuous entry here.)
+      "q_merge_upsert")
     mustNotBnlj.foreach { name =>
       assert(!finalPlan(name).contains("BroadcastNestedLoopJoin"),
         s"$name degraded to BroadcastNestedLoopJoin")
@@ -790,5 +792,54 @@ class PlanShapeSpec extends SparkTestBase {
     assert(read >= 0, "partitioned scan exposes no numPartitions metric")
     assert(read < 5 && read > 0,
       s"dynamic pruning read $read partitions; expected 2 of 5")
+  }
+
+  test("merge-on-read merge join executes as a keyed full-outer equi-join, never a nested loop") {
+    // upsertBatchDv runs its merge join EAGERLY inside the call, so the
+    // returned DataFrame's plan (what finalPlan sees) never contains it —
+    // a mustNotBnlj entry for q_merge_dv would be a VACUOUS lock (the
+    // r17 valve-spec failure mode). Capture the plans the merge actually
+    // executes with a QueryExecutionListener and assert on those.
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val spk = spark
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spk.listenerManager.register(listener)
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_morplan").toString + "/t"
+      val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+        .select(col("o_orderkey").as("key"), col("o_orderdate"),
+          col("o_totalprice"))
+      graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+        root, "key", "seq")
+      graft.sources.Sinks.upsertBatchDv(
+        ord.filter(col("key") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("seq", lit(2L)),
+        root, "key", "seq")
+      // listener delivery is async — poll for the FullOuter plan(s)
+      val deadline = System.currentTimeMillis() + 30000
+      def fullOuter = plans.asScala.filter(_.contains("FullOuter")).toSeq
+      while (fullOuter.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val captured = fullOuter
+      assert(captured.nonEmpty,
+        "no FullOuter merge plan was captured from upsertBatchDv")
+      captured.foreach { p =>
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"merge-on-read merge degraded to BroadcastNestedLoopJoin:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"merge-on-read FullOuter is not a keyed shuffle join:\n$p")
+      }
+    } finally spk.listenerManager.unregister(listener)
   }
 }

@@ -1346,6 +1346,18 @@ class SinkSourceSpec extends SparkTestBase {
       s"wrong failure message: ${e.getMessage}")
     // the rejected batch left the table untouched
     assert(graft.sources.Sinks.readTable(spk, root).count() === ord.count())
+    // same-name TYPE change fails just as loudly (a name-only guard would
+    // append mixed-type parquet into the live version and brick every
+    // later plain read — the COW path's own documented hazard)
+    val typeChanged = ord.limit(5)
+      .withColumn("seq", lit(2L))
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.upsertBatchDv(typeChanged, root, "key", "seq")
+    }
+    assert(e2.getMessage.contains("cast the batch to the table's types"),
+      s"wrong type-clash message: ${e2.getMessage}")
+    assert(graft.sources.Sinks.readTable(spk, root).count() === ord.count())
   }
 
   test("compactDeletes: below the threshold a metadata no-op retaining vectors; above, a rewrite folds them") {
