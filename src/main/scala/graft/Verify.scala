@@ -29,7 +29,10 @@ object Verify {
   def ntzNormalize(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
       val want = ntzType(f.dataType)
-      if (want == f.dataType) d else d.withColumn(f.name, col(f.name).cast(want))
+      // backtick-quote (escaping embedded backticks) so a top-level column
+      // whose name contains a dot can't misparse as a struct path
+      val ref = col("`" + f.name.replace("`", "``") + "`")
+      if (want == f.dataType) d else d.withColumn(f.name, ref.cast(want))
     }
   /** Post-dump tripwire (VERDICT r18 next-round #3): read the written parquet
     * footers back and reject any timestamp annotated isAdjustedToUTC=true —

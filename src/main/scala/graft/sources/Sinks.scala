@@ -211,8 +211,8 @@ object Sinks {
     // skip-readers until the streaming engine replays it (at-least-once),
     // the data-then-log commit discipline of every lake format. Plain
     // full-table readers ([[readTable]]) see the batch either way.
-    val fm = new org.apache.hadoop.fs.Path(live, FilesManifest)
-    if (fsOf(spark, fm).exists(fm)) {
+    val fm = healedFilesLog(fsv, live)
+    if (fsv.exists(fm)) {
       import spark.implicits._
       Seq((s"$live/batch=$batchId", true, null: String))
         .toDF("entry", "dir", "schema_json")
@@ -233,10 +233,16 @@ object Sinks {
   /** Fold the `_files` log back to a single file once the per-batch
     * appends pass [[FilesLogCompactThreshold]]. Crash-safe without an
     * atomic dir swap: the compacted log is staged to a hidden tmp dir,
-    * then delete-old + rename-tmp — a crash between the two leaves the
-    * version with NO `_files`, which skip-readers already handle soundly
-    * (the counted legacy listing valve) and the next publish rewrites.
-    * Duplicate dir entries from at-least-once replays dedup here too.
+    * then swapped RENAME-FIRST (rename `_files` aside to a hidden
+    * `.files-compact-old-*` dir, rename the staged tmp into place, delete
+    * the old) — a crash between the renames leaves the version without
+    * `_files` but with the complete log content parked in the old dir,
+    * which [[healedFilesLog]] renames back on the next append. Skip-reads
+    * inside that window fall to the counted listing valve (sound); the
+    * r19 ADVICE failure mode — a streaming-only table losing its log
+    * FOREVER because the appenders' `fs.exists` guard never recreates it —
+    * is closed by the heal. Duplicate dir entries from at-least-once
+    * replays dedup here too.
     *
     * LEASE-GUARDED, best-effort: the snapshot→delete→rename rewrite would
     * silently DESTROY a log row a concurrent lease-holding mutator (e.g.
@@ -258,21 +264,59 @@ object Sinks {
       st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (parts <= FilesLogCompactThreshold) return
     def rewrite(): Unit = {
+      // sweep swap litter from earlier crashed compactions FIRST: `_files`
+      // exists here, so any `.files-compact-*` entry (staged tmp or a
+      // superseded old) is dead weight — and clearing superseded olds now
+      // is what makes healedFilesLog's rename-back unambiguous (at most
+      // one old dir can ever exist)
+      fs.listStatus(new org.apache.hadoop.fs.Path(live)).foreach { st =>
+        if (st.getPath.getName.startsWith(".files-compact-"))
+          fs.delete(st.getPath, true)
+      }
       val rows = spark.read.parquet(fm.toString)
         .select("entry", "dir", "schema_json").distinct()
-        .localCheckpoint(true) // materialize BEFORE the old log dir is deleted
-      val tmp = new org.apache.hadoop.fs.Path(live,
-        s".files-compact-${java.util.UUID.randomUUID().toString.take(12)}")
+        .localCheckpoint(true) // materialize BEFORE the old log dir moves
+      val tag = java.util.UUID.randomUUID().toString.take(12)
+      val tmp = new org.apache.hadoop.fs.Path(live, s".files-compact-$tag")
       rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(fm, true)
+      val old = new org.apache.hadoop.fs.Path(live, s".files-compact-old-$tag")
+      if (!fs.rename(fm, old)) throw new java.io.IOException(
+        s"could not park $fm for the compaction swap")
       if (!fs.rename(tmp, fm)) throw new java.io.IOException(
         s"could not swap compacted _files log into place at $fm")
+      fs.delete(old, true)
     }
     val root = new org.apache.hadoop.fs.Path(rootPath)
     if (heldLeases.get().contains(root.toUri.getPath)) rewrite()
     else
       try withTableLock(spark, rootPath)(rewrite())
       catch { case _: ConcurrentWriterException => () } // busy: skip, retry next append
+  }
+
+  /** Resolve the version's `_files` log path, HEALING a compaction swap
+    * that crashed between [[maybeCompactFilesLog]]'s two renames: the
+    * complete log content survives in the parked `.files-compact-old-*`
+    * dir, so rename it back before any appender concludes "this version
+    * has no log". Without this the appenders' `fs.exists` guard never
+    * recreates the log and a long streaming-only table silently degrades
+    * every skip read to the counted listing valve forever (sound, but it
+    * defeats the O(manifest) contract — the r19 ADVICE finding). At most
+    * one old dir can exist (the rewrite sweeps superseded swap litter
+    * before each compaction), so the rename-back is unambiguous. Called
+    * from MUTATOR append paths only — single-writer by contract; readers
+    * in the crash window keep falling to the sound counted valve. */
+  private def healedFilesLog(fs: org.apache.hadoop.fs.FileSystem,
+      live: String): org.apache.hadoop.fs.Path = {
+    val fm = new org.apache.hadoop.fs.Path(live, FilesManifest)
+    if (!fs.exists(fm)) {
+      val liveP = new org.apache.hadoop.fs.Path(live)
+      if (fs.exists(liveP))
+        fs.listStatus(liveP)
+          .find(st => st.isDirectory &&
+            st.getPath.getName.startsWith(".files-compact-old-"))
+          .foreach(st => fs.rename(st.getPath, fm))
+    }
+    fm
   }
 
   /** Exactly-once streaming parquet sink via foreachBatch — the seam a
@@ -1657,7 +1701,7 @@ object Sinks {
         s"merge-on-read commit: could not move $p into $live")
       dst.toString
     }
-    val fm = new org.apache.hadoop.fs.Path(live, FilesManifest)
+    val fm = healedFilesLog(fs, live)
     if (landed.nonEmpty && fs.exists(fm)) {
       import spark.implicits._
       landed.map(f => (f, false, null: String))

@@ -1275,6 +1275,56 @@ class SinkSourceSpec extends SparkTestBase {
       "log compaction broke the zero-listing contract")
   }
 
+  test("a compaction swap crashed between renames is healed by the next append: _files recovered, zero-listing skip reads resume") {
+    // The r19 ADVICE failure mode: the old delete-then-rename swap could
+    // crash leaving the version with NO _files, and because both append
+    // paths guard their log appends with fs.exists, the log was never
+    // recreated — every later skip read paid the counted listing valve
+    // forever. The rename-first swap parks the log in a hidden
+    // .files-compact-old-* dir instead, and the next append renames it
+    // back (healedFilesLog) before appending.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_logheal").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    def arrival(k: Long) = spk.range(2).select(
+      (col("id") + k).as("key"),
+      lit("1996-02-10 00:00:00").cast("timestamp_ntz").as("o_orderdate"),
+      lit(1.0).as("o_totalprice"), lit(1L).as("seq"))
+    graft.sources.Sinks.writeBatch(arrival(900000001L).toDF(), root, 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spk.sparkContext.hadoopConfiguration)
+    // the crash shape: the swap parked the log aside and died before the
+    // second rename could put the compacted copy in place
+    val fm = new org.apache.hadoop.fs.Path(s"$live/_files")
+    assert(fs.rename(fm,
+      new org.apache.hadoop.fs.Path(s"$live/.files-compact-old-crash")))
+    assert(!fs.exists(fm))
+    // next append heals: log renamed back, prior entries intact, the new
+    // arrival commit-logged on top
+    graft.sources.Sinks.writeBatch(arrival(900000011L).toDF(), root, 2L)
+    assert(fs.exists(fm), "append did not heal the parked _files log")
+    val entries = spk.read.parquet(fm.toString)
+      .select("entry").as[String].collect()
+    assert(entries.exists(_.endsWith("batch=1")) &&
+      entries.exists(_.endsWith("batch=2")),
+      s"healed log lost entries: ${entries.mkString(",")}")
+    val lo = lit("1990-01-01 00:00:00").cast("timestamp")
+    val hi = lit("2000-12-31 23:59:59").cast("timestamp")
+    val inRange = ord.filter(col("o_orderdate").between(lo, hi)).count()
+    graft.sources.Sinks.valveListings.set(0L)
+    assert(graft.sources.Sinks
+      .readTableSkip(spk, root, "o_orderdate", lo, hi).count() === inRange + 4L,
+      "healed log lost rows")
+    assert(graft.sources.Sinks.valveListings.get() === 0L,
+      "healed log still paying the listing valve")
+  }
+
   test("an empty _deletes directory (mkdirs-then-crash litter) is read as no deletions, not a bricked table") {
     val spk = spark
     import spk.implicits._
