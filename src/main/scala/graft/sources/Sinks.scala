@@ -256,34 +256,52 @@ object Sinks {
     * (A second lockless streaming writer on one table is outside the
     * sink's contract anyway — their batch=<id> dirs would collide.) */
   private def maybeCompactFilesLog(spark: SparkSession, rootPath: String,
-      live: String): Unit = {
-    val fm = new org.apache.hadoop.fs.Path(live, FilesManifest)
+      live: String): Unit =
+    maybeCompactManifest(spark, rootPath, live, FilesManifest)
+
+  /** The hidden swap-litter prefix for `name`'s compaction: staged tmp
+    * dirs are `<prefix><tag>`, the parked pre-swap manifest is
+    * `<prefix>old-<tag>`. */
+  private def parkPrefix(name: String): String =
+    s".${name.stripPrefix("_")}-compact-"
+
+  /** [[maybeCompactFilesLog]] generalized to ANY appended hidden manifest
+    * (`_files`, and since the MOR merge harvests envelopes per batch,
+    * `_stats` / `_bloom` too — each append adds a one-file parquet, so a
+    * long merge-maintained table would regrow the O(appends) file count
+    * in its manifest dirs that the threshold exists to cap). Fold =
+    * whole-row distinct: every appended row is keyed by its file entry,
+    * so duplicates only arise from at-least-once replays and fold
+    * losslessly. */
+  private def maybeCompactManifest(spark: SparkSession, rootPath: String,
+      live: String, name: String): Unit = {
+    val fm = new org.apache.hadoop.fs.Path(live, name)
     val fs = fsOf(spark, fm)
     if (!fs.exists(fm)) return
     val parts = fs.listStatus(fm).count(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (parts <= FilesLogCompactThreshold) return
+    val prefix = parkPrefix(name)
     def rewrite(): Unit = {
-      // sweep swap litter from earlier crashed compactions FIRST: `_files`
-      // exists here, so any `.files-compact-*` entry (staged tmp or a
+      // sweep swap litter from earlier crashed compactions FIRST: the
+      // manifest exists here, so any `<prefix>*` entry (staged tmp or a
       // superseded old) is dead weight — and clearing superseded olds now
-      // is what makes healedFilesLog's rename-back unambiguous (at most
+      // is what makes healedManifest's rename-back unambiguous (at most
       // one old dir can ever exist)
       fs.listStatus(new org.apache.hadoop.fs.Path(live)).foreach { st =>
-        if (st.getPath.getName.startsWith(".files-compact-"))
+        if (st.getPath.getName.startsWith(prefix))
           fs.delete(st.getPath, true)
       }
-      val rows = spark.read.parquet(fm.toString)
-        .select("entry", "dir", "schema_json").distinct()
-        .localCheckpoint(true) // materialize BEFORE the old log dir moves
+      val rows = spark.read.parquet(fm.toString).distinct()
+        .localCheckpoint(true) // materialize BEFORE the old manifest moves
       val tag = java.util.UUID.randomUUID().toString.take(12)
-      val tmp = new org.apache.hadoop.fs.Path(live, s".files-compact-$tag")
+      val tmp = new org.apache.hadoop.fs.Path(live, s"$prefix$tag")
       rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(live, s".files-compact-old-$tag")
+      val old = new org.apache.hadoop.fs.Path(live, s"${prefix}old-$tag")
       if (!fs.rename(fm, old)) throw new java.io.IOException(
         s"could not park $fm for the compaction swap")
       if (!fs.rename(tmp, fm)) throw new java.io.IOException(
-        s"could not swap compacted _files log into place at $fm")
+        s"could not swap compacted $name manifest into place at $fm")
       fs.delete(old, true)
     }
     val root = new org.apache.hadoop.fs.Path(rootPath)
@@ -306,14 +324,19 @@ object Sinks {
     * from MUTATOR append paths only — single-writer by contract; readers
     * in the crash window keep falling to the sound counted valve. */
   private def healedFilesLog(fs: org.apache.hadoop.fs.FileSystem,
-      live: String): org.apache.hadoop.fs.Path = {
-    val fm = new org.apache.hadoop.fs.Path(live, FilesManifest)
+      live: String): org.apache.hadoop.fs.Path =
+    healedManifest(fs, live, FilesManifest)
+
+  /** [[healedFilesLog]] generalized to any compactable hidden manifest. */
+  private def healedManifest(fs: org.apache.hadoop.fs.FileSystem,
+      live: String, name: String): org.apache.hadoop.fs.Path = {
+    val fm = new org.apache.hadoop.fs.Path(live, name)
     if (!fs.exists(fm)) {
       val liveP = new org.apache.hadoop.fs.Path(live)
       if (fs.exists(liveP))
         fs.listStatus(liveP)
           .find(st => st.isDirectory &&
-            st.getPath.getName.startsWith(".files-compact-old-"))
+            st.getPath.getName.startsWith(s"${parkPrefix(name)}old-"))
           .foreach(st => fs.rename(st.getPath, fm))
     }
     fm
@@ -628,13 +651,15 @@ object Sinks {
     val known = spark.read.parquet(manifestDir)
       .select("file").collect().map(r => norm(r.getString(0))).toSet
     val fm = new org.apache.hadoop.fs.Path(live, FilesManifest)
+    // unknown entries carry their dir-ness so the DV pre-filter below can
+    // match dir entries by prefix and file entries exactly
     val (unknown, commitSchema) =
       if (fsOf(spark, fm).exists(fm)) {
         val rows = spark.read.parquet(fm.toString)
           .select("entry", "dir", "schema_json").collect()
         val u = rows.iterator
           .filter(r => r.getBoolean(1) || !known(norm(r.getString(0))))
-          .map(_.getString(0)).toSeq.distinct
+          .map(r => (r.getString(0), r.getBoolean(1))).toSeq.distinct
         val sj = rows.iterator.flatMap(r => Option(r.getString(2)))
           .toSeq.headOption.map(j =>
             org.apache.spark.sql.types.DataType.fromJson(j)
@@ -642,12 +667,13 @@ object Sinks {
         (u, sj)
       } else {
         valveListings.incrementAndGet()
-        (listDataFiles(spark, live).filterNot(p => known(norm(p))), None)
+        (listDataFiles(spark, live).filterNot(p => known(norm(p)))
+          .map(p => (p, false)), None)
       }
     // legacy (or empty-log corner) only: schema via Spark's own listing
     lazy val inferredSchema = readVersionDir(spark, live).schema
     val schema = commitSchema.getOrElse(inferredSchema)
-    val all = (sel ++ unknown).distinct
+    val all = (sel.map(s => (s, false)) ++ unknown).distinct
     if (all.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -658,9 +684,13 @@ object Sinks {
     // batch lineage column is not surfaced by pruned reads. Deletion
     // vectors apply here too — a skip-read must never return a row the
     // whole-version read hides (only on the file-source branch: the
-    // empty frame has no _metadata to resolve, and nothing to delete).
+    // empty frame has no _metadata to resolve, and nothing to delete) —
+    // PRE-FILTERED to the scanned entries, so the DV probe cost tracks
+    // the files this query actually reads, not the table's total deletes.
     else applyDeletes(spark, live,
-      spark.read.schema(schema).parquet(all: _*))
+      spark.read.schema(schema).parquet(all.map(_._1): _*),
+      Some((all.collect { case (e, false) => e },
+        all.collect { case (e, true) => e })))
   }
 
   // ---- Commit-time manifest construction ----------------------------------
@@ -1505,13 +1535,47 @@ object Sinks {
     * must resolve). No broadcast hint: DV volume is bounded by deleted
     * rows, and AQE's size-gated broadcast decides; at pathological
     * delete volumes the planner falls back to a shuffle join instead of
-    * OOMing the driver. */
+    * OOMing the driver.
+    *
+    * `scanned` = (file entries, dir entries) when the caller scans a
+    * PRUNED subset of the version (the skip/bloom readers): the vector
+    * set is pre-filtered to positions inside those entries, so the
+    * anti-join probe cost tracks FILES SCANNED, not total deletes
+    * (VERDICT r19 #4 — without this a narrow skip-read over a
+    * heavily-deleted-but-below-compaction-threshold table distincts and
+    * probes every vector in the table on every query). A vector outside
+    * the scanned set matches nothing by construction (both sides carry
+    * the file path), so the filter is a pure cost cut, never a
+    * correctness change. Comparison is on the NORMALIZED URI path —
+    * vectors record `_metadata.file_path` (`file:/…`) while manifest
+    * entries come from listings (`file:/…`) or the data-scan stats
+    * fallback (`file:///…`); stripping `scheme://authority` / `scheme:/`
+    * on both sides makes the match rendering-insensitive. Dir entries
+    * (post-commit `batch=` arrivals) match by prefix. */
   private def applyDeletes(spark: SparkSession, dir: String,
-      df: DataFrame): DataFrame = {
+      df: DataFrame,
+      scanned: Option[(Seq[String], Seq[String])] = None): DataFrame = {
     val dp = new org.apache.hadoop.fs.Path(dir, DeletesManifest)
     if (!hasParquetFiles(fsOf(spark, dp), dp)) df
     else {
-      val dels = spark.read.parquet(dp.toString)
+      val raw = spark.read.parquet(dp.toString)
+      val pruned = scanned match {
+        case None => raw
+        case Some((files, dirs)) =>
+          def norm(s: String): String =
+            new org.apache.hadoop.fs.Path(s).toUri.getPath
+          val normCol = functions.regexp_replace(
+            functions.regexp_replace(functions.col("file"),
+              "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
+          val fileKeep =
+            if (files.isEmpty) functions.lit(false)
+            else normCol.isin(files.map(norm): _*)
+          val keep = dirs.map(d => norm(d).stripSuffix("/") + "/")
+            .foldLeft(fileKeep)((acc, p) => acc || normCol.startsWith(p))
+          raw.filter(keep)
+      }
+      val dels = pruned
         .select(functions.col("file").as("__dv_file"),
           functions.col("pos").as("__dv_pos"))
         .distinct() // idempotent under replayed/duplicate delete appends
@@ -1714,6 +1778,11 @@ object Sinks {
       // the lease here, so the rewrite runs directly)
       maybeCompactFilesLog(spark, path, live)
     }
+    // harvest the landed files' envelopes into the pruning manifests so
+    // skip/bloom reads can prune them (ADVICE r19 — unharvested MOR
+    // appends are always-scanned, read amplification growing linearly
+    // with merge batches until a rewriting commit)
+    if (landed.nonEmpty) harvestAppendedManifests(spark, path, live, landed)
     val delDir = new org.apache.hadoop.fs.Path(live, DeletesManifest)
     val dvParts = partsOf(stageDv)
     if (dvParts.nonEmpty) {
@@ -1726,6 +1795,73 @@ object Sinks {
     }
     fs.delete(stageData, true)
     fs.delete(stageDv, true)
+  }
+
+  /** Harvest the footer envelopes (and Bloom sketches) of files APPENDED
+    * by a merge-on-read commit into the live version's `_stats`/`_bloom`
+    * manifests (ADVICE r19): without this every MOR-appended file is
+    * absent from the pruning manifests, so every skip/bloom read must
+    * scan it regardless of predicate — read amplification growing
+    * linearly with merge batches until a rewriting commit. Cost is
+    * O(landed files) footer reads plus one column-pruned data pass over
+    * ONLY the landed files for the sketch — the same per-commit price
+    * [[writeVersionManifests]] pays, scoped to the batch. Crash-safe by
+    * the manifests' prune-only-what-you-cover contract: a crash before
+    * either append leaves the landed files unknown to the manifests =
+    * always scanned (sound); a crash between the two appends leaves one
+    * manifest richer (also sound). Unusable footers (exotic types) skip
+    * the stats append — the valve semantics, never partial rows. Runs
+    * under the caller's lease; manifest file-count growth is folded by
+    * the same threshold compaction as the `_files` log. */
+  private def harvestAppendedManifests(spark: SparkSession, rootPath: String,
+      live: String, landed: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(live))
+    val statsDir = healedManifest(fs, live, "_stats")
+    val bloomDir = healedManifest(fs, live, "_bloom")
+    val statsCols =
+      if (hasParquetFiles(fs, statsDir)) liveStatsCols(spark, rootPath) else Nil
+    val bloomKey =
+      if (hasParquetFiles(fs, bloomDir)) liveBloomCol(spark, rootPath) else None
+    if (statsCols.isEmpty && bloomKey.isEmpty) return
+    // footer-only reads: schema + per-file row counts + min/max envelopes
+    val schema = spark.read.parquet(landed: _*).schema
+    val footers = readFooters(spark, landed,
+      statsCols.filter(schema.fieldNames.contains)
+        .map(c => (c, schema(c).dataType)))
+    if (statsCols.nonEmpty && statsCols.forall(schema.fieldNames.contains)) {
+      footerStatsRows(footers, statsCols.map(c => schema(c).dataType)) match {
+        case Some(rs) =>
+          val statsSchema = StructType(
+            StructField("file", StringType) +: statsCols.flatMap(c => Seq(
+              StructField(s"${c}_min", schema(c).dataType),
+              StructField(s"${c}_max", schema(c).dataType))))
+          spark.createDataFrame(rs.asJava, statsSchema)
+            .withColumn("stats_cols", functions.lit(statsCols.mkString(",")))
+            .coalesce(1)
+            .write.mode(SaveMode.Append).parquet(statsDir.toString)
+          maybeCompactManifest(spark, rootPath, live, "_stats")
+        case None => () // unusable footer: files stay unknown = always read
+      }
+    }
+    bloomKey.filter(schema.fieldNames.contains).foreach { c =>
+      graft.functions.BloomExprs.register(spark)
+      // capacity from the landed files' REAL max rows-per-file, same
+      // sizing rule as the commit-time sketch build
+      val maxRows = if (footers.nonEmpty) footers.map(_.rows).max else 0L
+      val estItems = math.max(40000L, maxRows)
+      val numBits = estItems * 10L
+      spark.read.parquet(landed: _*)
+        .groupBy(functions.input_file_name().as("file"))
+        .agg(functions.expr(
+          s"graft_bloom_agg(xxhash64(`$c`), ${estItems}L, ${numBits}L)")
+          .as("bloom"))
+        .withColumn("key_col", functions.lit(c))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(bloomDir.toString)
+      maybeCompactManifest(spark, rootPath, live, "_bloom")
+    }
   }
 
   /** Deleted fraction of the live version: distinct recorded (file, pos)

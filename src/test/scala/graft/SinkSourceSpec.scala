@@ -1325,6 +1325,61 @@ class SinkSourceSpec extends SparkTestBase {
       "healed log still paying the listing valve")
   }
 
+  test("merge-on-read appends harvest footer envelopes: every landed file joins the pruning manifests, reads stay sound") {
+    // ADVICE r19: upsertBatchDv used to append data files WITHOUT
+    // harvesting their stats/bloom envelopes, so every skip/bloom read
+    // scanned all MOR-appended files regardless of predicate — read
+    // amplification growing linearly with merge batches. Landed files
+    // must now appear in _stats AND _bloom, and both pruned read shapes
+    // must stay correct over the harvested manifests.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_morharvest").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"), bloomCol = "key")
+    val b = ord.filter(col("key") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("seq", lit(2L))
+    graft.sources.Sinks.upsertBatchDv(b, root, "key", "seq")
+    val live = graft.sources.Sinks.resolveTable(spk, root)
+    def norm(s: String) =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val logged = spk.read.parquet(s"$live/_files")
+      .filter(!col("dir")).select("entry").as[String].collect()
+      .map(norm).toSet
+    val statted = spk.read.parquet(s"$live/_stats")
+      .select("file").as[String].collect().map(norm).toSet
+    val bloomed = spk.read.parquet(s"$live/_bloom")
+      .select("file").as[String].collect().map(norm).toSet
+    assert(logged.subsetOf(statted),
+      s"MOR-landed files missing from _stats: ${(logged -- statted).take(3)}")
+    assert(logged.subsetOf(bloomed),
+      s"MOR-landed files missing from _bloom: ${(logged -- bloomed).take(3)}")
+    // skip read over the harvested manifest: sound, zero listings
+    val lo = lit("1990-01-01 00:00:00").cast("timestamp")
+    val hi = lit("2000-12-31 23:59:59").cast("timestamp")
+    val inRange = ord.filter(col("o_orderdate").between(lo, hi)).count()
+    graft.sources.Sinks.valveListings.set(0L)
+    assert(graft.sources.Sinks
+      .readTableSkip(spk, root, "o_orderdate", lo, hi).count() === inRange,
+      "skip read over harvested manifests lost rows")
+    assert(graft.sources.Sinks.valveListings.get() === 0L)
+    // bloom point lookup finds the UPDATED row (it lives in a landed,
+    // freshly-harvested file) with the updated value
+    val probeKey = ord.filter(col("key") % 10 === 0)
+      .select("key").as[Long].head()
+    val hit = graft.sources.Sinks
+      .readTableBloomSkip(spk, root, "key", Seq(probeKey))
+    assert(hit.count() === 1L, "bloom lookup lost the MOR-updated row")
+    val orig = ord.filter(col("key") === probeKey)
+      .select("o_totalprice").as[Double].head()
+    assert(hit.select("o_totalprice").as[Double].head() === orig + 1.0,
+      "bloom lookup returned the superseded row, not the merged one")
+  }
+
   test("an empty _deletes directory (mkdirs-then-crash litter) is read as no deletions, not a bricked table") {
     val spk = spark
     import spk.implicits._
