@@ -1535,8 +1535,14 @@ object PipelineOps {
     * and manifest pruning compose losslessly. SinkSourceSpec locks the
     * zero-rewrite property (base file set byte-identical across the
     * merge) and that a rewriting commit folds the vectors in. */
-  val qMergeDv = Q(
-    "q_merge_dv",
+  /** ONE shared oracle for q_merge_dv and q_merge_dv_history: the visible
+    * state after the FIRST MOR merge (updates on every 10th key, inserts
+    * from every 13th), rolled up over the date window. q_merge_dv reads
+    * it live; q_merge_dv_history applies a SECOND merge on top and must
+    * step back over it — sharing the statement makes the "per-merge
+    * travel returns exactly the post-merge-1 table" claim hold by
+    * construction, not by two copies staying in sync. */
+  private def mergeDvOracle: String =
     s"""WITH base AS (
        |  SELECT o_orderkey AS key, o_orderdate, o_totalprice FROM orders
        |  WHERE o_orderkey % 10 <> 0),
@@ -1556,6 +1562,10 @@ object PipelineOps {
        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
        |                      AND TIMESTAMP '1996-06-30 23:59:59'
        |GROUP BY 1 ORDER BY mo""".stripMargin
+
+  val qMergeDv = Q(
+    "q_merge_dv",
+    mergeDvOracle
   ) { (spark, dir) =>
     val lo = lit("1996-01-01 00:00:00").cast("timestamp")
     val hi = lit("1996-06-30 23:59:59").cast("timestamp")
@@ -1575,6 +1585,58 @@ object PipelineOps {
     graft.sources.Sinks.upsertBatchDv(
       updates.unionByName(inserts), root, "key", "seq")
     graft.sources.Sinks.readTableSkip(spark, root, "o_orderdate", lo, hi)
+      .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        Det.exactSum(col("o_totalprice"), 100).as("revenue"))
+      .orderBy("mo")
+  }
+
+  /** PER-MERGE TIME TRAVEL on a merge-on-read table, graded end-to-end
+    * (VERDICT r19 #2): MOR merges mutate the live version with no pointer
+    * publish, so publish-granularity time travel steps over them — each
+    * [[graft.sources.Sinks.upsertBatchDv]] now records a metadata-only
+    * snapshot (commit-logged entry list + pinned DV parts) and
+    * [[graft.sources.Sinks.readTableMergeVersion]] reconstructs any
+    * between-merge state in the version's epoch. The query seeds, runs
+    * merge 1 (the q_merge_dv update+insert batch), then merge 2 (a later
+    * restatement + more inserts that must be STEPPED OVER), and reads
+    * back=1. The oracle is q_merge_dv's own post-merge-1 statement —
+    * shared, so a travel read that leaks any merge-2 row, vector, or
+    * price breaks the cross-engine hash. SinkSourceSpec walks the whole
+    * snapshot ladder (base, each merge, None past the epoch). */
+  val qMergeDvHistory = Q(
+    "q_merge_dv_history",
+    mergeDvOracle
+  ) { (spark, dir) =>
+    val root = Scans.rtDir("mergedvhist")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    graft.sources.Sinks.upsertBatch(
+      ord.withColumn("seq", lit(1L)), root, "key", "seq",
+      statsCols = Seq("o_orderdate"))
+    val updates1 = ord.filter(col("key") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("seq", lit(2L))
+    val inserts1 = ord.filter(col("key") % 13 === 0)
+      .withColumn("key", col("key") + 500000000L)
+      .withColumn("seq", lit(2L))
+    graft.sources.Sinks.upsertBatchDv(
+      updates1.unionByName(inserts1), root, "key", "seq")
+    // merge 2: overlaps merge 1's keys (every 90th key is in both) and
+    // inserts a disjoint slice — all of it must be invisible at back=1
+    val updates2 = ord.filter(col("key") % 9 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 777)
+      .withColumn("seq", lit(3L))
+    val inserts2 = ord.filter(col("key") % 17 === 0)
+      .withColumn("key", col("key") + 700000000L)
+      .withColumn("seq", lit(3L))
+    graft.sources.Sinks.upsertBatchDv(
+      updates2.unionByName(inserts2), root, "key", "seq")
+    graft.sources.Sinks.readTableMergeVersion(spark, root, 1).get
+      .filter(col("o_orderdate").between(
+        lit("1996-01-01 00:00:00").cast("timestamp"),
+        lit("1996-06-30 23:59:59").cast("timestamp")))
       .groupBy(month(col("o_orderdate")).cast("int").as("mo"))
       .agg(count(lit(1)).cast("bigint").as("n_orders"),
         Det.exactSum(col("o_totalprice"), 100).as("revenue"))
@@ -1793,6 +1855,6 @@ object PipelineOps {
     qLayoutBloomSkip, qLayoutSkipCombo, qLayoutSkipAppend, qLayoutOptimize,
     qLayoutOptimizeInc, qLayoutOptimizePublish, qLayoutMergeSkip,
     qLayoutMergeBloom, qLayoutZorderStr, qLayoutHilbert3Skip,
-    qLayoutDeleteVector, qMergeDv, qMergeDvDelete, qMergeDvStream,
-    qDvCompact, qDocShard)
+    qLayoutDeleteVector, qMergeDv, qMergeDvHistory, qMergeDvDelete,
+    qMergeDvStream, qDvCompact, qDocShard)
 }

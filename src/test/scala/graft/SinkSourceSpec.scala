@@ -1380,6 +1380,76 @@ class SinkSourceSpec extends SparkTestBase {
       "bloom lookup returned the superseded row, not the merged one")
   }
 
+  test("per-merge snapshots: readTableMergeVersion walks base, merge 1, merge 2, and a fold starts a fresh epoch") {
+    // VERDICT r19 #2: MOR merges mutate the live version with no pointer
+    // publish, so publish-granularity travel steps over them. Each merge
+    // now records a metadata snapshot; the reader must reach every
+    // between-merge state of the epoch, return None past its anchor, and
+    // a rewriting fold (compactDeletes) must reset the epoch.
+    val spk = spark
+    import spk.implicits._
+    val root = Files.createTempDirectory("graft_morhist").toString + "/t"
+    val ord = graft.sources.Tables.orders(spk, sf("sf0.001"))
+      .select(col("o_orderkey").as("key"), col("o_orderdate"),
+        col("o_totalprice"))
+    val n = ord.count()
+    graft.sources.Sinks.upsertBatch(ord.withColumn("seq", lit(1L)),
+      root, "key", "seq", statsCols = Seq("o_orderdate"))
+    val probe = ord.filter(col("key") % 10 === 0).select("key").as[Long].head()
+    val orig = ord.filter(col("key") === probe)
+      .select("o_totalprice").as[Double].head()
+    def priceAt(df: org.apache.spark.sql.DataFrame, k: Long): Double =
+      df.filter(col("key") === k).select("o_totalprice").as[Double].head()
+    // merge 1: price restatement on every 10th key
+    graft.sources.Sinks.upsertBatchDv(
+      ord.filter(col("key") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("seq", lit(2L)),
+      root, "key", "seq")
+    // merge 2: disjoint insert slice
+    val ins = ord.filter(col("key") % 13 === 0)
+      .withColumn("key", col("key") + 500000000L)
+      .withColumn("seq", lit(3L))
+    val nIns = ins.count()
+    graft.sources.Sinks.upsertBatchDv(ins, root, "key", "seq")
+    // back=0 is the live table
+    assert(graft.sources.Sinks.readTableMergeVersion(spk, root, 0).get
+      .count() === n + nIns)
+    // back=1: post-merge-1 — restated price visible, inserts not yet
+    val m1 = graft.sources.Sinks.readTableMergeVersion(spk, root, 1).get
+    assert(m1.count() === n, "back=1 leaked merge-2 inserts")
+    assert(priceAt(m1, probe) === orig + 1.0,
+      "back=1 lost merge-1's restatement")
+    // back=2: the pre-merge anchor = the published base
+    val m2 = graft.sources.Sinks.readTableMergeVersion(spk, root, 2).get
+    assert(m2.count() === n)
+    assert(priceAt(m2, probe) === orig,
+      "the epoch anchor does not match the published base")
+    // back=3: past the epoch
+    assert(graft.sources.Sinks.readTableMergeVersion(spk, root, 3).isEmpty)
+    // a rewriting fold publishes a fresh version: epoch resets
+    graft.sources.Sinks.deleteWhere(spk, root, col("key") % 3 === 0)
+    val visible = graft.sources.Sinks.readTable(spk, root).count()
+    assert(graft.sources.Sinks.compactDeletes(spk, root, 0.25, 2))
+    assert(graft.sources.Sinks.readTable(spk, root).count() === visible,
+      "fold changed the visible rows")
+    assert(graft.sources.Sinks.readTableMergeVersion(spk, root, 1).isEmpty,
+      "a rewriting commit must start a fresh per-merge epoch")
+    // and the new epoch travels again: merge 3 updates one surviving key
+    val probe2 = ord.filter(col("key") % 10 === 1 && col("key") % 3 =!= 0)
+      .select("key").as[Long].head()
+    val before = priceAt(graft.sources.Sinks.readTable(spk, root), probe2)
+    graft.sources.Sinks.upsertBatchDv(
+      ord.filter(col("key") === probe2)
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+        .withColumn("seq", lit(9L)),
+      root, "key", "seq")
+    val nm1 = graft.sources.Sinks.readTableMergeVersion(spk, root, 1).get
+    assert(nm1.count() === visible)
+    assert(priceAt(nm1, probe2) === before,
+      "new-epoch back=1 does not match the post-fold state")
+  }
+
   test("an empty _deletes directory (mkdirs-then-crash litter) is read as no deletions, not a bricked table") {
     val spk = spark
     import spk.implicits._
