@@ -1610,6 +1610,10 @@ object Sinks {
         .filter(predicate)
         .select(functions.col("_metadata.file_path").as("file"),
           functions.col("_metadata.row_index").as("pos"))
+        // one vector file per delete op (same rationale as the merge's
+        // staged DV write): (file, pos) ints, never worth a task-file
+        // per scanned partition
+        .repartition(1)
         .write.mode(SaveMode.Append).parquet(s"$live/$DeletesManifest")
     }
 
@@ -1758,7 +1762,15 @@ object Sinks {
     val stageDv = new org.apache.hadoop.fs.Path(live, s".merge-dvv-$tag")
     try {
       newRows.write.mode(SaveMode.Overwrite).parquet(stageData.toString)
-      dvRows.write.mode(SaveMode.Overwrite).parquet(stageDv.toString)
+      // ONE vector file per merge (repartition, not coalesce — coalesce
+      // would collapse the merge join itself to one partition): the
+      // per-batch vector set is a few (file, pos) ints, but a task-file
+      // per shuffle partition made `_deletes` grow 32 part files per
+      // merge — the 50-cycle soak (tools/SoakProbe) measured 928 parts
+      // before the fold, i.e. an O(batches) file-open cost on every DV
+      // read. Delta writes one DV file per commit for the same reason.
+      dvRows.repartition(1).write.mode(SaveMode.Overwrite)
+        .parquet(stageDv.toString)
     } finally joined.unpersist(false)
     val fs = fsOf(spark, stageData)
     def partsOf(dir: org.apache.hadoop.fs.Path) = fs.listStatus(dir)
