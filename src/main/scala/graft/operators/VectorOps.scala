@@ -310,14 +310,14 @@ object VectorOps {
     * VectorAndApproxSpec, reported by q_vec_recall_multi). */
   // Shared CTE prefix: multi-table signatures -> distinct candidate pairs
   // -> exact top-3 re-rank, used by q_vec_lsh_multi and q_vec_recall_multi.
-  private def multiTop3Duck: String =
+  private def multiTop3Duck(tables: Int = nTables): String =
     s"""WITH s AS (SELECT vec_id,
-       |    ${(0 until nTables).map(t => s"CAST(${bucketExprDuck(t)} AS INT) AS b$t").mkString(", ")}
+       |    ${(0 until tables).map(t => s"CAST(${bucketExprDuck(t)} AS INT) AS b$t").mkString(", ")}
        |  FROM embeddings),
        |sig AS (
        |  SELECT vec_id, t.tbl,
-       |    CASE t.tbl ${(0 until nTables).map(t => s"WHEN $t THEN b$t").mkString(" ")} END AS bucket
-       |  FROM s, (VALUES ${(0 until nTables).map(t => s"($t)").mkString(", ")}) AS t(tbl)),
+       |    CASE t.tbl ${(0 until tables).map(t => s"WHEN $t THEN b$t").mkString(" ")} END AS bucket
+       |  FROM s, (VALUES ${(0 until tables).map(t => s"($t)").mkString(", ")}) AS t(tbl)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM sig a JOIN sig b
@@ -339,11 +339,12 @@ object VectorOps {
     * formulation shared by the in-memory pipeline ([[multiTop3]]) and the
     * persisted index writer/prober ([[VecIndex]]), so the disk artifact
     * and the oracle twin can never disagree on the signature shape. */
-  private[graft] def sigLongForm(emb: DataFrame): DataFrame =
+  private[graft] def sigLongForm(emb: DataFrame,
+      tables: Int = nTables): DataFrame =
     emb.select(col("vec_id") +:
-        (0 until nTables).map(t => expr(bucketExprSpark(t)).cast("int").as(s"b$t")): _*)
+        (0 until tables).map(t => expr(bucketExprSpark(t)).cast("int").as(s"b$t")): _*)
       .selectExpr("vec_id",
-        s"stack($nTables, ${(0 until nTables).map(t => s"$t, b$t").mkString(", ")}) AS (tbl, bucket)")
+        s"stack($tables, ${(0 until tables).map(t => s"$t, b$t").mkString(", ")}) AS (tbl, bucket)")
 
   /** Spark side of the shared pipeline: exact top-3 per query vector over
     * the OR'd multi-table candidate set (columns a_id, b_id, sim, rk). */
@@ -372,7 +373,7 @@ object VectorOps {
 
   val qVecLshMulti = Q(
     "q_vec_lsh_multi",
-    s"""$multiTop3Duck
+    s"""${multiTop3Duck()}
        |SELECT a_id, b_id, sim, rk FROM multi3
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
@@ -451,11 +452,17 @@ object VectorOps {
        |FROM res GROUP BY batch ORDER BY batch""".stripMargin
   ) { (spark, dir) =>
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    VecIndex.write(e.filter(col("vec_id") % 5 <= 1), Scans.rtTable("vec_ing_idx"))
+    // the 4-table width is PINNED here (not VecIndex.DefaultTables): the
+    // ingest loop's candidate relation is a calibrated dedup setting the
+    // oracle above encodes — serving recall amplification is the probe
+    // path's concern (q_vec_recall_index), not the dup filter's
+    VecIndex.write(e.filter(col("vec_id") % 5 <= 1),
+      Scans.rtTable("vec_ing_idx"), tables = nTables)
     val out = Scans.rtDir("vec_ingest")
     Seq(2, 3, 4).zipWithIndex.foreach { case (m, i) =>
       VecIndex.ingestBatch(e.filter(col("vec_id") % 5 === m),
-        Scans.rtTable("vec_ing_idx"), out, i.toLong, dupSim = 0.3)
+        Scans.rtTable("vec_ing_idx"), out, i.toLong, dupSim = 0.3,
+        tables = nTables)
     }
     spark.read.parquet(out)
       .groupBy(col("batch").cast("int").as("batch"))
@@ -466,7 +473,9 @@ object VectorOps {
 
   val qVecIndexProbe = Q(
     "q_vec_index_probe",
-    s"""$multiTop3Duck
+    // the INDEX's default serving width (16 tables), not the in-memory
+    // pipeline's 4 — see VecIndex.DefaultTables for the measured ladder
+    s"""${multiTop3Duck(VecIndex.DefaultTables)}
        |SELECT a_id, b_id, sim, rk FROM multi3
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
@@ -490,7 +499,7 @@ object VectorOps {
     * grades the data. */
   val qVecIndexCompact = Q(
     "q_vec_index_compact",
-    s"""$multiTop3Duck
+    s"""${multiTop3Duck(VecIndex.DefaultTables)}
        |SELECT a_id, b_id, sim, rk FROM multi3
        |ORDER BY a_id, rk""".stripMargin
   ) { (spark, dir) =>
@@ -532,7 +541,7 @@ object VectorOps {
     * worth its storage). Same bounded query panel (vec_id < 50). */
   val qVecRecallMulti = Q(
     "q_vec_recall_multi",
-    s"""$multiTop3Duck,
+    s"""${multiTop3Duck()},
        |truth AS (
        |  SELECT a_id, b_id FROM (
        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -561,6 +570,59 @@ object VectorOps {
       .filter(col("rk") <= 3)
       .select("a_id", "b_id")
     truth.join(multiTop3(spark, dir).select("a_id", "b_id")
+        .withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg(count(col("hit")).cast("int").as("n_hit"),
+        round(count(col("hit")) / 3.0, 6).as("recall_at_3"))
+      .orderBy("a_id")
+  }
+
+  /** Recall@3 of the PERSISTED index's DEFAULT probe path vs brute-force
+    * ground truth (VERDICT r19 #6): build the [[VecIndex]] artifact at
+    * its default serving width ([[VecIndex.DefaultTables]] = 16
+    * OR-amplified tables — chosen by the measured ladder in its
+    * scaladoc: 0.47 → 0.90 recall at sf0.01 for < 2× candidate volume),
+    * probe with the query panel, and score per query id against the
+    * exact top-3. The oracle re-derives the same 16-table candidate
+    * relation declaratively, so this row grades BOTH that the default
+    * path clears a serving bar (mean ≥ 0.8, asserted in
+    * VectorAndApproxSpec) and that the persisted probe returns exactly
+    * the in-memory 16-table semantics. Read against q_vec_recall_multi
+    * (the 4-table in-memory form) to see what the amplification buys. */
+  val qVecRecallIndex = Q(
+    "q_vec_recall_index",
+    s"""${multiTop3Duck(VecIndex.DefaultTables)},
+       |truth AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round($sqlDot, 6) DESC, b.vec_id) AS INT) AS rk
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 50)
+       |  WHERE rk <= 3)
+       |SELECT tr.a_id,
+       |  CAST(COUNT(m.b_id) AS INT) AS n_hit,
+       |  round(COUNT(m.b_id) / 3.0, 6) AS recall_at_3
+       |FROM truth tr LEFT JOIN multi3 m
+       |  ON tr.a_id = m.a_id AND tr.b_id = m.b_id
+       |GROUP BY tr.a_id
+       |ORDER BY tr.a_id""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val nm = Scans.rtTable("vec_idx_rec")
+    VecIndex.write(e, nm) // default serving width
+    val panel = e.filter(col("vec_id") < 50)
+    val q = panel.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    val truth = q.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(spark)(col("a_vec"), col("b_vec")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("a_id", "b_id")
+    truth.join(VecIndex.probe(spark, nm, panel).select("a_id", "b_id")
         .withColumn("hit", lit(1)),
         Seq("a_id", "b_id"), "left")
       .groupBy("a_id")
@@ -3109,6 +3171,7 @@ object VectorOps {
     qVecRecallIvfPqT2Clu,
     qVecCellStats, qVecIndexStats,
     qVecIvfProbe4, qVecPq, qVecRecallPq, qVecRecallEval, qVecRecallMulti,
+    qVecRecallIndex,
     qVecRecallIvf,
     qVecRecallIvf4, qVecDrift, qVecCovariance, qVecPcaPower, qDedupSemdedup,
     qDedupSemantic, qHybridSearch, qBitextMine)
