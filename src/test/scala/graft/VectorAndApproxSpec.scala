@@ -826,16 +826,18 @@ class VectorAndApproxSpec extends SparkTestBase {
     val odds = e.filter(col("vec_id") % 2 === 1)
     graft.operators.VecIndex.write(evens, "graft_vecspec_crash_idx")
     // simulate the half-committed append: sig rows land, payload does not
+    // (width = the index's serving default, the same width append replays)
     graft.sources.Sinks.writeBucketed(
-      graft.operators.VectorOps.sigLongForm(odds), 8, Seq("tbl", "bucket"),
+      graft.operators.VectorOps.sigLongForm(odds,
+        graft.operators.VecIndex.DefaultTables), 8, Seq("tbl", "bucket"),
       "graft_vecspec_crash_idx_sig", org.apache.spark.sql.SaveMode.Append)
     // foreachBatch replays the batch
     graft.operators.VecIndex.append(odds, "graft_vecspec_crash_idx")
     val sig = spk.table("graft_vecspec_crash_idx_sig")
     assert(sig.count() === sig.dropDuplicates("vec_id", "tbl").count(),
       "replayed append duplicated signature rows after a simulated crash")
-    assert(sig.count() === e.count() * 4,
-      "sig table does not hold exactly 4 table-signatures per vector")
+    assert(sig.count() === e.count() * graft.operators.VecIndex.DefaultTables,
+      "sig table does not hold exactly DefaultTables signatures per vector")
     assert(spk.table("graft_vecspec_crash_idx_emb").count() === e.count(),
       "payload table incomplete after the replayed append")
     Seq("_sig", "_emb").foreach(s =>
