@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{DotProduct, L2Squared, SketchExprs}
+import graft.functions.{DotProduct, L2Squared, LshSigs, SketchExprs, VecExprs}
 
 /** SparkSessionExtensions entry point: makes every graft native function
   * available to ANY session — including plain `spark.sql` users — via
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(cls.getName, name), builder))
     f("graft_dot", classOf[DotProduct], es => DotProduct(es.head, es(1)))
     f("graft_l2", classOf[L2Squared], es => L2Squared(es.head, es(1)))
+    f("graft_lsh_sigs", classOf[LshSigs], VecExprs.lshSigsBuilder)
     f("graft_simhash16", classOf[SketchExprs.SimHash16],
       es => SketchExprs.SimHash16(es.head))
     f("graft_simhash_wide", classOf[SketchExprs.SimHashWide],

@@ -159,9 +159,155 @@ case class L2Squared(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The deterministic random-hyperplane family shared by every LSH surface:
+  * Spark SQL literals (VectorOps.bucketExprSpark), the DuckDB oracle
+  * (bucketExprDuck), and the codegen'd [[LshSigs]] all read planes from
+  * HERE, so the three formulations cannot drift. Plane j, element i =
+  * ((1103515245·(j+1) + 12345·(i+1)) mod 1997) − 998 — fixed integer
+  * literals, engine-independent. */
+object LshPlanes {
+  val Dim = 64
+  val PlanesPerTable = 8
+  def plane(j: Int): Array[Int] =
+    Array.tabulate(Dim)(i =>
+      ((1103515245L * (j + 1) + 12345L * (i + 1)) % 1997L).toInt - 998)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Int]]]()
+  /** Planes 0 .. 8·tables−1 as a flat matrix (memoized per width). */
+  def matrix(tables: Int): Array[Array[Int]] =
+    cache.computeIfAbsent(tables,
+      t => Array.tabulate(t * PlanesPerTable)(plane))
+}
+
+/** ALL `tables` OR-amplified hyperplane buckets of one embedding as a
+  * single array<int>, one tight codegen'd loop — bucket[t] =
+  * Σ_j 2^j·[dot(x, plane(8t+j)) ≥ 0].
+  *
+  * Replaces the HOF formulation (per plane: `IF(aggregate(filter(
+  * zip_with(embedding, <64-int literal array>, ...)))) ≥ 0`), which at
+  * the 16-table serving width builds a ~80k-literal expression tree —
+  * measured ~3 s per sig derivation at sf0.1, nearly all of it analysis/
+  * codegen of the giant tree plus interpreted lambda evaluation, and paid
+  * AGAIN by every plan that re-derives signatures (index write, probe,
+  * append, each ingest cycle). Guide §4: built-in-shaped codegen over
+  * interpreted lambdas in the hot path.
+  *
+  * Arithmetic parity with the HOF/oracle form (bit-exact): ascending-index
+  * double accumulation of CAST(float AS DOUBLE) · (int plane literal) —
+  * the same association order as aggregate()/list_sum; a ragged vector
+  * contributes exactly its min(len, 64)-prefix pairs (zip_with pads with
+  * NULL products, which the HOF filter drops); an EMPTY prefix makes the
+  * plane sum NULL ≥ 0 = false on both engines, here the explicit n == 0
+  * branch. Like [[DotProduct]], element-level NULLs inside the array are
+  * out of contract (toFloatArray). */
+case class LshSigs(child: Expression, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_lsh_sigs"
+
+  @transient private lazy val planes: Array[Array[Int]] =
+    LshPlanes.matrix(tables)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < LshPlanes.PlanesPerTable) {
+        val p = planes(t * LshPlanes.PlanesPerTable + j)
+        val n = math.min(xs.length, p.length)
+        if (n > 0) {
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += xs(i).toDouble * p(i); i += 1 }
+          if (acc >= 0) bucket |= (1 << j)
+        }
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pl = ctx.addReferenceObj("lshPlanes", planes, "int[][]")
+      val xs = ctx.freshName("xs")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |float[] $xs = $a.toFloatArray();
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $j = 0; $j < ${LshPlanes.PlanesPerTable}; $j++) {
+         |    int[] $p = $pl[$t * ${LshPlanes.PlanesPerTable} + $j];
+         |    int $n = Math.min($xs.length, $p.length);
+         |    if ($n > 0) {
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $acc += (double) $xs[$i] * (double) $p[$i];
+         |      }
+         |      if ($acc >= 0) $bucket |= (1 << $j);
+         |    }
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExprs {
   private val fid = FunctionIdentifier("graft_dot")
   private val l2fid = FunctionIdentifier("graft_l2")
+  private val sigfid = FunctionIdentifier("graft_lsh_sigs")
+
+  /** Builder shared with GraftExtensions: the `tables` width must be a
+    * foldable int literal (it sizes the generated loop and the plane
+    * matrix at plan time). */
+  def lshSigsBuilder(children: Seq[Expression]): Expression = {
+    val t = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        "graft_lsh_sigs(embedding, tables): tables must be an int " +
+          s"literal, got $other")
+    }
+    LshSigs(children.head, t)
+  }
+
+  /** Registers graft_lsh_sigs — see [[LshSigs]]. */
+  def registerLshSigs(spark: SparkSession): Unit = synchronized {
+    if (!spark.sessionState.functionRegistry.functionExists(sigfid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        sigfid,
+        new ExpressionInfo(classOf[LshSigs].getName, "graft_lsh_sigs"),
+        lshSigsBuilder _)
+    }
+  }
+
+  def lshSigs(spark: SparkSession, emb: Column, tables: Int): Column = {
+    registerLshSigs(spark)
+    call_function("graft_lsh_sigs", emb,
+      org.apache.spark.sql.functions.lit(tables))
+  }
 
   /** Registers graft_dot in the session's function registry (idempotent);
     * also makes it available to spark.sql(...) users. */

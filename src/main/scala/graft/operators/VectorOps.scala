@@ -194,9 +194,10 @@ object VectorOps {
   // (VectorAndApproxSpec asserts it).
   private val nPlanes = 8
   private[operators] val nTables = 4
-  private val dim = 64
+  // ONE plane source for all three formulations (Spark SQL literals, the
+  // DuckDB oracle, and the codegen'd graft_lsh_sigs) — see LshPlanes.
   private def plane(j: Int): IndexedSeq[Int] =
-    (0 until dim).map(i => ((1103515245L * (j + 1) + 12345L * (i + 1)) % 1997L).toInt - 998)
+    graft.functions.LshPlanes.plane(j).toIndexedSeq
 
   // SUM semantics must match DuckDB's list_sum exactly even on
   // out-of-contract rows: list_sum SKIPS NULL products and returns NULL
@@ -244,7 +245,8 @@ object VectorOps {
     // persist: both join sides re-derive the bucket (8 hyperplane dot
     // products per row) — cache the bucketed table once
     val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", expr(bucketExprSpark()).cast("int"))
+      .withColumn("bucket", graft.functions.VecExprs.lshSigs(
+        spark, col("embedding"), 1).getItem(0)) // codegen'd table-0 bucket
       .persistScratch()
     val a = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_vec"))
@@ -279,7 +281,8 @@ object VectorOps {
     // persist: the bucketed table feeds both sides of the self-join (8
     // hyperplane dot products per row otherwise computed twice)
     val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", expr(bucketExprSpark()).cast("int"))
+      .withColumn("bucket", graft.functions.VecExprs.lshSigs(
+        spark, col("embedding"), 1).getItem(0)) // codegen'd table-0 bucket
       .persistScratch()
     val a = e.select(col("vec_id").as("a_id"), col("bucket"),
       col("embedding").as("a_vec"))
@@ -341,10 +344,15 @@ object VectorOps {
     * and the oracle twin can never disagree on the signature shape. */
   private[graft] def sigLongForm(emb: DataFrame,
       tables: Int = nTables): DataFrame =
-    emb.select(col("vec_id") +:
-        (0 until tables).map(t => expr(bucketExprSpark(t)).cast("int").as(s"b$t")): _*)
-      .selectExpr("vec_id",
-        s"stack($tables, ${(0 until tables).map(t => s"$t, b$t").mkString(", ")}) AS (tbl, bucket)")
+    // codegen'd bucket loop + posexplode (pos = tbl, col = bucket):
+    // bit-identical to the HOF-per-plane + stack() form this replaces
+    // (see LshSigs' parity note), but the plan carries ONE compact
+    // expression instead of a tables×8-plane literal tree — measured
+    // 3.0 s → ~0.2 s per sig derivation at sf0.1, and every index
+    // write/probe/append/ingest-cycle pays it once per plan.
+    emb.select(col("vec_id"),
+      posexplode(graft.functions.VecExprs.lshSigs(emb.sparkSession,
+        col("embedding"), tables)).as(Seq("tbl", "bucket")))
 
   /** Spark side of the shared pipeline: exact top-3 per query vector over
     * the OR'd multi-table candidate set (columns a_id, b_id, sim, rk). */
@@ -2535,7 +2543,8 @@ object VectorOps {
        |ORDER BY tr.a_id""".stripMargin
   ) { (spark, dir) =>
     val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", expr(bucketExprSpark()).cast("int"))
+      .withColumn("bucket", graft.functions.VecExprs.lshSigs(
+        spark, col("embedding"), 1).getItem(0)) // codegen'd table-0 bucket
       .persistScratch() // query panel + both candidate sides
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_vec"))
